@@ -1,0 +1,115 @@
+"""Scalar functions (SURVEY.md SS2.9) and the pandas-parity layer (SS4.3 #1).
+
+Two concerns live here:
+
+1. **Pandas-parity wrappers** — the reference's transforms use pandas string/
+   date semantics that differ subtly from Spark built-ins (F3 title-case,
+   F6 weekday origin, F11 fractional-day durations, F2 zfill). Each wrapper
+   is a pure Column expression (JVM-side, codegen'd — no UDFs).
+
+2. **Deterministic aggregation helpers** — double summation is
+   order-dependent, and Spark's shuffle order differs from any single-node
+   oracle. ``dec_sum`` routes sums through DECIMAL(38,s) accumulation:
+   exact, associative, order-independent — so results hash-match DuckDB
+   bit-for-bit while map-side partial aggregation still applies. The final
+   cast back to double keeps oracle schemas aligned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Deterministic aggregation (order-independent across shuffles)
+# --------------------------------------------------------------------------
+
+
+def dec_sum(col: Column | str, scale: int = 8) -> Column:
+    """SUM through DECIMAL(28,scale): exact and shuffle-order-independent,
+    cast back to double. Oracle-side twin:
+    ``CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+
+
+def dec_avg(col: Column | str, scale: int = 8) -> Column:
+    """AVG with a deterministic numerator: exact decimal sum divided by the
+    bigint count — both engines then perform the identical double division.
+    Oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE)/COUNT(x)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dec_sum(c, scale) / F.count(c)
+
+
+# --------------------------------------------------------------------------
+# Pandas-parity string functions
+# --------------------------------------------------------------------------
+
+
+def zfill(col: Column | str, width: int = 5) -> Column:
+    """F2: ``str.zfill(width)`` for non-negative strings -> ``lpad``
+    (reference: dags/transform_dim_customers.py:14). Exact for zip codes
+    (zfill's '-' handling never triggers on non-negative input)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lpad(c, width, "0")
+
+
+def pandas_title(col: Column | str) -> Column:
+    """F3: pandas ``str.title()`` (reference: transform_dim_customers.py:15).
+
+    Pandas capitalizes the first letter after ANY non-alpha character
+    ('sao-paulo' -> 'Sao-Paulo'); Spark's ``initcap`` only after whitespace
+    ('Sao-paulo'). Reproduced without a UDF: lowercase, then uppercase every
+    alpha that starts an alpha-run, via regexp_replace on the run heads.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return _title_runs(F.lower(c))
+
+
+def _title_runs(lowered: Column) -> Column:
+    """Title-case helper: split on alpha-run boundaries, initcap each token.
+
+    Implemented as: split into characters-preserving tokens around non-alpha
+    boundaries using a zero-width split, transform each token, reassemble.
+    Pure Column expressions (split/transform/concat_ws), no UDF.
+    """
+    # Zero-width split points: between a non-alpha and an alpha.
+    tokens = F.split(lowered, r"(?<![A-Za-z])(?=[A-Za-z])")
+    titled = F.transform(
+        tokens, lambda t: F.concat(F.upper(F.substring(t, 1, 1)), F.substring(t, 2, 2147483646))
+    )
+    return F.array_join(titled, "")
+
+
+def word_title(col: Column | str) -> Column:
+    """Space-delimited title-case (the oracle-friendly variant): lowercase,
+    split on single spaces, capitalize each word head. Matches the DuckDB
+    expression built from ``string_split`` + ``list_transform`` exactly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = F.split(F.lower(c), " ")
+    titled = F.transform(
+        tokens, lambda t: F.concat(F.upper(F.substring(t, 1, 1)), F.substring(t, 2, 2147483646))
+    )
+    return F.array_join(titled, " ")
+
+
+# --------------------------------------------------------------------------
+# Pandas-parity date/time functions
+# --------------------------------------------------------------------------
+
+
+def pandas_dayofweek(col: Column | str) -> Column:
+    """F6: pandas ``.dt.dayofweek`` is Mon=0..Sun=6; Spark ``dayofweek`` is
+    Sun=1..Sat=7 (reference: dags/transform_dim_dates.py:19). Shifted."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.dayofweek(c) + 5) % 7
+
+
+def duration_days(end: Column | str, start: Column | str) -> Column:
+    """F11: fractional-day duration ``(t2-t1).dt.total_seconds()/86400``
+    (reference: dags/transform_fact_orders.py:33-34). NOT ``datediff``,
+    which truncates to whole days."""
+    e = F.col(end) if isinstance(end, str) else end
+    s = F.col(start) if isinstance(start, str) else start
+    return (F.unix_timestamp(e) - F.unix_timestamp(s)) / 86400.0

@@ -1,0 +1,319 @@
+"""Deduplication operators over ``documents`` (+ embedding near-dup).
+
+Beyond-reference extension (task brief): the dedup ladder a training-data
+pipeline needs — exact hash dedup, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup. The reference only has relational
+``drop_duplicates`` (SURVEY.md SS2.5); these generalize D1-D3 to fuzzy text.
+
+Portability convention: every hash is ``md5`` (identical in Spark and
+DuckDB), so even the MinHash/LSH pipeline is fully oracle-checkable —
+signatures are the lexicographic min of md5 strings under k seeded
+"permutations" (seed prefix ``{i}:``), bands are md5 of concatenated
+signature slices.
+
+Scale posture (100 TB): everything is expressed as explode -> hash ->
+groupBy/join — embarrassingly parallel, shuffles only on shingle/band/bucket
+keys. LSH is the scale path: candidate generation touches only
+band-bucket collisions, never the O(n^2) pair space that the plain Jaccard
+variant (kept for verification at test scale) enumerates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_pairs_sql,
+)
+from e_commerce_data_warehouse_recommendation_system_spark.operators.text import tokens
+from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
+
+SHINGLE_N = 3
+MINHASH_K = 16  # signature length
+LSH_BANDS = 4  # 4 bands x 4 rows
+JACCARD_THRESHOLD = 0.7
+
+# --------------------------------------------------------------------------
+# Shingling (shared): distinct word n-grams per document
+# --------------------------------------------------------------------------
+
+
+def shingles(col: Column | str, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingles as an array column. Empty when the doc has
+    fewer than n tokens (Spark's ``sequence`` would count DOWN for a
+    negative span — guarded)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_rows(spark: SparkSession) -> DataFrame:
+    """(doc_id, shingle) distinct — the long form every dedup op consumes."""
+    d = spark.table("documents")
+    return d.select("doc_id", F.explode(shingles("text")).alias("s")).distinct()
+
+
+# DuckDB twin of shingle_rows (n=3).
+_SQL_SHINGLES = """
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id
+    (keep-first under an explicit order — the D1 contract at scale).
+    One shuffle on the hash; the md5 is computed map-side."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    return (
+        d.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise — the verification-scale variant)
+# --------------------------------------------------------------------------
+
+_SQL_JACCARD_PAIRS = f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_SQL_JACCARD_PAIRS)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: join docs on shared shingles,
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|). Only pairs sharing >=1 shingle are
+    ever materialized (the shingle join prunes the O(n^2) space), but worst
+    case is still quadratic — MinHash+LSH below is the 100 TB path."""
+    prepare(spark, sf_dir)
+    sh = shingle_rows(spark)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# --------------------------------------------------------------------------
+
+
+def _sig_cols() -> list[Column]:
+    """k seeded minhashes: lexicographic min of md5('{i}:' || shingle)."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+
+
+def minhash_signatures(spark: SparkSession) -> DataFrame:
+    """(doc_id, h0..h15): one groupBy over the shingle rows; all k hashes
+    are computed map-side in the same pass (partial min aggregation)."""
+    return shingle_rows(spark).groupBy("doc_id").agg(*_sig_cols())
+
+
+def _band_expr(b: int) -> Column:
+    rows = MINHASH_K // LSH_BANDS
+    parts = [F.col(f"h{b * rows + j}") for j in range(rows)]
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def _sql_minhash_lsh() -> str:
+    rows = MINHASH_K // LSH_BANDS
+    sig_cols = ",\n           ".join(
+        f"MIN(md5('{i}:' || s)) AS h{i}" for i in range(MINHASH_K)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band_idx, "
+        f"md5(concat_ws('|', {', '.join(f'h{b * rows + j}' for j in range(rows))})) AS band_hash FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS (
+{band_selects}
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM candidates c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM verified
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_sql_minhash_lsh(), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection, fully deterministic and
+    oracle-checkable (md5-based permutations).
+
+    shingle -> k=16 minhash signature -> 4 bands of 4 -> candidates =
+    band-bucket collisions -> exact-Jaccard verification of candidates only.
+    At 100 TB: the band join shuffles only (band_hash) keys — collision
+    groups — never the full pair space; the verify join touches only
+    candidate docs' shingles. Bucket skew (a viral shingle set) is handled
+    by AQE skew-join splitting.
+    """
+    prepare(spark, sf_dir)
+    sigs = minhash_signatures(spark)
+    bands = None
+    for b in range(LSH_BANDS):
+        part = sigs.select(
+            "doc_id", F.lit(b).alias("band_idx"), _band_expr(b).alias("band_hash")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = shingle_rows(spark)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa_s"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb_s"))
+    verified = (
+        candidates.join(sha, "doc_a")
+        .join(shb, (F.col("doc_b") == shb.doc_b) & (F.col("sa_s") == F.col("sb_s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        verified.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints
+# --------------------------------------------------------------------------
+
+
+def _sql_simhash() -> str:
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN substr(md5(tok), {j + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    )
+    bits = " || ".join(f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(16))
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+    SELECT doc_id, {bits} AS simhash FROM sums
+    """
+
+
+@register("dedup_simhash", oracle=_sql_simhash())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 16-bit fingerprint from per-token md5 bit voting — bit j is
+    the sign of the vote of hex digit j across the doc's distinct tokens.
+    Near-dup docs differ in few bits (compare via hamming distance on the
+    bit-string). One explode + one groupBy; vote sums are map-side partial."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok")).distinct()
+    hexdigits = ["8", "9", "a", "b", "c", "d", "e", "f"]
+    sums = [
+        F.sum(
+            F.when(F.substring(F.md5("tok"), j + 1, 1).isin(*hexdigits), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    voted = toks.groupBy("doc_id").agg(*sums)
+    bits = F.concat(
+        *[F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(16)]
+    )
+    return voted.select("doc_id", bits.alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.35  # synthetic embeddings have no planted dups; this
+# threshold exercises the operator on the densest tail (max cosine ~0.51)
+
+
+@register("dedup_embedding_cosine", oracle=cosine_pairs_sql(COSINE_DUP_THRESHOLD))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: all pairs with cosine >= threshold. Reuses the
+    similarity module's exact pair machinery (decimal-accumulated dot
+    products). The LSH-bucketed variant in operators/similarity.py is the
+    scale path; this exact form is the verification twin."""
+    prepare(spark, sf_dir)
+    return cosine_pairs(spark, COSINE_DUP_THRESHOLD)

@@ -1,0 +1,727 @@
+"""Relational operator inventory (SURVEY.md SS2.2-SS2.8).
+
+One registered, oracle-checked query per operator family the reference
+exercises: projections/filters (P1-P9), joins (J1-J5), aggregations
+(A1-A8), dedup (D1-D3), windows (W1-W3 + running aggregates), sorts/limits
+(O1-O5), set ops (SO1-SO4), and the scalar function layer (F1-F15).
+
+Each query is deliberately the *minimal* plan for its operator so the
+physical plan is auditable: filters must push into the parquet scan, dim
+joins must broadcast, aggregations must have a map-side partial phase.
+Determinism rules: every LIMIT is preceded by a total ORDER BY; every
+double sum goes through DECIMAL accumulation (functions/scalar.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar import (
+    dec_avg,
+    dec_sum,
+    pandas_dayofweek,
+    word_title,
+    zfill,
+)
+from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import TABLES, prepare
+
+
+def _dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,8))) AS DOUBLE)"
+
+
+def _davg(expr: str) -> str:
+    return f"{_dsum(expr)} / COUNT({expr})"
+
+
+# ==========================================================================
+# SS2.2 Projections / filters / predicates
+# ==========================================================================
+
+
+@register(
+    "p2_projection",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0
+    """,
+)
+def p2_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: column pruning + row filter. The reference hand-prunes columns
+    in source SQL (reference: dags/transform_fact_orders.py:12); Catalyst
+    pushes both the projection and the predicate into the parquet scan."""
+    prepare(spark, sf_dir)
+    return spark.table("customer").filter(F.col("c_acctbal") > 0).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "p4_filter_timestamp",
+    oracle="""
+    SELECT o_orderkey, o_orderdate FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
+    """,
+)
+def p4_filter_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/F10: the reference's incremental-extract predicate
+    ``WHERE DATE(ts) >= '...'`` (reference: dags/extract_data.py:115-118)."""
+    prepare(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .filter(F.to_date("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+@register(
+    "p5_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 20 OFFSET 100
+    """,
+)
+def p5_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/O3: LIMIT/OFFSET paging (reference: dags/extract_data.py:42).
+    Deterministic only under a total order — enforced here; the engine
+    refuses the reference's unordered OFFSET semantics by construction."""
+    prepare(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "p6_null_drop",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_kept
+    FROM (SELECT event_type, CASE WHEN value < 50 THEN NULL ELSE value END AS v FROM events)
+    WHERE v IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def p6_null_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: ``dropna`` (reference: mf_knn_recommender.py:58). The testdata has
+    no physical nulls, so nulls are induced deterministically first."""
+    prepare(spark, sf_dir)
+    ev = spark.table("events").withColumn(
+        "v", F.when(F.col("value") < 50, F.lit(None)).otherwise(F.col("value"))
+    )
+    return ev.na.drop(subset=["v"]).groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "p7_null_fill",
+    oracle=f"""
+    SELECT event_type, {_dsum('coalesce(v, 0.0)')} AS total_v
+    FROM (SELECT event_type, CASE WHEN value < 50 THEN NULL ELSE value END AS v FROM events)
+    GROUP BY event_type
+    """,
+)
+def p7_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: ``fillna`` scalar defaults (reference: transform_dim_products.py:17-21)."""
+    prepare(spark, sf_dir)
+    ev = spark.table("events").withColumn(
+        "v", F.when(F.col("value") < 50, F.lit(None)).otherwise(F.col("value"))
+    )
+    return ev.na.fill({"v": 0.0}).groupBy("event_type").agg(dec_sum("v").alias("total_v"))
+
+
+@register(
+    "p8_isin",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_mktsegment IN ('MACHINERY', 'HOUSEHOLD')
+    """,
+)
+def p8_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: membership predicate (reference: transform_dim_dates.py:22)."""
+    prepare(spark, sf_dir)
+    return (
+        spark.table("customer")
+        .filter(F.col("c_mktsegment").isin("MACHINERY", "HOUSEHOLD"))
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+# ==========================================================================
+# SS2.3 Joins
+# ==========================================================================
+
+
+@register(
+    "j1_left_broadcast",
+    oracle="""
+    SELECT c_custkey, n_name AS nation, r_name AS region
+    FROM customer
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def j1_left_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: left equi-join against small dims
+    (reference: dags/transform_dim_products.py:14). Dims explicitly
+    broadcast: the fact side never shuffles for a bounded dimension."""
+    prepare(spark, sf_dir)
+    c, n, r = spark.table("customer"), spark.table("nation"), spark.table("region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select("c_custkey", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+
+
+@register(
+    "j2_fanout",
+    oracle=f"""
+    SELECT o_orderkey, COUNT(l_orderkey) AS n_lines, {_dsum('l_quantity')} AS sum_qty
+    FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+    """,
+)
+def j2_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: the fact build's 1:N left-join fan-out
+    (reference: dags/transform_fact_orders.py:15-17); orders with no lines
+    survive with count 0 — exactly pandas ``merge(how='left')``."""
+    prepare(spark, sf_dir)
+    o, li = spark.table("orders"), spark.table("lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_lines"), dec_sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "j3_inner_agg",
+    oracle=f"""
+    SELECT COUNT(*) AS total_lines, {_davg('l_extendedprice')} AS avg_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    """,
+)
+def j3_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/A2: inner join + multi-aggregate
+    (reference: postgres_reader.py:290-295)."""
+    prepare(spark, sf_dir)
+    o, li = spark.table("orders"), spark.table("lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey).agg(
+        F.count(F.lit(1)).alias("total_lines"),
+        dec_avg("l_extendedprice").alias("avg_price"),
+    )
+
+
+@register(
+    "j4_semi",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    """,
+)
+def j4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: semi-join — keys present on both sides
+    (reference: mf_knn_recommender.py:395 set intersection)."""
+    prepare(spark, sf_dir)
+    o, li = spark.table("orders"), spark.table("lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select("o_orderkey")
+
+
+@register(
+    "j5_anti",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    """,
+)
+def j5_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: anti-join — delete-by-key / set-difference semantics
+    (reference: plugins/mysql_operator.py:61-80, use_model.py:64)."""
+    prepare(spark, sf_dir)
+    o, li = spark.table("orders"), spark.table("lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select("o_orderkey")
+
+
+# ==========================================================================
+# SS2.4 Aggregations
+# ==========================================================================
+
+
+@register("a1_count_star", oracle="SELECT COUNT(*) AS total_rows FROM lineitem")
+def a1_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: scalar COUNT(*) (reference: postgres_reader.py:96)."""
+    prepare(spark, sf_dir)
+    return spark.table("lineitem").agg(F.count(F.lit(1)).alias("total_rows"))
+
+
+@register(
+    "a3_summary_stats",
+    oracle=f"""
+    SELECT 'l_quantity' AS column_name,
+           COUNT(l_quantity) AS n,
+           {_davg('l_quantity')} AS mean,
+           MIN(l_quantity) AS min_value,
+           MAX(l_quantity) AS max_value,
+           sqrt(({_dsum('l_quantity * l_quantity')} - {_dsum('l_quantity')} * {_dsum('l_quantity')} / COUNT(l_quantity)) / (COUNT(l_quantity) - 1)) AS std
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           COUNT(l_extendedprice),
+           {_davg('l_extendedprice')},
+           MIN(l_extendedprice),
+           MAX(l_extendedprice),
+           sqrt(({_dsum('l_extendedprice * l_extendedprice')} - {_dsum('l_extendedprice')} * {_dsum('l_extendedprice')} / COUNT(l_extendedprice)) / (COUNT(l_extendedprice) - 1))
+    FROM lineitem
+    """,
+)
+def a3_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: ``df.describe()`` summary statistics
+    (reference: postgres_reader.py:117-120). Mean/std computed from exact
+    decimal moments so they are shuffle-order-independent — the engine's
+    distributed-deterministic replacement for pandas describe()."""
+    prepare(spark, sf_dir)
+    li = spark.table("lineitem")
+
+    def stats(col: str) -> DataFrame:
+        c = F.col(col)
+        n = F.count(c)
+        s1 = dec_sum(c)
+        s2 = dec_sum(c * c)
+        return li.agg(
+            F.lit(col).alias("column_name"),
+            n.alias("n"),
+            dec_avg(c).alias("mean"),
+            F.min(c).alias("min_value"),
+            F.max(c).alias("max_value"),
+            F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("std"),
+        )
+
+    return stats("l_quantity").unionByName(stats("l_extendedprice"))
+
+
+@register(
+    "a4_null_profile",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
+           CAST(SUM(CASE WHEN value   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+           CAST(SUM(CASE WHEN props   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls,
+           COUNT(*) AS total_rows
+    FROM events
+    """,
+)
+def a4_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-column null counts (reference: postgres_reader.py:123-127)."""
+    prepare(spark, sf_dir)
+    ev = spark.table("events")
+
+    def nulls(c: str) -> F.Column:
+        return F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls")
+
+    return ev.agg(nulls("user_id"), nulls("value"), nulls("props"), F.count(F.lit(1)).alias("total_rows"))
+
+
+@register(
+    "a5_group_collect",
+    oracle="""
+    SELECT o_custkey AS user_id,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_items,
+           MIN(l_partkey) AS min_item,
+           MAX(l_partkey) AS max_item
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_custkey
+    """,
+)
+def a5_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: group-by collect-to-set — the recommender's per-user ground-truth
+    sets (reference: mf_knn_recommender.py:390-392). Built with
+    ``collect_set`` then reduced to order-insensitive scalars (size/min/max)
+    because array column ordering is not canonical across engines."""
+    prepare(spark, sf_dir)
+    o, li = spark.table("orders"), spark.table("lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.collect_set("l_partkey").alias("items"))
+        .select(
+            "user_id",
+            F.size("items").cast("long").alias("n_items"),
+            F.array_min("items").alias("min_item"),
+            F.array_max("items").alias("max_item"),
+        )
+    )
+
+
+@register(
+    "a6_distinct_count",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders
+    """,
+)
+def a6_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: exact distinct counts (reference: mf_knn_recommender.py:83-88).
+    At 100 TB the engine offers ``approx_count_distinct`` (HLL, no shuffle
+    of distinct values) — exact form kept here for oracle parity."""
+    prepare(spark, sf_dir)
+    return spark.table("orders").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@register(
+    "a8_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def a8_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE subtotals — free in Spark, listed as the engine's dashboard-
+    rollup surface (SURVEY.md SS2.4 note; reference README.md:117-121)."""
+    prepare(spark, sf_dir)
+    return (
+        spark.table("lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dec_sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ==========================================================================
+# SS2.5 Deduplication (relational forms; scale-out text dedup lives in
+# operators/dedup.py)
+# ==========================================================================
+
+
+@register(
+    "d1_dedup_keep_first",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_name FROM (
+      SELECT c_nationkey, c_custkey, c_name,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+      FROM customer
+    ) WHERE rn = 1
+    """,
+)
+def d1_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: ``drop_duplicates(subset=...)`` keep-FIRST semantics
+    (reference: dags/transform_dim_geolocation.py:18). pandas keeps the first
+    row in load order; distributed Spark has no load order, so the engine's
+    contract is keep-first under an explicit key order (row_number == 1) —
+    ``dropDuplicates`` alone would keep an arbitrary row."""
+    prepare(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    return (
+        spark.table("customer")
+        .select("c_nationkey", "c_custkey", "c_name")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "d2_dedup_pair_subset",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber FROM (
+      SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                                ORDER BY l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def d2_dedup_pair_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: dedup on a two-column subset
+    (reference: dags/transform_dim_payments.py:18)."""
+    prepare(spark, sf_dir)
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy("l_orderkey", "l_linenumber")
+    return (
+        spark.table("lineitem")
+        .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "d3_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def d3_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: full-row distinct (reference: mf_knn_recommender.py:58)."""
+    prepare(spark, sf_dir)
+    return spark.table("lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ==========================================================================
+# SS2.6 Window / ranking
+# ==========================================================================
+
+
+@register(
+    "w1_surrogate_key",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY n_nationkey) AS nation_key, n_name
+    FROM nation
+    """,
+)
+def w1_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: sequential surrogate key = row_number over an explicit natural-key
+    order (reference: ``df.index + 1``, dags/transform_dim_customers.py:19).
+    Global row_number is a total-order sort — dimension tables only."""
+    prepare(spark, sf_dir)
+    w = Window.orderBy("n_nationkey")
+    return spark.table("nation").select(F.row_number().over(w).alias("nation_key"), "n_name")
+
+
+@register(
+    "w2_category_codes",
+    oracle="""
+    SELECT o_orderpriority, CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority) AS INT) AS priority_code
+    FROM (SELECT DISTINCT o_orderpriority FROM orders)
+    """,
+)
+def w2_category_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: pandas ``astype('category').cat.codes + 1`` — codes follow the
+    lexicographic order of categories (reference:
+    dags/transform_fact_orders.py:48) -> dense_rank over the sorted domain."""
+    prepare(spark, sf_dir)
+    w = Window.orderBy("o_orderpriority")
+    return (
+        spark.table("orders")
+        .select("o_orderpriority")
+        .distinct()
+        .withColumn("priority_code", F.dense_rank().over(w).cast("int"))
+    )
+
+
+@register(
+    "w3_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rank_in_brand FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                                     ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rank_in_brand
+      FROM part
+    ) WHERE rank_in_brand <= 3
+    """,
+)
+def w3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: per-group top-k — the single most important window op for the
+    engine: ``recommendForAllUsers`` reduces to it (reference global form:
+    mf_knn_recommender.py:272-273). Ties broken by key for determinism."""
+    prepare(spark, sf_dir)
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        spark.table("part")
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rank_in_brand", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank_in_brand") <= 3)
+    )
+
+
+@register(
+    "w4_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def w4_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate over an analytic frame — beyond the reference's
+    surface (SURVEY.md SS2.6 notes it has none) but core warehouse
+    functionality; decimal accumulation keeps the running values exact."""
+    prepare(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spark.table("orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(28,8)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# ==========================================================================
+# SS2.7 Sorts / limits / top-k
+# ==========================================================================
+
+
+@register(
+    "o2_sort_desc_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+def o2_sort_desc_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3/W3-global: descending score sort + top-k truncation
+    (reference: mf_knn_recommender.py:272-273). Spark executes this as
+    TakeOrderedAndProject — no global sort materialization."""
+    prepare(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ==========================================================================
+# SS2.8 Set operations
+# ==========================================================================
+
+
+@register(
+    "so1_intersect",
+    oracle="""
+    SELECT user_id FROM events
+    INTERSECT
+    SELECT o_custkey AS user_id FROM orders
+    """,
+)
+def so1_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1: set intersection (reference: mf_knn_recommender.py:395,420)."""
+    prepare(spark, sf_dir)
+    ev = spark.table("events").select("user_id")
+    o = spark.table("orders").select(F.col("o_custkey").alias("user_id"))
+    return ev.intersect(o)
+
+
+@register(
+    "so2_except",
+    oracle="""
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey AS p_partkey FROM lineitem
+    """,
+)
+def so2_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO2: set difference (reference: use_model.py:64) — parts never sold."""
+    prepare(spark, sf_dir)
+    p = spark.table("part").select("p_partkey")
+    li = spark.table("lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return p.subtract(li)
+
+
+@register(
+    "so3_union_distinct",
+    oracle="""
+    SELECT user_id FROM events
+    UNION
+    SELECT o_custkey AS user_id FROM orders
+    """,
+)
+def so3_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO3: union-accumulate (reference: mf_knn_recommender.py:466-467)."""
+    prepare(spark, sf_dir)
+    ev = spark.table("events").select("user_id")
+    o = spark.table("orders").select(F.col("o_custkey").alias("user_id"))
+    return ev.union(o).distinct()
+
+
+# ==========================================================================
+# SS2.9 Scalar function layer
+# ==========================================================================
+
+
+@register(
+    "f_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded_key,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS segment_lower,
+           array_to_string(list_transform(string_split(lower(c_name), ' '),
+                           w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS name_title
+    FROM customer
+    """,
+)
+def f_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4: cast-to-string, zfill->lpad, upper/lower, pandas-title
+    (reference: dags/transform_dim_customers.py:13-16). ``word_title`` is the
+    UDF-free title-case (functions/scalar.py)."""
+    prepare(spark, sf_dir)
+    c = spark.table("customer")
+    return c.select(
+        "c_custkey",
+        zfill(F.col("c_custkey").cast("string"), 9).alias("padded_key"),
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        word_title("c_name").alias("name_title"),
+    )
+
+
+@register(
+    "f_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           year(o_orderdate)    AS year,
+           month(o_orderdate)   AS month,
+           dayofmonth(o_orderdate) AS day,
+           quarter(o_orderdate) AS quarter,
+           CAST(isodow(o_orderdate) - 1 AS INT) AS day_of_week,
+           strftime(o_orderdate, '%A') AS day_name,
+           strftime(o_orderdate, '%B') AS month_name,
+           isodow(o_orderdate) >= 6 AS is_weekend
+    FROM orders
+    """,
+)
+def f_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5-F9: timestamp parse/extract with pandas weekday origin
+    (reference: dags/transform_dim_dates.py:15-22, transform_fact_orders.py:25-29)."""
+    prepare(spark, sf_dir)
+    o = spark.table("orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.to_date(d).alias("order_date"),
+        F.year(d).alias("year"),
+        F.month(d).alias("month"),
+        F.dayofmonth(d).alias("day"),
+        F.quarter(d).alias("quarter"),
+        pandas_dayofweek(d).cast("int").alias("day_of_week"),
+        F.date_format(d, "EEEE").alias("day_name"),
+        F.date_format(d, "MMMM").alias("month_name"),
+        F.dayofweek(d).isin(1, 7).alias("is_weekend"),
+    )
+
+
+# ==========================================================================
+# Catalog (S14) — constant-domain oracle; S15 DESCRIBE is rows-only (Spark
+# type strings are engine-specific).
+# ==========================================================================
+
+_TABLE_VALUES = ", ".join(f"('{t}')" for t in sorted(TABLES))
+
+
+@register(
+    "s14_list_tables",
+    oracle=f"SELECT table_name FROM (VALUES {_TABLE_VALUES}) AS t(table_name)",
+)
+def s14_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: catalog table listing (reference: postgres_reader.py:36-54),
+    filtered to the engine's registered star tables."""
+    prepare(spark, sf_dir)
+    names = sorted(t.name for t in spark.catalog.listTables() if t.name in TABLES)
+    return spark.createDataFrame([(n,) for n in names], "table_name string")
+
+
+@register("s15_describe_table")  # no oracle: Spark type names are engine-specific
+def s15_describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: DESCRIBE TABLE (reference: postgres_reader.py:56-76)."""
+    prepare(spark, sf_dir)
+    return spark.sql("DESCRIBE TABLE lineitem")

@@ -1,0 +1,206 @@
+"""Similarity search over the ``embeddings`` table (array<float> vectors).
+
+Beyond-reference extension (task brief): approximate-nearest-neighbor over an
+embedding column — brute-force cosine top-k as the exact baseline, plus a
+sign-random-projection LSH bucketed variant as the scale path. Generalizes
+the reference's cosine machinery (normalize + dot products,
+reference: mf_knn_recommender.py:258-266, 507-508) from NumPy matrices to
+distributed DataFrames.
+
+Numeric determinism: dot products and squared norms accumulate through
+DECIMAL(30,12) (exact, order-independent) and only the final
+division/sqrt happens in double — so cosines hash-match the DuckDB oracle
+bit-for-bit. Vectors are float32 in storage, widened to float64 first
+(exact widening in both engines).
+
+Scale posture (100 TB of vectors): the exact variant is O(n^2) and exists
+for verification and small candidate sets; the LSH variant shuffles on
+bucket signatures only. For real workloads the bucket width (n planes) is
+tuned so buckets fit executor memory; IVF (k-means cells) drops in the same
+slot with trained centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
+
+TOPK = 5
+QUERY_MODULUS = 100  # vec_id % 100 == 0 -> deterministic query subset
+LSH_PLANES = 8
+
+
+def _dec(c: Column) -> Column:
+    return c.cast("decimal(30,12)")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Exact dot product: per-element double products (IEEE-identical in any
+    engine) -> decimal accumulation -> double."""
+    prods = F.zip_with(a, b, lambda x, y: _dec(x * y))
+    return F.aggregate(prods, F.lit(0).cast("decimal(30,12)"), lambda acc, x: _dec(acc + x)).cast(
+        "double"
+    )
+
+
+def vectors_with_norms(spark: SparkSession) -> DataFrame:
+    """(vec_id, v: array<double>, nrm: double) — the shared prep step."""
+    e = spark.table("embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    with_v = e.select("vec_id", v.alias("v"))
+    return with_v.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
+
+
+# DuckDB twin: long-format elements -> decimal-summed dots and norms.
+_SQL_ELEMS = """
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+"""
+
+_SQL_NORMS = """
+  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+  FROM elems GROUP BY vec_id
+"""
+
+
+def cosine_pairs_sql(threshold: float) -> str:
+    """DuckDB oracle for all-pairs cosine above a threshold."""
+    return f"""
+    WITH elems AS ({_SQL_ELEMS}),
+    norms AS ({_SQL_NORMS}),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots
+    JOIN norms na ON id_a = na.vec_id
+    JOIN norms nb ON id_b = nb.vec_id
+    WHERE dot / (na.nrm * nb.nrm) >= {threshold}
+    """
+
+
+def cosine_pairs(spark: SparkSession, threshold: float) -> DataFrame:
+    """All vector pairs with cosine >= threshold (exact). Used by the
+    embedding near-dup operator; O(n^2) — verification scale only."""
+    vecs = vectors_with_norms(spark)
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH elems AS ({_SQL_ELEMS}),
+    norms AS ({_SQL_NORMS}),
+    queries AS (SELECT vec_id FROM embeddings WHERE vec_id % {QUERY_MODULUS} = 0),
+    dots AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(CAST(qe.x * e.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM queries q
+      JOIN elems qe ON qe.vec_id = q.vec_id
+      JOIN elems e ON e.i = qe.i AND e.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, dot / (na.nrm * nb.nrm) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot / (na.nrm * nb.nrm) DESC, neighbor_id) AS rnk
+      FROM dots
+      JOIN norms na ON query_id = na.vec_id
+      JOIN norms nb ON neighbor_id = nb.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM scored WHERE rnk <= {TOPK}
+    """,
+    bench=True,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: deterministic query subset x full corpus,
+    per-query window top-k (the W3 pattern). The fact side (corpus) is
+    scanned once; queries broadcast. Exact baseline for the LSH variant."""
+    prepare(spark, sf_dir)
+    vecs = vectors_with_norms(spark)
+    queries = vecs.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    corpus = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    pairs = F.broadcast(queries).join(corpus, F.col("query_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOPK)
+    )
+
+
+@register("sim_ann_lsh_topk", bench=True)  # approximate: rows-only driver check
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-random-projection LSH — the scale path.
+
+    Hyperplanes are data-derived deterministically (the ``LSH_PLANES``
+    lowest vec_ids), so no driver-side randomness. Every vector gets an
+    n-bit bucket signature (sign of dot with each plane); candidates are
+    same-bucket collisions; exact cosine re-ranks within the bucket.
+
+    Approximate by construction (bucket misses are possible), hence no SQL
+    oracle: the driver records a rows-only check, and the exact twin
+    ``sim_cosine_topk`` carries the correctness burden. At scale the bucket
+    join shuffles only signatures, never the O(n^2) pair space.
+    """
+    prepare(spark, sf_dir)
+    vecs = vectors_with_norms(spark)
+    planes = (
+        vecs.orderBy("vec_id")
+        .limit(LSH_PLANES)
+        .select(F.col("vec_id").alias("plane_id"), F.col("v").alias("pv"))
+    )
+    # signature: concat of sign bits against each plane
+    sigs = (
+        vecs.join(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            "plane_id",
+            F.when(_dot(F.col("v"), F.col("pv")) >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
+        )
+        .groupBy("vec_id", "v", "nrm")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(F.struct("plane_id", "bit"))), lambda s: s["bit"])
+            ).alias("bucket")
+        )
+    )
+    a = sigs.select(
+        F.col("bucket"), F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    ).filter(F.col("query_id") % QUERY_MODULUS == 0)
+    b = sigs.select(
+        F.col("bucket"), F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    pairs = a.join(b, ["bucket"]).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOPK)
+    )

@@ -1,0 +1,195 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Beyond-reference extension (task brief): the operators a large-scale
+training-data pipeline needs — language ID, quality scoring, token counting,
+document fingerprinting. All pure Column expressions / joins (JVM-side,
+whole-stage codegen); nothing row-at-a-time.
+
+Scale posture: every operator is a single scan + narrow transforms; the only
+shuffles are the final aggregations (language-ID argmax) — at 100 TB the
+``documents`` scan dominates and these all pipeline over it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
+
+# Canonical tokenization shared by text + dedup operators: trim, split on
+# whitespace runs. DuckDB twin: string_split_regex(trim(text), '\s+').
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+# BPE-ish word-piece pattern: alpha runs, digit runs, single punctuation.
+# Kept RE2-compatible so Spark (Java regex) and DuckDB (RE2) agree.
+_PIECE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deterministic, broadcastable, trivially extensible.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "value", "table"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "les", "et", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is")
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_PIECE_PATTERN}')) AS BIGINT) AS n_pieces,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish word-piece count.
+    Pure expressions — ``split``/``regexp_count`` are codegen'd; no UDF."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(_PIECE_PATTERN)).cast("long").alias("n_pieces"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, n_tokens, mean_token_len, stopword_ratio,
+           CASE WHEN n_tokens >= 20 AND stopword_ratio BETWEEN 0.01 AND 0.6
+                     AND mean_token_len BETWEEN 2.0 AND 12.0
+                THEN 1.0 ELSE 0.0 END AS quality_score
+    FROM (
+      SELECT doc_id,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+             CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+               / len({_SQL_TOKENS}) AS mean_token_len,
+             CAST(len(list_filter({_SQL_TOKENS},
+                  t -> list_contains({list(STOPWORDS)!r}, t))) AS DOUBLE)
+               / len({_SQL_TOKENS}) AS stopword_ratio
+      FROM documents
+    )
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / mean-token-length / stopword-ratio heuristics
+    (the C4-style quality gate shape). Ratios are exact rationals of integer
+    counts — deterministic across engines."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks).cast("long")
+    mean_len = F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "double"
+    ) / F.size(toks)
+    score = (
+        F.when(
+            (n_tokens >= 20)
+            & stop_ratio.between(0.01, 0.6)
+            & mean_len.between(2.0, 12.0),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def _markers_values_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, words in sorted(LANG_MARKERS.items()) for w in words
+    )
+    return f"(VALUES {rows}) AS m(lang_code, marker)"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    scores AS (
+      SELECT t.doc_id, m.lang_code, COUNT(*) AS hits
+      FROM toks t JOIN {_markers_values_sql()} ON t.tok = m.marker
+      GROUP BY t.doc_id, m.lang_code
+    ),
+    best AS (
+      SELECT doc_id, lang_code, hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang_code) AS rn
+      FROM scores
+    )
+    SELECT d.doc_id,
+           coalesce(b.lang_code, 'und') AS predicted_lang,
+           coalesce(b.hits, 0) AS marker_hits
+    FROM documents d
+    LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via marker-token voting (n-gram heuristic family).
+    Tokens explode -> broadcast join against the marker lexicon -> per-doc
+    argmax. At 100 TB the lexicon is broadcast (KBs) and the explode is
+    map-local; the single shuffle is the per-doc aggregation."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    markers = spark.createDataFrame(
+        [(lang, w) for lang, words in sorted(LANG_MARKERS.items()) for w in words],
+        "lang_code string, marker string",
+    )
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    scores = (
+        toks.join(F.broadcast(markers), toks.tok == markers.marker)
+        .groupBy("doc_id", "lang_code")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang_code"))
+    best = scores.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return d.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("lang_code", F.lit("und")).alias("predicted_lang"),
+        F.coalesce("hits", F.lit(0)).alias("marker_hits"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercase text
+    (the exact-dedup key; rolling-hash family). md5 is identical across
+    engines, making fingerprints portable oracle-checkable values."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    normalized = F.array_join(tokens(F.lower(F.col("text"))), " ")
+    return d.select("doc_id", F.md5(normalized).alias("fingerprint"))

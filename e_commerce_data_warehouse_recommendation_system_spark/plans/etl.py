@@ -1,0 +1,310 @@
+"""Warehouse ETL: staging -> dimensions -> fact (SURVEY.md SS1.3, SS3.1).
+
+The reference's Kimball star build: six pandas transforms + one fact join
+chain, materialized through PostgreSQL between every stage
+(reference: dags/transform_*.py, orchestrated by dags/e_commerce_dw_dag.py).
+Spark-first version: each dim/fact is a lazy DataFrame builder; Catalyst sees
+the whole plan, the Postgres staging round-trips disappear, and
+materialization is an explicit parquet write (``run_pipeline``).
+
+Semantics preserved from the reference, mapped onto the testdata star:
+
+- surrogate keys = ``row_number`` over an explicit natural-key order (W1,
+  reference: transform_dim_customers.py:19 ``df.index + 1``; pandas index
+  order is load order, so the deterministic ``ORDER BY`` is the honest
+  distributed equivalent);
+- SCD-1 ``is_current`` flag (reference: transform_dim_customers.py:21);
+- string cleanup: title-case names, lower-case categories
+  (reference: transform_dim_customers.py:15-16, transform_dim_payments.py:11);
+- generated date dimension (S13, reference: transform_dim_dates.py:9-23)
+  with pandas weekday origin;
+- fact build = left-join fan-out + derived metrics: total_amount (F12) and
+  fractional-day durations (F11, reference: transform_fact_orders.py:32-34).
+
+Scale notes: every dim is broadcast-joined against the fact (dims are
+bounded; facts are not). ``row_number`` over a global ORDER BY is a single
+total-order sort — fine for dimension tables (bounded), never used on facts.
+The fact build shuffles lineitem+orders once on the join key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar import (
+    dec_sum,
+    duration_days,
+    word_title,
+)
+from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import (
+    calendar_frame,
+    prepare,
+)
+from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import write_table
+
+# DuckDB twin of functions.scalar.word_title (space-delimited title-case).
+def _sql_title(col: str) -> str:
+    return (
+        f"array_to_string(list_transform(string_split(lower({col}), ' '), "
+        f"w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ')"
+    )
+
+
+def _dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,8))) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# Dimensions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "etl_dim_customer",
+    oracle=f"""
+    SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS customer_key,
+           c_custkey,
+           {_sql_title('c_name')} AS customer_name,
+           lower(c_mktsegment)    AS mktsegment,
+           n_name                 AS nation,
+           r_name                 AS region,
+           c_acctbal,
+           TRUE AS is_current
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_customers analog (reference: dags/transform_dim_customers.py:10-29):
+    clean strings, denormalize geography, surrogate key, SCD-1 flag."""
+    prepare(spark, sf_dir)
+    c = spark.table("customer")
+    n = spark.table("nation")
+    r = spark.table("region")
+    w = Window.orderBy("c_custkey")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.row_number().over(w).alias("customer_key"),
+            "c_custkey",
+            word_title("c_name").alias("customer_name"),
+            F.lower("c_mktsegment").alias("mktsegment"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            "c_acctbal",
+            F.lit(True).alias("is_current"),
+        )
+    )
+
+
+@register(
+    "etl_dim_part",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY p_partkey) AS part_key,
+           p_partkey,
+           p_name,
+           upper(p_brand) AS brand,
+           coalesce(p_type, 'Unknown') AS part_type,
+           coalesce(p_size, 0) AS part_size,
+           p_retailprice
+    FROM part
+    """,
+)
+def dim_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_products analog (reference: dags/transform_dim_products.py:14-24):
+    fillna defaults (P7) + surrogate key. The reference's category-translation
+    left join (J1) is played by the customer dim's geography joins."""
+    prepare(spark, sf_dir)
+    p = spark.table("part")
+    w = Window.orderBy("p_partkey")
+    return p.select(
+        F.row_number().over(w).alias("part_key"),
+        "p_partkey",
+        "p_name",
+        F.upper("p_brand").alias("brand"),
+        F.coalesce("p_type", F.lit("Unknown")).alias("part_type"),
+        F.coalesce("p_size", F.lit(0)).alias("part_size"),
+        "p_retailprice",
+    )
+
+
+@register(
+    "etl_dim_supplier",
+    oracle=f"""
+    SELECT ROW_NUMBER() OVER (ORDER BY s_suppkey) AS supplier_key,
+           s_suppkey,
+           {_sql_title('s_name')} AS supplier_name,
+           n_name AS nation,
+           s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def dim_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_sellers analog (reference: dags/transform_dim_sellers.py:13-18)."""
+    prepare(spark, sf_dir)
+    s = spark.table("supplier")
+    n = spark.table("nation")
+    w = Window.orderBy("s_suppkey")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.row_number().over(w).alias("supplier_key"),
+            "s_suppkey",
+            word_title("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation"),
+            "s_acctbal",
+        )
+    )
+
+
+@register(
+    "etl_dim_date",
+    oracle="""
+    SELECT CAST(d AS DATE) AS date_key,
+           dayofmonth(d)   AS day,
+           month(d)        AS month,
+           year(d)         AS year,
+           quarter(d)      AS quarter,
+           CAST(isodow(d) - 1 AS INT)  AS day_of_week,
+           strftime(d, '%A') AS day_name,
+           strftime(d, '%B') AS month_name,
+           isodow(d) >= 6  AS is_weekend
+    FROM (SELECT unnest(generate_series(DATE '2016-01-01', DATE '2025-12-31', INTERVAL 1 DAY)) AS d)
+    """,
+)
+def dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_dates analog (S13, reference: dags/transform_dim_dates.py:9-23).
+    Generated, not scanned; pandas weekday origin (Mon=0) preserved."""
+    prepare(spark, sf_dir)
+    df = calendar_frame(spark)
+    # Spark's (dayofweek+5)%7 yields int32 already; cast for parity clarity.
+    return df.withColumn("day_of_week", F.col("day_of_week").cast("int"))
+
+
+# --------------------------------------------------------------------------
+# Fact
+# --------------------------------------------------------------------------
+
+
+@register(
+    "etl_fact_sales",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           l_linenumber AS line_number,
+           o_custkey   AS customer_key,
+           l_partkey   AS part_key,
+           l_suppkey   AS supplier_key,
+           CAST(o_orderdate AS DATE) AS order_date_key,
+           lower(o_orderstatus) AS order_status,
+           l_quantity  AS quantity,
+           l_extendedprice AS price,
+           l_discount  AS discount,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS total_amount,
+           date_diff('second', o_orderdate, l_shipdate) / 86400.0 AS ship_delay_days
+    FROM orders
+    LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    """,
+    bench=True,
+)
+def fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact_orders analog (reference: dags/transform_fact_orders.py:15-56).
+
+    Same shape as the reference's fact build: left-join fan-out from the
+    order grain to the line grain (J2 — orders with no lines survive with
+    nulls, matching pandas ``merge(how='left')``), degenerate natural keys
+    (reference: transform_fact_orders.py:37-39 uses ids as 'keys'; we keep
+    that column semantics — proper surrogate-key joins live in the dims),
+    derived total_amount (F12) and fractional-day ship delay (F11 — NOT
+    datediff, which truncates; reference: transform_fact_orders.py:33-34).
+    """
+    prepare(spark, sf_dir)
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    joined = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    return joined.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("o_custkey").alias("customer_key"),
+        F.col("l_partkey").alias("part_key"),
+        F.col("l_suppkey").alias("supplier_key"),
+        F.to_date("o_orderdate").alias("order_date_key"),
+        F.lower("o_orderstatus").alias("order_status"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("discount"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias(
+            "total_amount"
+        ),
+        duration_days("l_shipdate", "o_orderdate").alias("ship_delay_days"),
+    )
+
+
+@register(
+    "etl_star_revenue_by_date",
+    oracle=f"""
+    SELECT CAST(o_orderdate AS DATE) AS order_date_key,
+           year(o_orderdate)  AS year,
+           month(o_orderdate) AS month,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(l_orderkey)  AS n_lines
+    FROM orders
+    LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def star_revenue_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'revenue by time' dashboard query over the built star — fact
+    joined to the date dimension grain (reference README.md:117-121)."""
+    prepare(spark, sf_dir)
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy(
+            F.to_date("o_orderdate").alias("order_date_key"),
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("l_orderkey").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Pipeline driver (the DAG analog): build everything, materialize to parquet.
+# --------------------------------------------------------------------------
+
+DIM_BUILDERS = {
+    "dim_customer": dim_customer,
+    "dim_part": dim_part,
+    "dim_supplier": dim_supplier,
+    "dim_date": dim_date,
+}
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
+    """Extract -> transform -> load, end to end (reference DAG
+    e_commerce_dw_dag.py:38-94). Dims first, then the fact — mirroring the
+    reference's task-group ordering; each write is an independent Spark job
+    so the scheduler overlaps them like Airflow's parallel dim tasks (H7).
+    The fact is partitioned by order year: downstream time-sliced queries
+    get partition pruning, the 100 TB must-have the reference lacks.
+    Returns row counts per table (the reference's post-load smoke check,
+    README.md:54-57)."""
+    counts: dict[str, int] = {}
+    for name, builder in DIM_BUILDERS.items():
+        df = builder(spark, sf_dir)
+        write_table(df, f"{out_dir}/{name}")
+        counts[name] = spark.read.parquet(f"{out_dir}/{name}").count()
+    fact = fact_sales(spark, sf_dir).withColumn("order_year", F.year("order_date_key"))
+    write_table(fact, f"{out_dir}/fact_sales", partition_by=["order_year"])
+    counts["fact_sales"] = spark.read.parquet(f"{out_dir}/fact_sales").count()
+    return counts

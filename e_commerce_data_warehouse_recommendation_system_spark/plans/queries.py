@@ -1,0 +1,238 @@
+"""Headline analytical queries (the reference's dashboard/ad-hoc surface).
+
+The reference's ad-hoc analytics entry point is raw SQL strings handed to
+PostgreSQL (reference: postgres_reader.py:147-152, 290-295) and
+"revenue by region and time" dashboard rollups done downstream in Power BI
+(reference: README.md:117-121). Here the same workload is declared against
+Spark: Catalyst plans the joins (broadcast for dims), AQE re-plans at
+runtime.
+
+Determinism convention: all double sums go through DECIMAL accumulation
+(``dec_sum``/``dec_avg``) so results are shuffle-order-independent and
+hash-match the DuckDB oracle exactly. See functions/scalar.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar import dec_avg, dec_sum
+from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
+
+# SQL fragment twins of dec_sum / dec_avg for the DuckDB oracle.
+def _dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,8))) AS DOUBLE)"
+
+
+def _davg(expr: str) -> str:
+    return f"{_dsum(expr)} / COUNT({expr})"
+
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary (TPC-H Q1 shape): scan -> filter -> groupBy -> 8 aggs
+# The Spark plan must show parquet filter pushdown on l_shipdate and a
+# partial (map-side) aggregation before the single shuffle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity')}                                    AS sum_qty,
+           {_dsum('l_extendedprice')}                               AS sum_base_price,
+           {_dsum('l_extendedprice * (1 - l_discount)')}            AS sum_disc_price,
+           {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_davg('l_quantity')}                                    AS avg_qty,
+           {_davg('l_extendedprice')}                               AS avg_price,
+           {_davg('l_discount')}                                    AS avg_disc,
+           COUNT(*)                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark, sf_dir)
+    li = spark.table("lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity").alias("sum_qty"),
+        dec_sum("l_extendedprice").alias("sum_base_price"),
+        dec_sum(disc).alias("sum_disc_price"),
+        dec_sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+        dec_avg("l_quantity").alias("avg_qty"),
+        dec_avg("l_extendedprice").alias("avg_price"),
+        dec_avg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 — revenue by region: the flagship star join (scan -> 4 joins -> agg).
+# The reference's "revenue by region" dashboard query (README.md:119) over
+# the TPC-H-ish star. Dims are broadcast: at 100 TB lineitem/orders shuffle
+# on orderkey once; region/nation/customer never shuffle the fact side.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_revenue_by_region",
+    oracle=f"""
+    SELECT r_name AS region,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    bench=True,
+)
+def q3_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark, sf_dir)
+    li, o = spark.table("lineitem"), spark.table("orders")
+    c, n, r = spark.table("customer"), spark.table("nation"), spark.table("region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k customers by revenue: join -> agg -> deterministic global top-k.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_top_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+    bench=True,
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark, sf_dir)
+    li, o, c = spark.table("lineitem"), spark.table("orders"), spark.table("customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        # decimal-exact revenue makes the tie-break deterministic across engines
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Rollup: revenue by (region, nation) with subtotals — the Power BI style
+# drill-down rollup (reference README.md:117-121), free in Spark via rollup().
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_revenue_rollup",
+    oracle=f"""
+    SELECT r_name AS region, n_name AS nation,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+    bench=True,
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark, sf_dir)
+    li, o = spark.table("lineitem"), spark.table("orders")
+    c, n, r = spark.table("customer"), spark.table("nation"), spark.table("region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON scalar functions over events.props (extension flagged in SURVEY SS2.9:
+# the reference has no JSON but the events table carries a JSON props col).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_json_event_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(json_extract_string(props, '$.k')) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark, sf_dir)
+    ev = spark.table("events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tumbling-window aggregation over events — the batch twin of the streaming
+# pipeline (streaming/incremental.py); F.window is the same operator
+# Structured Streaming uses, so this plan IS the streaming plan minus the
+# watermark.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_event_daily_window",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           {_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    bench=True,
+)
+def q_event_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark, sf_dir)
+    ev = spark.table("events")
+    return (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

