@@ -47,11 +47,13 @@ def dec_avg(col: Column | str, scale: int = 8) -> Column:
 
 
 def zfill(col: Column | str, width: int = 5) -> Column:
-    """F2: ``str.zfill(width)`` for non-negative strings -> ``lpad``
-    (reference: dags/transform_dim_customers.py:14). Exact for zip codes
-    (zfill's '-' handling never triggers on non-negative input)."""
+    """F2: ``str.zfill(width)`` for non-negative strings
+    (reference: dags/transform_dim_customers.py:14). ``lpad`` alone would
+    TRUNCATE inputs longer than ``width`` (pandas zfill never does), so
+    longer strings pass through unchanged. Exact for zip codes (zfill's
+    '-' handling never triggers on non-negative input)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.lpad(c, width, "0")
+    return F.when(F.length(c) >= width, c).otherwise(F.lpad(c, width, "0"))
 
 
 def pandas_title(col: Column | str) -> Column:

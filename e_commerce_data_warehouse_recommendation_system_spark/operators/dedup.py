@@ -238,10 +238,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_rows(spark)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa_s"))
-    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb_s"))
+    # the b-side keeps a distinct column name so the post-join frame has
+    # exactly one doc_b in scope (joining on an expression, unlike USING,
+    # retains both sides' columns)
+    shb = sh.select(F.col("doc_id").alias("b_doc"), F.col("s").alias("sb_s"))
     verified = (
         candidates.join(sha, "doc_a")
-        .join(shb, (F.col("doc_b") == shb.doc_b) & (F.col("sa_s") == F.col("sb_s")))
+        .join(shb, (F.col("doc_b") == F.col("b_doc")) & (F.col("sa_s") == F.col("sb_s")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )

@@ -173,23 +173,20 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(LSH_PLANES)
         .select(F.col("vec_id").alias("plane_id"), F.col("v").alias("pv"))
     )
-    # signature: concat of sign bits against each plane
-    sigs = (
-        vecs.join(F.broadcast(planes))
-        .select(
-            "vec_id",
-            "v",
-            "nrm",
-            "plane_id",
-            F.when(_dot(F.col("v"), F.col("pv")) >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
-        )
-        .groupBy("vec_id", "v", "nrm")
-        .agg(
-            F.concat_ws(
-                "", F.transform(F.array_sort(F.collect_list(F.struct("plane_id", "bit"))), lambda s: s["bit"])
-            ).alias("bucket")
-        )
+    # signature: concat of sign bits against each plane. The bit groupBy
+    # shuffles only (vec_id, plane_id, bit) — never the float arrays — and
+    # the vectors are re-attached by a plain equi-join on vec_id afterwards.
+    bits = vecs.join(F.broadcast(planes)).select(
+        "vec_id",
+        "plane_id",
+        F.when(_dot(F.col("v"), F.col("pv")) >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
     )
+    buckets = bits.groupBy("vec_id").agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list(F.struct("plane_id", "bit"))), lambda s: s["bit"])
+        ).alias("bucket")
+    )
+    sigs = vecs.join(buckets, "vec_id")
     a = sigs.select(
         F.col("bucket"), F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     ).filter(F.col("query_id") % QUERY_MODULUS == 0)

@@ -230,7 +230,10 @@ def q_event_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("total_value"))
         .select(
-            F.col("window.start").alias("window_start"),
+            # 1-day tumbling windows start at day boundaries, so window.start
+            # IS date_trunc('day', ts); cast to DATE to match the oracle's
+            # date_trunc return type.
+            F.col("window.start").cast("date").alias("window_start"),
             "event_type",
             "n_events",
             "total_value",

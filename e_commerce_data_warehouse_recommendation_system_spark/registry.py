@@ -72,5 +72,6 @@ def _load_all() -> None:
     import e_commerce_data_warehouse_recommendation_system_spark.operators.multimodal  # noqa: F401
     import e_commerce_data_warehouse_recommendation_system_spark.recommend.queries  # noqa: F401
     import e_commerce_data_warehouse_recommendation_system_spark.streaming.queries  # noqa: F401
+    import e_commerce_data_warehouse_recommendation_system_spark.sources.writer_queries  # noqa: F401
 
     _LOADED = True

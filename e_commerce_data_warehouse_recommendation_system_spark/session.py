@@ -30,7 +30,42 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
+    # events.parquet stores ts as TIMESTAMP(NANOS); Spark 4 refuses NANOS
+    # columns (PARQUET_TYPE_ILLEGAL) unless read as raw longs. readers.load_table
+    # rebuilds the timestamp exactly (ns -> us truncation, same as DuckDB's
+    # TIMESTAMP_NS -> TIMESTAMP cast).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside Python workers (mapInPandas /
+    applyInPandas closures reference module-level functions, which cloudpickle
+    serializes by module path — the module must resolve on the executor).
+
+    The driver hands us an externally-built session whose workers don't have
+    /root/repo on sys.path, so zip the package and addPyFile it. Idempotent
+    per SparkContext. On a real cluster this is the standard --py-files path.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_ecomdw_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="ecomdw_pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(tmp, os.path.basename(pkg_dir)),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. context shutting down; worst case the fake-decode queries fail
+    sc._ecomdw_pkg_shipped = True
 
 
 def get_spark(
@@ -77,4 +112,5 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf locked by the host session; results only need the TZ ones
+    ship_package(spark)
     return spark

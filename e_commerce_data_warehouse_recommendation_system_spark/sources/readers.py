@@ -118,7 +118,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.parquet stores ts as TIMESTAMP(NANOS); Spark 4 reads it only
+        # as a raw long (spark.sql.legacy.parquet.nanosAsLong, set in
+        # session.RUNTIME_CONF). Rebuild the timestamp with exact ns -> us
+        # truncation — the same cast DuckDB applies for TIMESTAMP_NS, so the
+        # oracle agrees to the microsecond.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
@@ -179,9 +187,16 @@ def read_jdbc(
     public DataSource V1 JDBC reader.
     """
     reader = spark.read.format("jdbc").option("url", url)
+    # NOTE: predicate is trusted SQL interpolated into the pushdown subquery
+    # (same trust model as the reference's f-string WHERE clauses).
     dbtable = table if predicate is None else f"(SELECT * FROM {table} WHERE {predicate}) src"
     reader = reader.option("dbtable", dbtable)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires explicit lower_bound and upper_bound "
+                "(otherwise the JDBC source receives the literal string 'None')"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

@@ -1,0 +1,197 @@
+"""Registered queries that exercise the sink/maintenance operators (S5-S12).
+
+Round 1 shipped the writers (sources/writers.py) with no driver-visible
+coverage — every op here routes a real dataset through a writer and returns
+a deterministic, SQL-expressible digest, so upsert/delete/append/truncate
+and the parquet/CSV round-trips all get hash-matched oracle rows.
+
+Each oracle simulates the writer's relational semantics in pure SQL (e.g.
+upsert = new ∪ (old ⟂ new-keys)), which is exactly the contract the
+join-based implementations claim.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare, read_csv
+from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
+    append_rows,
+    delete_by_keys,
+    export_csv,
+    truncate_like,
+    upsert,
+    write_table,
+)
+
+# "new" rows for the upsert: every 10th order, with a restated total.
+_SQL_UPSERT = """
+    WITH new AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    survivors AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM new)
+    ),
+    merged AS (SELECT * FROM new UNION ALL SELECT * FROM survivors)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total_price
+    FROM merged GROUP BY o_orderstatus
+"""
+
+
+@register("wr_upsert", oracle=_SQL_UPSERT)
+def wr_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/D4: MERGE-emulation upsert (reference: plugins/mysql_operator.py:28-59)
+    — restate every 10th order's total, merge, digest by status."""
+    prepare(spark, sf_dir)
+    old = spark.table("orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = old.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    merged = upsert(old, new, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,8)")).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "wr_delete_by_keys",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def wr_delete_by_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/J5: DELETE-by-key as an anti-join
+    (reference: plugins/mysql_operator.py:61-80) — purge orders of
+    negative-balance customers."""
+    prepare(spark, sf_dir)
+    orders = spark.table("orders")
+    bad = (
+        spark.table("customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    remaining = delete_by_keys(orders, bad, ["o_custkey"])
+    return remaining.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "wr_append_union",
+    oracle="""
+    WITH appended AS (
+      SELECT o_orderkey FROM orders
+      UNION ALL
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 200000
+    )
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_distinct
+    FROM appended
+    """,
+)
+def wr_append_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/SO4: plain append (reference: plugins/mysql_operator.py:82-92) —
+    duplicates preserved, proven by count vs distinct-count."""
+    prepare(spark, sf_dir)
+    orders = spark.table("orders").select("o_orderkey")
+    high = spark.table("orders").filter(F.col("o_totalprice") > 200000).select("o_orderkey")
+    appended = append_rows(orders, high)
+    return appended.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_distinct"),
+    )
+
+
+@register(
+    "wr_truncate",
+    oracle="SELECT COUNT(*) AS n_rows FROM orders WHERE FALSE",
+)
+def wr_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: TRUNCATE analog — schema preserved, zero rows
+    (reference: plugins/mysql_operator.py:94-110)."""
+    prepare(spark, sf_dir)
+    return truncate_like(spark.table("orders")).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "wr_parquet_roundtrip",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS total_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def wr_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: overwrite-mode parquet materialization then re-read — the
+    replace-then-append idempotent load (reference: dags/extract_data.py:55-71)
+    collapsed to an atomic overwrite. Digest proves write+read lose nothing."""
+    prepare(spark, sf_dir)
+    c, n = spark.table("customer"), spark.table("nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "n_name", "c_custkey", "c_acctbal"
+    )
+    tmp = tempfile.mkdtemp(prefix="ecomdw_wr_")
+    try:
+        path = f"{tmp}/cust_nation"
+        write_table(joined, path)
+        back = spark.read.parquet(path)
+        result = (
+            back.groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum(F.col("c_acctbal").cast("decimal(28,8)"))
+                .cast("double")
+                .alias("total_balance"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+@register(
+    "wr_csv_roundtrip",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def wr_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S10/S12: CSV export (reference: postgres_reader.py:131-145) then
+    CSV bulk load with an explicit schema (reference: load_data.sql:1-35) —
+    the full file round-trip through both CSV operators."""
+    prepare(spark, sf_dir)
+    n, r = spark.table("nation"), spark.table("region")
+    joined = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+    tmp = tempfile.mkdtemp(prefix="ecomdw_wr_")
+    try:
+        path = f"{tmp}/nation_region_csv"
+        export_csv(joined, path, single_file=True)
+        back = read_csv(
+            spark,
+            path,
+            schema="n_nationkey INT, n_name STRING, r_name STRING",
+        )
+        result = (
+            back.groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_nations"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

@@ -1,0 +1,173 @@
+"""Structured Streaming incremental ingest (SURVEY.md §2.12).
+
+The reference's closest thing to a stream is a daily Airflow micro-batch
+(reference: dags/e_commerce_dw_dag.py:32 ``timedelta(days=1)``) plus an
+incremental timestamp-filtered extract that appends to staging
+(reference: dags/extract_data.py:94-145). Spark-first replacement:
+``readStream`` file source over the events table, event-time watermark,
+1-day tumbling window, ``Trigger.AvailableNow`` (process-everything-then-
+stop — the exact semantics of a scheduled catch-up run), and a
+``foreachBatch`` sink that MERGEs each micro-batch into the target with the
+join-based upsert (sources/writers.upsert) — the reference's
+``ON DUPLICATE KEY UPDATE`` load (reference: plugins/mysql_operator.py:28-59).
+
+Because ``AvailableNow`` drains the source completely and the upsert is
+keyed, the terminal state is deterministic — so both streaming queries have
+full DuckDB oracles (the batch twin of the windowed agg is
+plans/queries.q_event_daily_window), not just rows-only checks.
+
+Scale posture: the streaming agg keeps only open windows in state (watermark
+bounds it); foreachBatch upsert shuffles on the merge key; checkpointing
+gives exactly-once over source files. At 100 TB this is the continuous-
+ingest path: swap the file source for Kafka and nothing downstream changes.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar import dec_sum
+from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
+from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import upsert
+
+#: File-source schema: ts is declared LONG because events.parquet stores
+#: TIMESTAMP(NANOS) and the session reads nanos as raw longs
+#: (session.RUNTIME_CONF nanosAsLong); the stream rebuilds the timestamp
+#: with the same exact ns -> us truncation as sources/readers.load_table.
+_EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, stage_dir: str) -> DataFrame:
+    """File-source stream over the events table. The file source requires a
+    DIRECTORY (its basePath); the testdata ships a single parquet file, so
+    it is symlinked into ``stage_dir`` — on a real deployment this is the
+    landing directory new files continuously arrive in.
+
+    No maxFilesPerTrigger: AvailableNow drains the source in one batch so
+    the watermark never classifies an out-of-order *file* as late (the
+    oracle is the complete batch aggregate)."""
+    import os
+
+    os.makedirs(stage_dir, exist_ok=True)
+    link = f"{stage_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir.rstrip('/')}/events.parquet", link)
+    raw = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(stage_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def _run_foreach_batch_upsert(
+    stream_df: DataFrame, keys: list[str], out_dir: str, checkpoint: str
+) -> None:
+    """Drain the stream with AvailableNow, merging every micro-batch into
+    ``out_dir`` by key. Batch 0 bootstraps the target."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            old = spark.read.parquet(out_dir)
+        except Exception:
+            old = None
+        merged = batch_df if old is None else upsert(old, batch_df, keys)
+        # localCheckpoint breaks the lineage back to the target files being
+        # overwritten (read-then-overwrite of the same path is otherwise a
+        # self-referencing plan).
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(out_dir)
+
+    (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+@register(
+    "stream_event_daily_upsert",
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    bench=True,
+)
+def stream_event_daily_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 headline: watermarked 1-day tumbling-window aggregation,
+    update-mode foreachBatch upsert keyed on (window_start, event_type).
+    Terminal state after AvailableNow == the batch aggregate, so the oracle
+    is q_event_daily_window's SQL verbatim."""
+    prepare(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ecomdw_stream_")
+    events = _events_stream(spark, sf_dir, f"{tmp}/landing")
+    agg = (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").cast("date").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    try:
+        out = f"{tmp}/daily_agg"
+        _run_foreach_batch_upsert(agg, ["window_start", "event_type"], out, f"{tmp}/ckpt")
+        # Materialize the terminal state before the temp dir disappears.
+        result = spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+@register(
+    "stream_incremental_ingest",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3-as-a-stream: raw incremental ingest with exactly-once upsert on
+    event_id (the reference's daily extract-append,
+    reference: dags/extract_data.py:94-145, made continuous). The registered
+    result is the ingested table's per-type profile — deterministic, so
+    fully oracle-checked."""
+    prepare(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ecomdw_stream_")
+    events = _events_stream(spark, sf_dir, f"{tmp}/landing")
+    try:
+        out = f"{tmp}/events_ingested"
+        _run_foreach_batch_upsert(events, ["event_id"], out, f"{tmp}/ckpt")
+        result = (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

@@ -1,0 +1,119 @@
+"""Local replica of the driver's oracle check.
+
+Runs every registered query at a scale factor, runs its DuckDB oracle on the
+same parquet tables, and compares row count + column names + values
+(columns sorted by name, rows sorted, doubles compared to 1e-9 relative).
+
+Usage: python scripts/check_correctness.py [sf_dir] [query-name-filter...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connect(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm_cell(v):
+        if v is None:
+            return None
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return float(f"{v:.9e}")
+        if isinstance(v, bool):
+            return bool(v)
+        if hasattr(v, "isoformat"):
+            return v.isoformat()[:26]
+        return v
+
+    normed = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    normed.sort(key=lambda row: [(v is None, str(v)) for v in row])
+    return normed, [cols[i] for i in order]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+
+    from e_commerce_data_warehouse_recommendation_system_spark.session import get_spark
+    from e_commerce_data_warehouse_recommendation_system_spark import registry
+
+    spark = get_spark()
+    qs, os_ = registry.queries(), registry.oracles()
+    con = duck_connect(sf_dir)
+
+    results = {}
+    for name, fn in sorted(qs.items()):
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            traceback.print_exc()
+            results[name] = {"status": "SPARK_ERROR", "error": str(ex)[:300]}
+            print(f"{name}: SPARK_ERROR {str(ex)[:200]}")
+            continue
+        if name not in os_:
+            results[name] = {"status": "rows_only", "rows": len(srows)}
+            print(f"{name}: rows-only, {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.execute(os_[name])
+            ocols = [d[0] for d in rel.description]
+            orows = rel.fetchall()
+        except Exception as ex:
+            results[name] = {"status": "ORACLE_ERROR", "error": str(ex)[:300]}
+            print(f"{name}: ORACLE_ERROR {str(ex)[:200]}")
+            continue
+        sn, sc = normalize(srows, scols)
+        on, oc = normalize(orows, ocols)
+        if sc != oc:
+            results[name] = {"status": "SCHEMA_MISMATCH", "spark": sc, "oracle": oc}
+            print(f"{name}: SCHEMA_MISMATCH spark={sc} oracle={oc}")
+        elif len(sn) != len(on):
+            results[name] = {"status": "ROWCOUNT_MISMATCH", "spark": len(sn), "oracle": len(on)}
+            print(f"{name}: ROWCOUNT_MISMATCH spark={len(sn)} oracle={len(on)}")
+        elif sn != on:
+            diff = [(a, b) for a, b in zip(sn, on) if a != b][:3]
+            results[name] = {"status": "VALUE_MISMATCH", "examples": str(diff)[:500]}
+            print(f"{name}: VALUE_MISMATCH e.g. {str(diff)[:300]}")
+        else:
+            results[name] = {"status": "ok", "rows": len(sn)}
+            print(f"{name}: ok, {len(sn)} rows  ({time.time()-t0:.1f}s)")
+
+    n_ok = sum(1 for r in results.values() if r["status"] == "ok")
+    n_rows_only = sum(1 for r in results.values() if r["status"] == "rows_only")
+    print(
+        f"\n== {n_ok} ok / {n_rows_only} rows-only / "
+        f"{len(results) - n_ok - n_rows_only} failing / {len(results)} total =="
+    )
+    with open("/tmp/check_correctness.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
