@@ -122,7 +122,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever materialized (the shingle join prunes the O(n^2) space), but worst
     case is still quadratic — MinHash+LSH below is the 100 TB path."""
     prepare(spark, sf_dir)
-    sh = shingle_rows(spark)
+    sh = shingle_rows(spark).cache()  # two consumers: sizes + self-join
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -217,7 +217,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     by AQE skew-join splitting.
     """
     prepare(spark, sf_dir)
-    sigs = minhash_signatures(spark)
+    # The shingle table feeds three consumers (signatures, sizes, verify
+    # join); cache it so the explode+distinct shuffle runs once. At 100 TB
+    # this is "materialize the shingle table" — one pass over the corpus.
+    sh = shingle_rows(spark).cache()
+    sigs = sh.groupBy("doc_id").agg(*_sig_cols())
     bands = None
     for b in range(LSH_BANDS):
         part = sigs.select(
@@ -235,7 +239,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = shingle_rows(spark)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa_s"))
     # the b-side keeps a distinct column name so the post-join frame has

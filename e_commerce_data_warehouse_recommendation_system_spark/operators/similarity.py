@@ -135,7 +135,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query window top-k (the W3 pattern). The fact side (corpus) is
     scanned once; queries broadcast. Exact baseline for the LSH variant."""
     prepare(spark, sf_dir)
-    vecs = vectors_with_norms(spark)
+    # query side and corpus side both derive from the same normed frame;
+    # cache so the decimal norm pass runs once over the embeddings scan
+    vecs = vectors_with_norms(spark).cache()
     queries = vecs.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -150,6 +152,31 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= TOPK)
     )
+
+
+@register(
+    "sim_l2_normalize",
+    oracle=f"""
+    WITH elems AS ({_SQL_ELEMS}),
+    norms AS ({_SQL_NORMS})
+    SELECT e.vec_id, n.nrm,
+           CASE WHEN n.nrm > 0 THEN e.x / n.nrm ELSE 0.0 END AS unit_head
+    FROM elems e JOIN norms n ON e.vec_id = n.vec_id
+    WHERE e.i = 1
+    """,
+)
+def sim_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: L2 normalization (reference: mf_knn_recommender.py:258-266 uses
+    sklearn.preprocessing.normalize before scoring). The norm is
+    decimal-exact; the digest exposes (vec_id, norm, first unit component)
+    so the normalize step itself is hash-checked — full unit vectors stay
+    distributed (array-valued results don't hash portably)."""
+    prepare(spark, sf_dir)
+    vecs = vectors_with_norms(spark)
+    unit_head = F.when(
+        F.col("nrm") > 0, F.element_at("v", 1) / F.col("nrm")
+    ).otherwise(F.lit(0.0))
+    return vecs.select("vec_id", "nrm", unit_head.alias("unit_head"))
 
 
 @register("sim_ann_lsh_topk", bench=True)  # approximate: rows-only driver check
@@ -167,7 +194,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shuffles only signatures, never the O(n^2) pair space.
     """
     prepare(spark, sf_dir)
-    vecs = vectors_with_norms(spark)
+    vecs = vectors_with_norms(spark).cache()  # planes + bits + bucket join
     planes = (
         vecs.orderBy("vec_id")
         .limit(LSH_PLANES)

@@ -349,6 +349,37 @@ DIM_BUILDERS = {
 }
 
 
+@register(
+    "etl_pipeline_counts",
+    oracle="""
+    SELECT 'dim_customer' AS table_name, COUNT(*) AS n_rows FROM customer
+    UNION ALL SELECT 'dim_part', COUNT(*) FROM part
+    UNION ALL SELECT 'dim_supplier', COUNT(*) FROM supplier
+    UNION ALL SELECT 'dim_date', 3653
+    UNION ALL SELECT 'fact_sales', COUNT(*)
+      FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    """,
+)
+def etl_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole DAG end-to-end (reference: dags/e_commerce_dw_dag.py:38-94):
+    build every dim + the fact, materialize to parquet (partitioned fact),
+    read back, count — the reference's post-load smoke check
+    (reference: README.md:54-57) as an oracle-checked query. Exercises
+    write_table + partitionBy + re-read, not just the lazy plans."""
+    import shutil
+    import tempfile
+
+    prepare(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ecomdw_etl_")
+    try:
+        counts = run_pipeline(spark, sf_dir, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(k, v) for k, v in counts.items()], schema="table_name string, n_rows bigint"
+    )
+
+
 def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
     """Extract -> transform -> load, end to end (reference DAG
     e_commerce_dw_dag.py:38-94). Dims first, then the fact — mirroring the
