@@ -271,6 +271,55 @@ def j5_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select("o_orderkey")
 
 
+def salted_join(
+    fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 8, how: str = "inner"
+) -> DataFrame:
+    """Skew-mitigating equi-join: fact rows spread across ``n_salts``
+    sub-keys (deterministic md5 of the whole row — no rand(), so replays
+    are identical), dim rows replicated once per salt. A hot key's rows
+    land in n_salts shuffle partitions instead of one.
+
+    AQE's skew-join split handles moderate skew automatically; explicit
+    salting is for the pathological hot-key case (one key = 30% of a 100 TB
+    fact) where even a split partition exceeds executor memory. Result is
+    row-identical to the plain join — oracle-checked by j_salted_skew.
+    """
+    salt = F.pmod(
+        F.abs(F.hash(F.md5(F.concat_ws("\x1f", *[F.col(c) for c in fact.columns])))),
+        F.lit(n_salts),
+    )
+    salted_fact = fact.withColumn("_salt", salt)
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    salted_dim = dim.withColumn("_salt", salts)
+    out = salted_fact.join(salted_dim, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+@register(
+    "j_salted_skew",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           {_dsum('l_extendedprice')} AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def j_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join digest: identical result to the plain shuffle join,
+    proven by the oracle running the unsalted form."""
+    prepare(spark, sf_dir)
+    li = spark.table("lineitem").select("l_orderkey", "l_extendedprice")
+    o = spark.table("orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, "l_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dec_sum("l_extendedprice").alias("total_price"),
+    )
+
+
 @register(
     "j6_fk_integrity",
     oracle="""

@@ -212,6 +212,50 @@ def q_json_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR date_diff('microsecond', LAG(ts) OVER w, ts) > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+    FROM marked GROUP BY user_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap islands): a new session starts after >30 min of
+    user inactivity. The per-user lag window shuffles once on user_id —
+    the classic clickstream op the warehouse's dashboards would need, and
+    the batch twin of streaming/queries.stream_sessionize_stateful.
+    Gap compares run in microseconds (``unix_micros``) so Spark and DuckDB
+    agree below second resolution."""
+    prepare(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.unix_micros("ts") - prev) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 @register(
     "q_event_daily_window",
     oracle=f"""

@@ -362,6 +362,24 @@ def rec_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("rec_sq_error")  # rows-only: depends on ALS factor values
+def rec_sq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: squared-error sum — the reference's per-epoch training loss
+    (reference: mf_knn_recommender.py:154 ``np.sum(errors ** 2)``). ALS
+    iterations are JVM-internal, so the engine exposes the same statistic as
+    a post-fit evaluation over the held-out split: err = rating − score,
+    aggregated distributed (sum/avg of err², never collected)."""
+    prepare(spark, sf_dir)
+    art = _artifacts(spark, sf_dir)
+    preds = art["model"].transform(art["test"])
+    err = F.col("rating") - F.col("prediction")
+    return preds.agg(
+        F.sum(err * err).alias("sum_sq_error"),
+        F.avg(err * err).alias("mean_sq_error"),
+        F.count(F.lit(1)).alias("n_scored"),
+    )
+
+
 @register("rec_pca_items")  # rows-only: PCA of ALS factors
 def rec_pca_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9: 2-D PCA projection of item factors

@@ -162,6 +162,73 @@ def wr_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wr_bucketed_join",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def wr_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the pre-shuffle lever for repeated joins
+    on the same key at 100 TB: both tables written with
+    ``bucketBy(orderkey)``, so the join needs NO Exchange on either side
+    (bucket info replaces the shuffle; verified in the plan below). The
+    reference re-materializes through Postgres between stages with no
+    physical co-location at all (reference: dags/extract_data.py:55-71).
+
+    Result digest is oracle-identical to the plain join.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    prepare(spark, sf_dir)
+    suffix = uuid.uuid4().hex[:8]
+    tmp = tempfile.mkdtemp(prefix="ecomdw_bkt_")
+    o_tbl, li_tbl = f"orders_bkt_{suffix}", f"lineitem_bkt_{suffix}"
+    # external tables (explicit path) so no spark-warehouse dir appears in cwd
+    (
+        spark.table("orders")
+        .select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{tmp}/{o_tbl}")
+        .mode("overwrite")
+        .saveAsTable(o_tbl)
+    )
+    (
+        spark.table("lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{tmp}/{li_tbl}")
+        .mode("overwrite")
+        .saveAsTable(li_tbl)
+    )
+    try:
+        o_b, li_b = spark.table(o_tbl), spark.table(li_tbl)
+        joined = o_b.join(li_b, o_b.o_orderkey == li_b.l_orderkey)
+        result = (
+            joined.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("l_quantity").cast("decimal(28,8)"))
+                .cast("double")
+                .alias("total_qty"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+@register(
     "wr_csv_roundtrip",
     oracle="""
     SELECT r_name, COUNT(*) AS n_nations

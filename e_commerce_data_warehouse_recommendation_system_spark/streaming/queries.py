@@ -139,6 +139,81 @@ def stream_event_daily_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "stream_sessionize_stateful",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR date_diff('microsecond', LAG(ts) OVER w, ts) > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+    FROM marked GROUP BY user_id
+    """,
+)
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    per-user sessionization with a 30-minute inactivity gap. State carries
+    (last_ts, n_sessions, n_events) across micro-batches; each batch's
+    update is upserted by user_id, so after AvailableNow drains the source
+    the terminal state equals the batch gap-island computation — the oracle
+    is plans/queries.q_sessionize's SQL verbatim.
+
+    This is the engine's template for operators Structured Streaming lacks
+    natively: Arrow-batched per-key Python state, parallel across keys,
+    bounded state per key (three scalars)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepare(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ecomdw_stream_")
+    events = _events_stream(spark, sf_dir, f"{tmp}/landing").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+
+    gap = SESSION_GAP_US
+
+    def sessionize(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"])
+        for ts in batch["ts_us"]:
+            ts = int(ts)
+            if last_ts is None or ts - last_ts > gap:
+                n_sessions += 1
+            n_events += 1
+            last_ts = ts
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType="user_id bigint, n_sessions bigint, n_events bigint",
+        stateStructType="last_ts bigint, n_sessions bigint, n_events bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    try:
+        out = f"{tmp}/sessions"
+        _run_foreach_batch_upsert(sessions, ["user_id"], out, f"{tmp}/ckpt")
+        result = spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
 @register(
     "stream_incremental_ingest",
     oracle="""

@@ -1,0 +1,75 @@
+"""Physical-plan assertions: the 100 TB posture claims, checked in CI.
+
+These pin the *plan shape*, not results: filter pushdown into the parquet
+scan, bucketed joins running without a shuffle, salted joins matching the
+plain join row-for-row.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from e_commerce_data_warehouse_recommendation_system_spark.operators.relational import salted_join
+from tests.conftest import SF0001
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushes_into_parquet_scan(spark):
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import load_table
+
+    df = load_table(spark, SF0001, "lineitem").filter(F.col("l_quantity") > 30).select(
+        "l_orderkey"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" in plan
+    # column pruning: the scan must not read all 11 lineitem columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" not in read_schema
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    tmp = tempfile.mkdtemp(prefix="ecomdw_test_bkt_")
+    try:
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        for name in ("bkt_a", "bkt_b"):
+            (
+                df.write.bucketBy(4, "k")
+                .sortBy("k")
+                .option("path", f"{tmp}/{name}")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        a, b = spark.table("bkt_a"), spark.table("bkt_b")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, a.k == b.k)
+            assert joined.count() == 1000
+            plan = _plan(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(100)], schema="k int, x double"
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], schema="k int, name string")
+    plain = sorted(map(tuple, fact.join(dim, "k").collect()))
+    salted = sorted(map(tuple, salted_join(fact, dim, "k", n_salts=4).collect()))
+    assert salted == plain
