@@ -271,6 +271,94 @@ def j5_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select("o_orderkey")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the right row with the greatest
+    ``right_time <= left_time`` for the same key — an operator Spark lacks
+    natively (task-brief custom-operator slot (a): composition of built-ins).
+
+    Implemented as the scalable union-and-sweep: tag both sides, sort each
+    key's timeline once, and carry the latest right values forward with
+    ``last(..., ignorenulls)`` over an unbounded-preceding window. ONE
+    shuffle on the key — never a per-row subquery or a range cross-join.
+    Right rows must be unique per (key, right_time); pre-aggregate to
+    guarantee it (ties would make as-of semantics engine-dependent).
+
+    At 100 TB both sides shuffle once on the key and the sweep is a linear
+    pass per key — same cost class as a sort-merge join.
+    """
+    lt = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        "*",
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    rt = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        *value_cols,
+    )
+    merged = lt.unionByName(rt)
+    # orders-before-events at equal timestamps: _side 0 sorts first, so an
+    # exactly-simultaneous right row IS visible to the left row (<= semantics)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}") for c in value_cols]
+    )
+    return (
+        carried.filter(F.col("_side") == 1)
+        .select(*left.columns, *[F.col(f"_asof_{c}").alias(c) for c in value_cols])
+    )
+
+
+@register(
+    "j_asof_event_order",
+    oracle="""
+    WITH last_orders AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o.last_orderkey
+    FROM events e
+    ASOF LEFT JOIN last_orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def j_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join demo: each event picks up the user's most recent order at
+    or before the event time. The oracle is DuckDB's native ASOF JOIN, so
+    the union-and-sweep implementation is hash-checked against a reference
+    as-of semantics, not a hand-rolled twin."""
+    prepare(spark, sf_dir)
+    events = spark.table("events").select("event_id", "user_id", "ts")
+    last_orders = (
+        spark.table("orders")
+        .groupBy(F.col("o_custkey"), F.col("o_orderdate"))
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    return asof_join(
+        events,
+        last_orders.select(F.col("o_custkey").alias("user_id"), "o_orderdate", "last_orderkey"),
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["last_orderkey"],
+    ).select("event_id", "user_id", "last_orderkey")
+
+
 def salted_join(
     fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 8, how: str = "inner"
 ) -> DataFrame:

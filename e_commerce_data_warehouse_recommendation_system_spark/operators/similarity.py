@@ -32,6 +32,8 @@ from e_commerce_data_warehouse_recommendation_system_spark.sources.readers impor
 TOPK = 5
 QUERY_MODULUS = 100  # vec_id % 100 == 0 -> deterministic query subset
 LSH_PLANES = 8
+IVF_CELLS = 16
+IVF_PROBES = 2  # query probes its 2 nearest centroids
 
 
 def _dec(c: Column) -> Column:
@@ -177,6 +179,65 @@ def sim_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm") > 0, F.element_at("v", 1) / F.col("nrm")
     ).otherwise(F.lit(0.0))
     return vecs.select("vec_id", "nrm", unit_head.alias("unit_head"))
+
+
+@register("sim_ann_ivf_topk")  # approximate: rows-only driver check
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) cells — the trained-partitioning scale
+    path next to the LSH variant: KMeans(seed=42) centroids, every vector
+    assigned to its nearest cell, queries probe their ``IVF_PROBES``
+    nearest cells, exact cosine re-ranks within the probed cells.
+
+    At 100 TB: centroids are KBs (broadcast), cell assignment is one
+    map-side pass, and the candidate join shuffles on cell id — recall is
+    tuned by probes x cells, never by widening to the O(n^2) pair space.
+    Approximate by construction -> rows-only check; the exact twin
+    ``sim_cosine_topk`` carries correctness.
+    """
+    prepare(spark, sf_dir)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = vectors_with_norms(spark).cache()
+    features = vecs.select("vec_id", "v", "nrm", array_to_vector("v").alias("fv"))
+    km = KMeans(k=IVF_CELLS, seed=42, featuresCol="fv", predictionCol="cell")
+    model = km.fit(features.select("fv"))
+    assigned = model.transform(features).select("vec_id", "v", "nrm", "cell")
+
+    # query-side probing: distance to every centroid (tiny, broadcast), keep
+    # the IVF_PROBES nearest cells per query
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema="cell int, cv array<double>",
+    )
+    queries = assigned.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probes = (
+        queries.join(F.broadcast(centroids))
+        .select("query_id", "qv", "qn", "cell", dist2.alias("d2"))
+        .withColumn("probe_rnk", F.row_number().over(w_probe))
+        .filter(F.col("probe_rnk") <= IVF_PROBES)
+        .select("query_id", "qv", "qn", "cell")
+    )
+    corpus = assigned.select(
+        "cell", F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    pairs = probes.join(corpus, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cosine")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= TOPK
+    )
 
 
 @register("sim_ann_lsh_topk", bench=True)  # approximate: rows-only driver check
