@@ -237,12 +237,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this is "materialize the shingle table" — one pass over the corpus.
     sh = shingle_rows(spark).cache()
     sigs = sh.groupBy("doc_id").agg(*_sig_cols())
-    bands = None
-    for b in range(LSH_BANDS):
-        part = sigs.select(
-            "doc_id", F.lit(b).alias("band_idx"), _band_expr(b).alias("band_hash")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # one row per (doc, band) via a map-side explode — NOT a 4-way union,
+    # which would re-run the signature aggregation once per band
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_idx"), _band_expr(b).alias("band_hash"))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band_idx").alias("band_idx"), F.col("bb.band_hash").alias("band_hash")
+    )
     a, b_ = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(

@@ -35,6 +35,9 @@ RUNTIME_CONF = {
     # rebuilds the timestamp exactly (ns -> us truncation, same as DuckDB's
     # TIMESTAMP_NS -> TIMESTAMP cast).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # dims up to 64 MB broadcast (runtime-settable, so an externally-built
+    # session plans star joins the same way get_spark's do)
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }
 
 
