@@ -88,10 +88,21 @@ def cosine_pairs_sql(threshold: float) -> str:
     """
 
 
+def _dot_fast(a: Column, b: Column) -> Column:
+    """Double-accumulated dot product: sequential array fold, deterministic
+    but not decimal-exact — the cheap prefilter, never the reported value."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
 def cosine_pairs(spark: SparkSession, threshold: float) -> DataFrame:
     """All vector pairs with cosine >= threshold (exact). Used by the
-    embedding near-dup operator; O(n^2) — verification scale only."""
-    vecs = vectors_with_norms(spark)
+    embedding near-dup operator; O(n^2) — verification scale only.
+
+    Two-pass: a cheap double-precision dot prunes pairs below
+    threshold−1e-6 (a 64-dim double fold cannot drift more than that from
+    the decimal value), then the decimal-exact cosine decides the final,
+    oracle-matching predicate on the survivors only."""
+    vecs = vectors_with_norms(spark).cache()
     a = vecs.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
@@ -99,8 +110,10 @@ def cosine_pairs(spark: SparkSession, threshold: float) -> DataFrame:
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos_fast = _dot_fast(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    survivors = pairs.filter(cos_fast >= threshold - 1e-6)
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+    return survivors.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
 
