@@ -71,6 +71,28 @@ def test_duration_days_fractional(spark):
     assert got == expected == 1.5
 
 
+def test_title_and_zfill_fuzz_parity(spark):
+    # Seeded fuzz batch: arbitrary ASCII printables through the parity layer
+    # vs real pandas, one DataFrame round-trip for all examples.
+    import random
+    import string
+
+    rng = random.Random(42)
+    alphabet = string.ascii_letters + string.digits + " -'.,_/()&" + '"'
+    values = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 24))) for _ in range(300)
+    ]
+    got_title = _col(spark, values, pandas_title)
+    exp_title = pd.Series(values).str.title().tolist()
+    assert got_title == exp_title
+    got_zfill = _col(spark, values, lambda c: zfill(c, 8))
+    exp_zfill = pd.Series(values).str.zfill(8).tolist()
+    # zfill quirk: pandas treats a leading sign specially ('-abc' -> '-0abc');
+    # engine contract is non-negative inputs, so compare only those
+    pairs = [(g, e) for g, e, v in zip(got_zfill, exp_zfill, values) if not v.startswith(("-", "+"))]
+    assert all(g == e for g, e in pairs)
+
+
 def test_dec_sum_order_independent(spark):
     # Many tiny doubles whose naive fp sum depends on order; decimal
     # accumulation must give the exact value regardless of partitioning.
