@@ -131,9 +131,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register the testdata tables as temp views for the SQL entry point
-    (S4: the reference's ``pd.read_sql`` path -> ``spark.sql`` over views)."""
+    (S4: the reference's ``pd.read_sql`` path -> ``spark.sql`` over views).
+
+    Memoized per (session, sf_dir): re-registering all 10 views costs ~1 s
+    of parquet footer reads, and the driver calls ``prepare`` once per
+    query — ~90 queries would spend more time on registration than on
+    work. Switching sf_dir (entry at sf0.001, oracle runs at sf0.01)
+    invalidates the memo and re-registers.
+    """
+    key = (sf_dir.rstrip("/"), names)
+    if getattr(spark, "_ecomdw_views", None) == key:
+        return
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark._ecomdw_views = key
 
 
 def prepare(spark: SparkSession, sf_dir: str) -> SparkSession:
