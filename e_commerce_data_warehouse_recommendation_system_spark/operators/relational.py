@@ -359,6 +359,62 @@ def j_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "last_orderkey")
 
 
+RANGE_JOIN_WINDOW_S = 300  # 5-minute proximity window
+
+
+@register(
+    "j_range_binned",
+    oracle=f"""
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           date_diff('second', a.ts, b.ts) AS gap_s
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(date_diff('second', a.ts, b.ts)) <= {RANGE_JOIN_WINDOW_S}
+    """,
+)
+def j_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via time binning — pairs of same-user events
+    within 5 minutes of each other. A naive inequality join is a nested
+    loop over each user's events; binning ``floor(epoch/width)`` turns it
+    into an EQUI-join on (user, bin) with each left row exploded into its
+    bin and the two adjacent bins, then an exact band filter. Shuffles on
+    (user_id, bin) — candidate pairs are bounded by per-bin density, never
+    the per-user O(n^2) pair space. The standard Spark interval-join
+    pattern (Structured Streaming's stream-stream time-bound join does the
+    same internally)."""
+    prepare(spark, sf_dir)
+    # whole-second timeline (floor of epoch): DuckDB's date_diff('second')
+    # counts second-boundary crossings, i.e. floor(b) - floor(a) — match it
+    # exactly rather than truncating the microsecond difference
+    ev = spark.table("events").select(
+        "event_id", "user_id", F.floor(F.unix_micros("ts") / 1_000_000).alias("t_s")
+    )
+    bin_col = F.floor(F.col("t_s") / RANGE_JOIN_WINDOW_S)
+    # left probes its own bin plus both neighbors; right sits in its bin once,
+    # so every qualifying pair matches on exactly one bin (no dedup needed)
+    a = ev.select(
+        F.col("event_id").alias("event_a"),
+        "user_id",
+        F.col("t_s").alias("ta"),
+        F.explode(F.array(bin_col - 1, bin_col, bin_col + 1)).alias("bin"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("event_b"),
+        "user_id",
+        F.col("t_s").alias("tb"),
+        bin_col.alias("bin"),
+    )
+    pairs = a.join(b, ["user_id", "bin"]).filter(
+        (F.col("event_a") < F.col("event_b"))
+        & (F.abs(F.col("tb") - F.col("ta")) <= RANGE_JOIN_WINDOW_S)
+    )
+    return pairs.select(
+        "event_a", "event_b", (F.col("tb") - F.col("ta")).alias("gap_s")
+    )
+
+
 def salted_join(
     fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 8, how: str = "inner"
 ) -> DataFrame:
