@@ -1042,6 +1042,37 @@ def s14_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,) for n in names], "table_name string")
 
 
+#: One SQL text, two engines: the ad-hoc analytics entry point accepts raw
+#: SQL (reference: postgres_reader.py:147-152 execute_custom_query) and this
+#: dialect-common statement doubles as its own oracle.
+_ADHOC_SQL = """
+    WITH revenue AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN total > 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_spenders
+    FROM revenue
+"""
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """S4 as a public API: arbitrary SQL over the registered views — the
+    reference's ad-hoc analytics path (``pd.read_sql`` on a user string,
+    reference: postgres_reader.py:147-152) through Catalyst instead of the
+    Postgres planner."""
+    prepare(spark, sf_dir)
+    return spark.sql(sql)
+
+
+@register("s4_adhoc_sql", oracle=_ADHOC_SQL)
+def s4_adhoc_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL surface, oracle-checked with the *identical* SQL text on
+    both engines — proof the views + dialect-common layer line up."""
+    return run_sql(spark, sf_dir, _ADHOC_SQL)
+
+
 @register("s15_describe_table")  # no oracle: Spark type names are engine-specific
 def s15_describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S15: DESCRIBE TABLE (reference: postgres_reader.py:56-76)."""

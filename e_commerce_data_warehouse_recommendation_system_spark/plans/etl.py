@@ -175,6 +175,72 @@ def dim_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_dim_market",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY mktsegment) AS INT) AS market_key,
+           mktsegment
+    FROM (SELECT DISTINCT lower(c_mktsegment) AS mktsegment FROM customer)
+    """,
+)
+def dim_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_payments analog (reference: dags/transform_dim_payments.py:11-18):
+    lowercase the type, dedup the domain, assign sorted-order keys — the
+    same lower->drop_duplicates->index+1 pipeline over the testdata's
+    market-segment domain. Bounded domain -> global window is fine."""
+    prepare(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    dom = (
+        spark.table("customer")
+        .select(F.lower("c_mktsegment").alias("mktsegment"))
+        .distinct()
+    )
+    w = Window.orderBy("mktsegment")
+    return dom.select(
+        F.row_number().over(w).cast("int").alias("market_key"), "mktsegment"
+    )
+
+
+@register(
+    "etl_dim_geo",
+    oracle=f"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) AS INT) AS geo_key,
+           n_nationkey,
+           {_sql_title('n_name')} AS nation_name,
+           r_name AS region_name
+    FROM (
+      SELECT n_nationkey, n_name, r_name,
+             ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    ) WHERE rn <= 3
+    """,
+)
+def dim_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_geolocation analog (reference: dags/transform_dim_geolocation.py:13-21):
+    clean strings, keep-FIRST dedup per geography bucket (D1 semantics under
+    an explicit order — here the 3 lowest-keyed nations per region play the
+    deduped zip prefixes), surrogate key."""
+    prepare(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    n, r = spark.table("nation"), spark.table("region")
+    joined = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    w_dedup = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    kept = (
+        joined.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") <= 3)
+        .select("n_nationkey", "n_name", "r_name")
+    )
+    w_key = Window.orderBy("n_nationkey")
+    return kept.select(
+        F.row_number().over(w_key).cast("int").alias("geo_key"),
+        "n_nationkey",
+        word_title("n_name").alias("nation_name"),
+        F.col("r_name").alias("region_name"),
+    )
+
+
+@register(
     "etl_dim_date",
     oracle="""
     SELECT CAST(d AS DATE) AS date_key,

@@ -52,9 +52,12 @@ def upsert(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     (reference: plugins/mysql_operator.py:28-59, support_processing.py:7-28).
 
     Join-based MERGE emulation: rows of ``old`` whose key collides with
-    ``new`` are replaced; everything else kept. With Delta on the classpath
-    this becomes ``MERGE INTO`` (same public semantics); the anti-join form
-    is shuffle-on-key and scales with AQE skew handling.
+    ``new`` are replaced; everything else kept. Like SQL MERGE, ``new``
+    must be key-unique — duplicate source keys would all survive (callers
+    with replayed inputs dedupe first, e.g. the streaming merge sink).
+    With Delta on the classpath this becomes ``MERGE INTO`` (same public
+    semantics); the anti-join form is shuffle-on-key and scales with AQE
+    skew handling.
 
     The reference's 100k-row chunking (its H5) is obsolete: the write is
     distributed.

@@ -79,6 +79,10 @@ def _run_foreach_batch_upsert(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # upsert (like SQL MERGE) requires a key-unique source; a micro-batch
+        # can legitimately carry the same key twice (e.g. replayed files in
+        # one trigger), so collapse within-batch duplicates first
+        batch_df = batch_df.dropDuplicates(keys)
         try:
             old = spark.read.parquet(out_dir)
         except Exception:

@@ -1,0 +1,89 @@
+"""Streaming upsert across MULTIPLE micro-batches.
+
+The registered streaming queries drain the single-file testdata source in
+one batch; this test splits events into several files and forces
+one-file-per-trigger so the foreachBatch upsert and the stateful
+sessionizer actually exercise cross-batch merge/state paths, then checks
+the terminal state equals the batch computation.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import load_table
+from e_commerce_data_warehouse_recommendation_system_spark.streaming.queries import (
+    _EVENTS_STREAM_SCHEMA,
+    _run_foreach_batch_upsert,
+)
+from tests.conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark):
+    """events.parquet split into 4 files (still nanos-as-long ts)."""
+    tmp = tempfile.mkdtemp(prefix="ecomdw_test_stream_")
+    raw = spark.read.parquet(f"{SF0001}/events.parquet")  # ts stays bigint
+    raw.repartition(4).write.mode("overwrite").parquet(f"{tmp}/landing")
+    yield f"{tmp}/landing"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_multibatch_ingest_upsert_matches_batch(spark, split_events_dir):
+    tmp = tempfile.mkdtemp(prefix="ecomdw_test_stream_out_")
+    try:
+        stream = (
+            spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(split_events_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        )
+        out = f"{tmp}/ingested"
+        _run_foreach_batch_upsert(stream, ["event_id"], out, f"{tmp}/ckpt")
+        got = spark.read.parquet(out)
+        batch = load_table(spark, SF0001, "events")
+        assert got.count() == batch.count()
+        assert got.select("event_id").distinct().count() == batch.count()
+        # spot-check content equality on an aggregate
+        g = {r.event_type: r.n for r in got.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+        b = {r.event_type: r.n for r in batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert g == b
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_multibatch_upsert_overwrites_colliding_keys(spark, split_events_dir):
+    # Feed the SAME file set twice (two landing subdirs with identical
+    # content but distinct names) — every key collides on the second pass,
+    # so the terminal count must not double.
+    tmp = tempfile.mkdtemp(prefix="ecomdw_test_stream_out_")
+    try:
+        landing2 = f"{tmp}/landing2"
+        shutil.copytree(split_events_dir, landing2)
+        import os
+
+        for f_ in os.listdir(landing2):
+            if f_.endswith(".parquet"):
+                os.rename(f"{landing2}/{f_}", f"{landing2}/dup-{f_}")
+        merged_landing = f"{tmp}/landing_all"
+        os.makedirs(merged_landing)
+        for src in (split_events_dir, landing2):
+            for f_ in os.listdir(src):
+                if f_.endswith(".parquet"):
+                    os.symlink(f"{src}/{f_}", f"{merged_landing}/{f_}")
+        stream = (
+            spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(merged_landing)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        )
+        out = f"{tmp}/ingested"
+        _run_foreach_batch_upsert(stream, ["event_id"], out, f"{tmp}/ckpt")
+        batch = load_table(spark, SF0001, "events")
+        assert spark.read.parquet(out).count() == batch.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
