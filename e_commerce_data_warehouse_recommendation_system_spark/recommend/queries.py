@@ -247,6 +247,31 @@ def rec_als_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_recs(spark, sf_dir)
 
 
+@register("rec_user_topk")  # rows-only: ALS scores aren't SQL-expressible
+def rec_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 exact form: top-k for a specific user subset via
+    ``recommendForUserSubset`` (the reference's single-user serving path,
+    reference: mf_knn_recommender.py:244-290, where batch serving loops a
+    thread pool over this). Subset = every 50th user id — deterministic."""
+    prepare(spark, sf_dir)
+    art = _artifacts(spark, sf_dir)
+    subset = art["users"].filter(F.col("user_id") % 50 == 0)
+    recs = art["model"].recommendForUserSubset(subset, TOP_K)
+    exploded = recs.select(
+        "user_idx", F.posexplode("recommendations").alias("rnk0", "rec")
+    ).select(
+        "user_idx",
+        (F.col("rnk0") + 1).cast("int").alias("rnk"),
+        F.col("rec.item_idx").alias("item_idx"),
+        F.col("rec.rating").alias("score"),
+    )
+    return (
+        exploded.join(F.broadcast(art["users"]), "user_idx")
+        .join(F.broadcast(art["items"]), "item_idx")
+        .select("user_id", "item_id", "rnk", "score")
+    )
+
+
 @register("rec_eval_metrics")  # rows-only: metric values depend on ALS internals
 def rec_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7: P@k / R@k / F1 over held-out interactions
