@@ -755,34 +755,45 @@ def surrogate_key(df: DataFrame, order_col: str, key_name: str, buckets: int | N
     ``ROW_NUMBER() OVER (ORDER BY order_col)`` without a single-partition
     global sort (the reference's ``df.index + 1``, W1, at cluster scale).
 
-    Phase 1: range-repartition on the key so partition ids follow key order,
-    then a partition-local row_number. Phase 2: per-partition counts (a
-    ``buckets``-row aggregate) become cumulative offsets via a window over
-    that tiny frame, broadcast back, and ``key = offset + local_rank``.
-    The only total-order structure is the range partitioner's sampled
-    boundaries — O(buckets) driver state, never a one-task sort.
-
-    Deterministic: Spark's RangePartitioner samples with fixed seeds, and
-    ``order_col`` is assumed unique (natural keys), so ties never straddle
-    a boundary ambiguously.
+    Bucket boundaries are approximate quantiles of the (numeric) key,
+    computed ONCE and embedded as plan literals — every consumer of the
+    bucketed frame assigns identical buckets, which range-repartitioning
+    cannot promise when the input's row order is itself nondeterministic
+    (e.g. downstream of a join, each re-execution re-samples and the
+    local-rank branch and the offset branch can disagree; caught by an
+    sf0.1 oracle run). Phase 1: partition-local row_number per bucket.
+    Phase 2: per-bucket counts -> cumulative offsets (a ``buckets``-row
+    window) broadcast back; ``key = offset + local_rank``. O(buckets)
+    driver state, never a one-task sort. Boundary placement only affects
+    balance, never the result, so approxQuantile's error tolerance is
+    harmless. Keys are assumed unique + non-null (natural keys).
     """
     spark = df.sparkSession
     n = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    qs = [i / n for i in range(1, n)]
+    bounds = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(order_col) > b, 1).otherwise(0),
+        )
+    else:
+        bucket = F.lit(0)
+    with_bucket = df.withColumn("_bkt", bucket)
+    local = with_bucket.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_bkt").orderBy(order_col))
     )
-    local = ranged.withColumn(
-        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(order_col))
-    )
-    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    counts = with_bucket.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+        "_bkt", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
     )
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), "_bkt")
         .withColumn(key_name, (F.col("_off") + F.col("_lrn")).cast("int"))
-        .drop("_pid", "_lrn", "_off")
+        .drop("_bkt", "_lrn", "_off")
     )
 
 
