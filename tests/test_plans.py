@@ -65,6 +65,18 @@ def test_bucketed_join_has_no_shuffle(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_q1_single_shuffle(spark):
+    from e_commerce_data_warehouse_recommendation_system_spark import registry
+
+    df = registry.queries()["q1_pricing_summary"](spark, SF0001)
+    plan = _plan(df)
+    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_shuffles == 1, f"q1 must shuffle exactly once, got {n_shuffles}"
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_salted_join_matches_plain_join(spark):
     fact = spark.createDataFrame(
         [(i % 3, float(i)) for i in range(100)], schema="k int, x double"
