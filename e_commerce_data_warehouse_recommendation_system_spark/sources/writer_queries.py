@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from e_commerce_data_warehouse_recommendation_system_spark.registry import register
-from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare, read_csv
+from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import (
+    prepare,
+    read_csv,
+    read_json,
+)
 from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
     append_rows,
     delete_by_keys,
@@ -153,6 +157,52 @@ def wr_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("c_acctbal").cast("decimal(28,8)"))
                 .cast("double")
                 .alias("total_balance"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+@register(
+    "wr_json_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def wr_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + explicit-schema JSON source (readers.read_json):
+    events projected to JSONL, read back with a declared schema (never
+    inferSchema — the engine's explicit-schema rule, SURVEY §1.4), digest
+    proves the format round-trip loses nothing."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    prepare(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="ecomdw_wr_")
+    try:
+        path = f"{tmp}/events_jsonl"
+        ev.write.mode("overwrite").json(path)
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        back = read_json(spark, path, schema)
+        result = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(28,8)")).cast("double").alias("total_value"),
             )
             .localCheckpoint(eager=True)
         )
