@@ -212,6 +212,51 @@ def q_json_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+@register(
+    "q_dashboard_yoy",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+             {_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT a.year, a.month, a.revenue,
+           b.revenue AS revenue_prev_year,
+           a.revenue - b.revenue AS yoy_delta
+    FROM monthly a
+    LEFT JOIN monthly b ON a.year = b.year + 1 AND a.month = b.month
+    """,
+)
+def q_dashboard_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard-style year-over-year revenue: monthly rollup self-joined to
+    the same month one year earlier (robust to gap months, unlike lag(12)).
+    The Power-BI-side time comparison the reference leaves to its BI layer
+    (reference: README.md:117-121), expressed in the engine. The monthly
+    aggregate is tiny — the self-join broadcasts."""
+    prepare(spark, sf_dir)
+    o = spark.table("orders")
+    monthly = (
+        o.groupBy(
+            F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month")
+        )
+        .agg(dec_sum("o_totalprice").alias("revenue"))
+    )
+    a = monthly.alias("a")
+    b = monthly.select(
+        (F.col("year") + 1).alias("year"), "month", F.col("revenue").alias("revenue_prev_year")
+    ).alias("b")
+    return (
+        a.join(F.broadcast(b), ["year", "month"], "left")
+        .select(
+            "year",
+            "month",
+            "revenue",
+            "revenue_prev_year",
+            (F.col("revenue") - F.col("revenue_prev_year")).alias("yoy_delta"),
+        )
+    )
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 

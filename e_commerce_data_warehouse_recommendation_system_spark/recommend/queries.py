@@ -272,6 +272,35 @@ def rec_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rec_topk_shape",
+    oracle=f"""
+    WITH inter AS ({_SQL_INTERACTIONS}),
+    train AS (
+      SELECT * FROM inter
+      WHERE substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(item_id AS VARCHAR)), 1, 1)
+            NOT IN ('0','1','2')
+    )
+    SELECT COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT user_id) * {TOP_K} AS n_rec_rows,
+           CAST({TOP_K} AS INT) AS k
+    FROM train
+    """,
+)
+def rec_topk_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5's deterministic contract, oracle-checked: ``recommendForAllUsers``
+    must emit exactly k rows for every trained user — the shape is
+    SQL-expressible even though the scores aren't, so batch serving gets a
+    hash-matched row alongside the rows-only score check."""
+    prepare(spark, sf_dir)
+    recs = _topk_recs(spark, sf_dir)
+    return recs.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_rec_rows"),
+        F.lit(TOP_K).alias("k"),
+    )
+
+
 @register("rec_eval_metrics")  # rows-only: metric values depend on ALS internals
 def rec_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7: P@k / R@k / F1 over held-out interactions
