@@ -416,6 +416,88 @@ DIM_BUILDERS = {
 
 
 @register(
+    "etl_scd2_customer_priority",
+    oracle="""
+    WITH feed AS (
+      SELECT o_custkey, o_orderdate,
+             MAX(o_orderpriority) AS attr
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    marked AS (
+      SELECT o_custkey, o_orderdate, attr,
+             CASE WHEN LAG(attr) OVER w IS NULL OR LAG(attr) OVER w <> attr
+                  THEN 1 ELSE 0 END AS chg
+      FROM feed
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    ),
+    versions AS (
+      SELECT o_custkey, o_orderdate, attr,
+             SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM marked
+    ),
+    collapsed AS (
+      SELECT o_custkey AS customer_id, attr AS priority,
+             CAST(version AS INT) AS version,
+             MIN(o_orderdate) AS effective_from
+      FROM versions GROUP BY o_custkey, attr, version
+    )
+    SELECT customer_id, version, priority,
+           CAST(effective_from AS DATE) AS effective_from,
+           CAST(LEAD(effective_from) OVER (PARTITION BY customer_id
+                                           ORDER BY version) AS DATE) AS effective_to,
+           LEAD(effective_from) OVER (PARTITION BY customer_id
+                                      ORDER BY version) IS NULL AS is_current
+    FROM collapsed
+    """,
+)
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: collapse a change feed into validity
+    intervals (effective_from / effective_to / is_current). The reference
+    stops at SCD-1's constant ``is_current`` flag
+    (reference: dags/transform_dim_customers.py:21); this is the full
+    slowly-changing form a warehouse needs: the change feed is each
+    customer's per-day order priority (deduped to one attr per day via MAX
+    so ties can't make version boundaries engine-dependent), versions open
+    at each change (gap-islands: lag + running sum) and close at the next
+    version's start.
+
+    Scale: one shuffle on the customer key; every window is a linear
+    per-key sweep — the same cost class as the sessionizer."""
+    prepare(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    feed = (
+        spark.table("orders")
+        .groupBy(F.col("o_custkey"), F.col("o_orderdate"))
+        .agg(F.max("o_orderpriority").alias("attr"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    chg = F.when(
+        F.lag("attr").over(w).isNull() | (F.lag("attr").over(w) != F.col("attr")), 1
+    ).otherwise(0)
+    versions = feed.withColumn("chg", chg).withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("int"),
+    )
+    collapsed = versions.groupBy(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("attr").alias("priority"),
+        "version",
+    ).agg(F.min("o_orderdate").alias("effective_from"))
+    w_v = Window.partitionBy("customer_id").orderBy("version")
+    nxt = F.lead("effective_from").over(w_v)
+    return collapsed.select(
+        "customer_id",
+        "version",
+        "priority",
+        F.col("effective_from").cast("date").alias("effective_from"),
+        nxt.cast("date").alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
     "etl_pipeline_counts",
     oracle="""
     SELECT 'dim_customer' AS table_name, COUNT(*) AS n_rows FROM customer
@@ -461,6 +543,10 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, in
         write_table(df, f"{out_dir}/{name}")
         counts[name] = spark.read.parquet(f"{out_dir}/{name}").count()
     fact = fact_sales(spark, sf_dir).withColumn("order_year", F.year("order_date_key"))
+    # sort within partitions by date so parquet row-group min/max stats make
+    # day-level predicates skip row groups inside each year partition — the
+    # second pruning tier after directory-level partition pruning
+    fact = fact.sortWithinPartitions("order_date_key")
     write_table(fact, f"{out_dir}/fact_sales", partition_by=["order_year"])
     counts["fact_sales"] = spark.read.parquet(f"{out_dir}/fact_sales").count()
     return counts
