@@ -1,0 +1,93 @@
+"""Declarative data-quality checks (single-pass, Deequ-style).
+
+The reference's quality assurance is ad-hoc: a count smoke check
+(reference: README.md:54-57), a null-profile print
+(reference: postgres_reader.py:123-127) and a column-existence guard
+(reference: dags/transform_fact_orders.py:42-46). This generalizes them
+into a rule set evaluated in ONE aggregation pass over the table — every
+rule compiles to an aggregate expression, so a 100 TB validation costs one
+scan + one tiny shuffle regardless of how many rules run.
+
+Rules return violation counts (0 = pass), emitted long-format
+(rule, violations) so downstream alerting can diff runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
+
+
+def not_null(col: str) -> tuple[str, Column]:
+    return f"not_null({col})", F.sum(F.col(col).isNull().cast("long"))
+
+
+def unique(col: str) -> tuple[str, Column]:
+    """count - countDistinct = surplus duplicate rows (0 when unique).
+    Nulls are ignored by both counts, matching SQL UNIQUE semantics."""
+    return f"unique({col})", F.count(col) - F.countDistinct(col)
+
+
+def in_range(col: str, lo: float, hi: float) -> tuple[str, Column]:
+    c = F.col(col)
+    return (
+        f"in_range({col},{lo},{hi})",
+        F.sum(((c < lo) | (c > hi)).cast("long")),
+    )
+
+
+def accepted_values(col: str, values: tuple[str, ...]) -> tuple[str, Column]:
+    return (
+        f"accepted_values({col})",
+        F.sum((~F.col(col).isin(*values)).cast("long")),
+    )
+
+
+def matches_regex(col: str, pattern: str) -> tuple[str, Column]:
+    return (
+        f"matches_regex({col})",
+        F.sum((~F.col(col).rlike(pattern)).cast("long")),
+    )
+
+
+def validate(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
+    """Evaluate every rule in one aggregation; return (rule, violations)."""
+    agg = df.agg(*[expr.alias(f"_r{i}") for i, (_, expr) in enumerate(rules)])
+    stacked = ", ".join(f"'{name}', _r{i}" for i, (name, _) in enumerate(rules))
+    return agg.selectExpr(f"stack({len(rules)}, {stacked}) AS (rule, violations)")
+
+
+@register(
+    "dq_orders_checks",
+    oracle="""
+    WITH agg AS (
+      SELECT SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS r0,
+             COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS r1,
+             SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS r2,
+             SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS r3,
+             SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[0-9]-') THEN 1 ELSE 0 END) AS r4
+      FROM orders
+    )
+    SELECT 'not_null(o_orderkey)' AS rule, r0 AS violations FROM agg
+    UNION ALL SELECT 'unique(o_orderkey)', r1 FROM agg
+    UNION ALL SELECT 'in_range(o_totalprice,0,1000000)', r2 FROM agg
+    UNION ALL SELECT 'accepted_values(o_orderstatus)', r3 FROM agg
+    UNION ALL SELECT 'matches_regex(o_orderpriority)', r4 FROM agg
+    """,
+)
+def dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five rules over orders in one pass: PK not-null + unique, price
+    range, status domain, priority format."""
+    prepare(spark, sf_dir)
+    o = spark.table("orders")
+    rules = [
+        not_null("o_orderkey"),
+        unique("o_orderkey"),
+        in_range("o_totalprice", 0, 1_000_000),
+        accepted_values("o_orderstatus", ("O", "F", "P")),
+        matches_regex("o_orderpriority", "^[0-9]-"),
+    ]
+    return validate(o, rules)
