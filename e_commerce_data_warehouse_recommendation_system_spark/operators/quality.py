@@ -22,7 +22,7 @@ from e_commerce_data_warehouse_recommendation_system_spark.sources.readers impor
 
 
 def not_null(col: str) -> tuple[str, Column]:
-    return f"not_null({col})", F.sum(F.col(col).isNull().cast("long"))
+    return f"not_null({col})", F.coalesce(F.sum(F.col(col).isNull().cast("long")), F.lit(0))
 
 
 def unique(col: str) -> tuple[str, Column]:
@@ -35,21 +35,21 @@ def in_range(col: str, lo: float, hi: float) -> tuple[str, Column]:
     c = F.col(col)
     return (
         f"in_range({col},{lo},{hi})",
-        F.sum(((c < lo) | (c > hi)).cast("long")),
+        F.coalesce(F.sum(((c < lo) | (c > hi)).cast("long")), F.lit(0)),
     )
 
 
 def accepted_values(col: str, values: tuple[str, ...]) -> tuple[str, Column]:
     return (
         f"accepted_values({col})",
-        F.sum((~F.col(col).isin(*values)).cast("long")),
+        F.coalesce(F.sum((~F.col(col).isin(*values)).cast("long")), F.lit(0)),
     )
 
 
 def matches_regex(col: str, pattern: str) -> tuple[str, Column]:
     return (
         f"matches_regex({col})",
-        F.sum((~F.col(col).rlike(pattern)).cast("long")),
+        F.coalesce(F.sum((~F.col(col).rlike(pattern)).cast("long")), F.lit(0)),
     )
 
 
