@@ -618,6 +618,20 @@ def a6_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("a6b_approx_distinct")  # rows-only: HLL estimate is engine-specific
+def a6b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 at scale: HyperLogLog++ distinct counts — the sketch path for
+    columns whose exact distinct would itself be a massive shuffle at
+    100 TB. rsd=0.02; the estimate-vs-exact bound is pinned by a unit test
+    (tests/test_quality.py) since the sketch value is engine-specific."""
+    prepare(spark, sf_dir)
+    li = spark.table("lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
 @register(
     "a8_cube",
     oracle=f"""

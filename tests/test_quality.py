@@ -39,6 +39,22 @@ def test_rules_count_violations(spark):
     assert got["matches_regex(v)"] == 1
 
 
+def test_approx_distinct_within_rsd_bound(spark):
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.relational import (
+        a6b_approx_distinct,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import load_table
+    from tests.conftest import SF0001
+
+    (row,) = a6b_approx_distinct(spark, SF0001).collect()
+    li = load_table(spark, SF0001, "lineitem")
+    exact_orders = li.select("l_orderkey").distinct().count()
+    exact_parts = li.select("l_partkey").distinct().count()
+    # rsd=0.02 -> allow 3 sigma
+    assert abs(row.approx_orders - exact_orders) <= 0.06 * exact_orders
+    assert abs(row.approx_parts - exact_parts) <= 0.06 * exact_parts
+
+
 def test_all_green_on_clean_data(spark):
     rows = [(1, "a"), (2, "b")]
     got = _violations(spark, rows, [not_null("k"), unique("k"), in_range("k", 0, 5)])
