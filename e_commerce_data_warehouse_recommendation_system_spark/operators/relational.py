@@ -326,6 +326,7 @@ def asof_join(
 
 @register(
     "j_asof_event_order",
+    bench=True,
     oracle="""
     WITH last_orders AS (
       SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey

@@ -417,6 +417,7 @@ DIM_BUILDERS = {
 
 @register(
     "etl_scd2_customer_priority",
+    bench=True,
     oracle="""
     WITH feed AS (
       SELECT o_custkey, o_orderdate,

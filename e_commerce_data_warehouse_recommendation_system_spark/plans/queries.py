@@ -305,6 +305,7 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 @register(
     "q_sessionize",
+    bench=True,
     oracle=f"""
     WITH marked AS (
       SELECT user_id,
