@@ -177,6 +177,43 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-language sampling rates for the stratified sample (16ths of the md5
+#: first hex digit: en keeps 8/16, others 4/16)
+STRATA_FRACTIONS: dict[str, int] = {"en": 8, "es": 4, "fr": 4, "de": 4, "zh": 4}
+
+
+@register(
+    "text_stratified_sample",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_sampled, COUNT(DISTINCT doc_id) AS n_docs
+    FROM documents
+    WHERE CASE lang
+            {' '.join(f"WHEN '{k}' THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))"
+                      f" % 16 < {v}" for k, v in sorted(STRATA_FRACTIONS.items()))}
+            ELSE FALSE END
+    GROUP BY lang
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (M10 generalized): per-stratum
+    keep-fractions decided by a hash of the row key — reproducible on any
+    cluster topology and trivially SQL-expressible, unlike seeded
+    ``sample()`` whose output depends on partitioning. The training-data
+    move: downsample dominant languages, keep the tail. One scan, no
+    shuffle before the digest aggregation."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 16
+    keep = F.lit(False)
+    for lang, frac in sorted(STRATA_FRACTIONS.items()):
+        keep = F.when(F.col("lang") == lang, bucket < frac).otherwise(keep)
+    return (
+        d.filter(keep)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
 @register(
     "text_fingerprint",
     oracle="""
