@@ -177,6 +177,61 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH counted AS (
+      SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    offsets AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS start_offset
+      FROM counted
+    )
+    SELECT lang, CAST(start_offset // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM offsets
+    GROUP BY 1, 2
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training pipelines: documents are laid out on a
+    contiguous token tape per shard (here: per language, ordered by doc_id)
+    and assigned to fixed-budget sequences by their start offset — the
+    streaming-tokenizer packing scheme (docs may straddle a boundary; the
+    tokenizer splits them at materialization). Cumulative offsets are one
+    running-sum window per shard — parallel across shards, linear within,
+    exactly the sessionizer's cost shape. Digest = docs and tokens per
+    packed sequence."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    counted = d.select("doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counted.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        offsets.groupBy(
+            "lang", F.floor(F.col("start_offset") / PACK_BUDGET).alias("seq_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
 #: per-language sampling rates for the stratified sample (16ths of the md5
 #: first hex digit: en keeps 8/16, others 4/16)
 STRATA_FRACTIONS: dict[str, int] = {"en": 8, "es": 4, "fr": 4, "de": 4, "zh": 4}
