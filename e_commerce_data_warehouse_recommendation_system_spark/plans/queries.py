@@ -257,6 +257,40 @@ def q_dashboard_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEGMENTS = ("automobile", "building", "furniture", "household", "machinery")
+
+
+@register(
+    "q_pivot_segment",
+    oracle=f"""
+    SELECT year(o_orderdate) AS year,
+           {', '.join(
+               f"CAST(SUM(CASE WHEN lower(c_mktsegment) = '{s}' "
+               f"THEN CAST(o_totalprice AS DECIMAL(28,8)) END) AS DOUBLE) AS {s}"
+               for s in _SEGMENTS)}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def q_pivot_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue by year x market segment as a wide table — the
+    crosstab shape every BI export wants. Spark's ``pivot`` with an
+    EXPLICIT value list compiles to conditional aggregation in one pass
+    (one shuffle); omitting the list would add a distinct-scan job to
+    discover values — never do that on a 100 TB fact."""
+    prepare(spark, sf_dir)
+    o, cst = spark.table("orders"), spark.table("customer")
+    return (
+        o.join(cst, o.o_custkey == cst.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("year"))
+        .pivot("c_mktsegment", [s.upper() for s in _SEGMENTS])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,8)")).cast("double"))
+        .select(
+            "year", *[F.col(s.upper()).alias(s) for s in _SEGMENTS]
+        )
+    )
+
+
 @register(
     "q_funnel",
     oracle="""
