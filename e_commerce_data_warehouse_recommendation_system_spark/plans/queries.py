@@ -257,6 +257,27 @@ def q_dashboard_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUPING_SETS_SQL = """
+    SELECT n_name AS nation, o_orderstatus AS status,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderstatus))
+"""
+
+
+@register("q_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the third of the multi-grain trio next to
+    ``q_revenue_rollup`` (ROLLUP) and ``a8_cube`` (CUBE): two independent
+    aggregation grains in one shuffle pass instead of two queries. The SQL
+    is dialect-common, so it runs verbatim on both engines (the S4
+    surface)."""
+    prepare(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 _SEGMENTS = ("automobile", "building", "furniture", "household", "machinery")
 
 
