@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.registry import component, register
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
 
 #: Output schema of the decode/feature stage — the typed-metadata contract.
@@ -105,8 +105,9 @@ FRAME_BYTES = 1000  # fake codec: one "frame" per kB of payload
 FRAME_STRIDE = 5  # keep every 5th frame
 
 
-@register(
+@component(
     "mm_frame_sample",
+    cols=[("doc_id", "num"), ("frame_idx", "num"), ("byte_offset", "num")],
     oracle=f"""
     SELECT doc_id,
            CAST(unnest(range(0, octet_length(encode(text)) // {FRAME_BYTES} + 1, {FRAME_STRIDE}))
@@ -132,10 +133,43 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("int").alias("frame_idx"),
         (F.col("frame_idx") * FRAME_BYTES).cast("bigint").alias("byte_offset"),
     )
+
+
+RESIZE_TARGET = 224  # fake resize: longest edge scaled to 224 (ViT input)
+
+
+@component(
+    "mm_resize_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS byte_len,
+             octet_length(encode(text)) % 640 + 32 AS w,
+             (octet_length(encode(text)) * 7) % 480 + 32 AS h,
+             ((octet_length(encode(text)) % 640 + 32 + {PATCH - 1}) // {PATCH})
+               * (((octet_length(encode(text)) * 7) % 480 + 32 + {PATCH - 1}) // {PATCH}) AS np
+      FROM documents
+    )
+    SELECT doc_id, byte_len,
+           CAST(FLOOR(w * ({RESIZE_TARGET}.0 / GREATEST(w, h))) AS INT) AS resized_width,
+           CAST(FLOOR(h * ({RESIZE_TARGET}.0 / GREATEST(w, h))) AS INT) AS resized_height,
+           CAST(np // 4 + 1 AS BIGINT) AS sampled_patches
+    FROM d
+    """,
+    cols=[
+        ("doc_id", "num"),
+        ("byte_len", "num"),
+        ("resized_width", "num"),
+        ("resized_height", "num"),
+        ("sampled_patches", "num"),
+    ],
+)
 def mm_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained media ops: decode -> 'resize' (dimension arithmetic) ->
     frame/patch sampling (deterministic every-kth). Demonstrates multi-stage
-    media pipelines staying inside one mapInPandas-per-stage pattern."""
+    media pipelines staying inside one mapInPandas-per-stage pattern; the
+    resize arithmetic is deterministic (scale = 224/longest-edge, truncate),
+    so the whole two-stage Arrow pipeline is oracle-checked in SQL."""
     prepare(spark, sf_dir)
     decoded = media_frame(spark).mapInPandas(decode_image_batch, schema=DECODE_SCHEMA)
 

@@ -25,7 +25,7 @@ from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar impo
     word_title,
     zfill,
 )
-from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.registry import component, register
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import TABLES, prepare
 
 
@@ -42,11 +42,12 @@ def _davg(expr: str) -> str:
 # ==========================================================================
 
 
-@register(
+@component(
     "p2_projection",
     oracle="""
     SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0
     """,
+    cols=[("c_custkey", "num"), ("c_mktsegment", "str")],
 )
 def p2_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P2: column pruning + row filter. The reference hand-prunes columns
@@ -56,12 +57,13 @@ def p2_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("customer").filter(F.col("c_acctbal") > 0).select("c_custkey", "c_mktsegment")
 
 
-@register(
+@component(
     "p4_filter_timestamp",
     oracle="""
     SELECT o_orderkey, o_orderdate FROM orders
     WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
     """,
+    cols=[("o_orderkey", "num"), ("o_orderdate", "ts")],
 )
 def p4_filter_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4/F10: the reference's incremental-extract predicate
@@ -74,12 +76,13 @@ def p4_filter_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "p5_limit_offset",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
     ORDER BY o_orderkey LIMIT 20 OFFSET 100
     """,
+    cols=[("o_orderkey", "num"), ("o_totalprice", "dbl")],
 )
 def p5_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5/O3: LIMIT/OFFSET paging (reference: dags/extract_data.py:42).
@@ -95,7 +98,7 @@ def p5_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "p6_null_drop",
     oracle="""
     SELECT event_type, COUNT(*) AS n_kept
@@ -103,6 +106,7 @@ def p5_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE v IS NOT NULL
     GROUP BY event_type
     """,
+    cols=[("event_type", "str"), ("n_kept", "num")],
 )
 def p6_null_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6: ``dropna`` (reference: mf_knn_recommender.py:58). The testdata has
@@ -114,13 +118,14 @@ def p6_null_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.na.drop(subset=["v"]).groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
-@register(
+@component(
     "p7_null_fill",
     oracle=f"""
     SELECT event_type, {_dsum('coalesce(v, 0.0)')} AS total_v
     FROM (SELECT event_type, CASE WHEN value < 50 THEN NULL ELSE value END AS v FROM events)
     GROUP BY event_type
     """,
+    cols=[("event_type", "str"), ("total_v", "dbl")],
 )
 def p7_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: ``fillna`` scalar defaults (reference: transform_dim_products.py:17-21)."""
@@ -131,12 +136,13 @@ def p7_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.na.fill({"v": 0.0}).groupBy("event_type").agg(dec_sum("v").alias("total_v"))
 
 
-@register(
+@component(
     "p8_isin",
     oracle="""
     SELECT c_custkey, c_mktsegment FROM customer
     WHERE c_mktsegment IN ('MACHINERY', 'HOUSEHOLD')
     """,
+    cols=[("c_custkey", "num"), ("c_mktsegment", "str")],
 )
 def p8_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8: membership predicate (reference: transform_dim_dates.py:22)."""
@@ -158,12 +164,13 @@ def select_or_default(df: DataFrame, col_name: str, default, alias: str | None =
     return df.withColumn(out, F.lit(default))
 
 
-@register(
+@component(
     "p9_column_guard",
     oracle="""
     SELECT c_custkey, c_mktsegment AS segment, 'unknown' AS channel
     FROM customer
     """,
+    cols=[("c_custkey", "num"), ("segment", "str"), ("channel", "str")],
 )
 def p9_column_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9: one existing column passes through, one missing column falls back
@@ -180,7 +187,7 @@ def p9_column_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 
 
-@register(
+@component(
     "j1_left_broadcast",
     oracle="""
     SELECT c_custkey, n_name AS nation, r_name AS region
@@ -188,6 +195,7 @@ def p9_column_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN nation ON c_nationkey = n_nationkey
     LEFT JOIN region ON n_regionkey = r_regionkey
     """,
+    cols=[("c_custkey", "num"), ("nation", "str"), ("region", "str")],
 )
 def j1_left_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: left equi-join against small dims
@@ -202,13 +210,14 @@ def j1_left_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "j2_fanout",
     oracle=f"""
     SELECT o_orderkey, COUNT(l_orderkey) AS n_lines, {_dsum('l_quantity')} AS sum_qty
     FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderkey
     """,
+    cols=[("o_orderkey", "num"), ("n_lines", "num"), ("sum_qty", "dbl")],
 )
 def j2_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: the fact build's 1:N left-join fan-out
@@ -223,12 +232,13 @@ def j2_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "j3_inner_agg",
     oracle=f"""
     SELECT COUNT(*) AS total_lines, {_davg('l_extendedprice')} AS avg_price
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     """,
+    cols=[("total_lines", "num"), ("avg_price", "dbl")],
 )
 def j3_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/A2: inner join + multi-aggregate
@@ -241,12 +251,13 @@ def j3_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "j4_semi",
     oracle="""
     SELECT o_orderkey FROM orders
     WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
     """,
+    cols=[("o_orderkey", "num")],
 )
 def j4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: semi-join — keys present on both sides
@@ -256,12 +267,13 @@ def j4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select("o_orderkey")
 
 
-@register(
+@component(
     "j5_anti",
     oracle="""
     SELECT o_orderkey FROM orders
     WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
     """,
+    cols=[("o_orderkey", "num")],
 )
 def j5_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: anti-join — delete-by-key / set-difference semantics
@@ -284,28 +296,38 @@ def asof_join(
     natively (task-brief custom-operator slot (a): composition of built-ins).
 
     Implemented as the scalable union-and-sweep: tag both sides, sort each
-    key's timeline once, and carry the latest right values forward with
+    key's timeline once, and carry the latest right row forward with
     ``last(..., ignorenulls)`` over an unbounded-preceding window. ONE
     shuffle on the key — never a per-row subquery or a range cross-join.
     Right rows must be unique per (key, right_time); pre-aggregate to
     guarantee it (ties would make as-of semantics engine-dependent).
 
+    The carried payload is a single STRUCT of all value columns (non-null
+    whenever a right row exists), so a matched right row whose value column
+    is legitimately NULL still wins over an older non-null row — matching
+    DuckDB ASOF JOIN semantics for nullable value columns.
+
     At 100 TB both sides shuffle once on the key and the sweep is a linear
     pass per key — same cost class as a sort-merge join.
     """
+    from pyspark.sql import types as T
+
+    vals_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     lt = left.select(
         F.col(key).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         "*",
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(vals_type).alias("_vals"),
     )
     rt = right.select(
         F.col(key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
-        *value_cols,
+        F.struct(*value_cols).alias("_vals"),
     )
     merged = lt.unionByName(rt)
     # orders-before-events at equal timestamps: _side 0 sorts first, so an
@@ -316,11 +338,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}") for c in value_cols]
+        "*", F.last("_vals", ignorenulls=True).over(w).alias("_asof")
     )
     return (
         carried.filter(F.col("_side") == 1)
-        .select(*left.columns, *[F.col(f"_asof_{c}").alias(c) for c in value_cols])
+        .select(*left.columns, *[F.col(f"_asof.{c}").alias(c) for c in value_cols])
     )
 
 
@@ -363,8 +385,9 @@ def j_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 RANGE_JOIN_WINDOW_S = 300  # 5-minute proximity window
 
 
-@register(
+@component(
     "j_range_binned",
+    cols=[("event_a", "num"), ("event_b", "num"), ("gap_s", "num")],
     oracle=f"""
     SELECT a.event_id AS event_a, b.event_id AS event_b,
            date_diff('second', a.ts, b.ts) AS gap_s
@@ -440,8 +463,9 @@ def salted_join(
     return out.drop("_salt")
 
 
-@register(
+@component(
     "j_salted_skew",
+    cols=[("o_orderpriority", "str"), ("n_lines", "num"), ("total_price", "dbl")],
     oracle=f"""
     SELECT o_orderpriority,
            COUNT(*) AS n_lines,
@@ -465,8 +489,9 @@ def j_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "j6_fk_integrity",
+    cols=[("fk", "str"), ("n_orphans", "num")],
     oracle="""
     SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
     FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
@@ -496,15 +521,27 @@ def j6_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 
 
-@register("a1_count_star", oracle="SELECT COUNT(*) AS total_rows FROM lineitem")
+@component(
+    "a1_count_star",
+    oracle="SELECT COUNT(*) AS total_rows FROM lineitem",
+    cols=[("total_rows", "num")],
+)
 def a1_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: scalar COUNT(*) (reference: postgres_reader.py:96)."""
     prepare(spark, sf_dir)
     return spark.table("lineitem").agg(F.count(F.lit(1)).alias("total_rows"))
 
 
-@register(
+@component(
     "a3_summary_stats",
+    cols=[
+        ("column_name", "str"),
+        ("n", "num"),
+        ("mean", "dbl"),
+        ("min_value", "dbl"),
+        ("max_value", "dbl"),
+        ("std", "dbl"),
+    ],
     oracle=f"""
     SELECT 'l_quantity' AS column_name,
            COUNT(l_quantity) AS n,
@@ -548,8 +585,14 @@ def a3_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats("l_quantity").unionByName(stats("l_extendedprice"))
 
 
-@register(
+@component(
     "a4_null_profile",
+    cols=[
+        ("user_id_nulls", "num"),
+        ("value_nulls", "num"),
+        ("props_nulls", "num"),
+        ("total_rows", "num"),
+    ],
     oracle="""
     SELECT CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
            CAST(SUM(CASE WHEN value   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
@@ -569,8 +612,14 @@ def a4_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(nulls("user_id"), nulls("value"), nulls("props"), F.count(F.lit(1)).alias("total_rows"))
 
 
-@register(
+@component(
     "a5_group_collect",
+    cols=[
+        ("user_id", "num"),
+        ("n_items", "num"),
+        ("min_item", "num"),
+        ("max_item", "num"),
+    ],
     oracle="""
     SELECT o_custkey AS user_id,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_items,
@@ -600,8 +649,9 @@ def a5_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "a6_distinct_count",
+    cols=[("n_customers", "num"), ("n_priorities", "num")],
     oracle="""
     SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
            CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
@@ -619,12 +669,13 @@ def a6_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a6b_approx_distinct")  # rows-only: HLL estimate is engine-specific
 def a6b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 at scale: HyperLogLog++ distinct counts — the sketch path for
     columns whose exact distinct would itself be a massive shuffle at
-    100 TB. rsd=0.02; the estimate-vs-exact bound is pinned by a unit test
-    (tests/test_quality.py) since the sketch value is engine-specific."""
+    100 TB. rsd=0.02; the raw sketch values are engine-specific, so the
+    driver-visible form is ``a6b_approx_distinct_bound`` (estimate-vs-exact
+    flags, oracle-checked); the raw estimates are bound-tested in
+    tests/test_quality.py."""
     prepare(spark, sf_dir)
     li = spark.table("lineitem")
     return li.agg(
@@ -633,8 +684,58 @@ def a6b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
+    "a6b_approx_distinct_bound",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS orders_within_bound,
+           TRUE AS parts_within_bound
+    FROM lineitem
+    """,
+    cols=[
+        ("exact_orders", "num"),
+        ("exact_parts", "num"),
+        ("orders_within_bound", "bool"),
+        ("parts_within_bound", "bool"),
+    ],
+)
+def a6b_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL sketch's oracle-checkable contract: |estimate - exact| <=
+    3*rsd*exact (rsd=0.02 -> 6%). Exact counts anchor the row; the bound
+    flags are computed from the genuine sketch values, so a broken sketch
+    flips the digest red even though the estimate itself isn't portable."""
+    prepare(spark, sf_dir)
+    li = spark.table("lineitem")
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    bound = 3 * 0.02
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= bound * F.col("exact_orders")
+        ).alias("orders_within_bound"),
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= bound * F.col("exact_parts")
+        ).alias("parts_within_bound"),
+    )
+
+
+@component(
     "a8_cube",
+    cols=[
+        ("l_returnflag", "str"),
+        ("l_linestatus", "str"),
+        ("sum_qty", "dbl"),
+        ("n", "num"),
+    ],
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            {_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n
@@ -659,8 +760,9 @@ def a8_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 
 
-@register(
+@component(
     "a10_shape_profile",
+    cols=[("n_rows", "num"), ("n_cols", "num"), ("n_cells", "num")],
     oracle="""
     SELECT COUNT(*) AS n_rows, CAST(11 AS INT) AS n_cols,
            CAST(COUNT(*) * 11 AS BIGINT) AS n_cells
@@ -682,8 +784,9 @@ def a10_shape_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "d1_dedup_keep_first",
+    cols=[("c_nationkey", "num"), ("c_custkey", "num"), ("c_name", "str")],
     oracle="""
     SELECT c_nationkey, c_custkey, c_name FROM (
       SELECT c_nationkey, c_custkey, c_name,
@@ -709,8 +812,14 @@ def d1_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "d2_dedup_pair_subset",
+    cols=[
+        ("l_returnflag", "str"),
+        ("l_linestatus", "str"),
+        ("l_orderkey", "num"),
+        ("l_linenumber", "num"),
+    ],
     oracle="""
     SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber FROM (
       SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
@@ -734,9 +843,10 @@ def d2_dedup_pair_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "d3_distinct",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    cols=[("l_returnflag", "str"), ("l_linestatus", "str")],
 )
 def d3_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: full-row distinct (reference: mf_knn_recommender.py:58)."""
@@ -749,8 +859,9 @@ def d3_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 
 
-@register(
+@component(
     "w1_surrogate_key",
+    cols=[("nation_key", "num"), ("n_name", "str")],
     oracle="""
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) AS INT) AS nation_key, n_name
     FROM nation
@@ -812,8 +923,9 @@ def surrogate_key(df: DataFrame, order_col: str, key_name: str, buckets: int | N
     )
 
 
-@register(
+@component(
     "w1b_surrogate_key_two_phase",
+    cols=[("customer_key", "num"), ("c_custkey", "num")],
     oracle="""
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS INT) AS customer_key,
            c_custkey
@@ -829,8 +941,9 @@ def w1b_surrogate_key_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surrogate_key(c, "c_custkey", "customer_key").select("customer_key", "c_custkey")
 
 
-@register(
+@component(
     "w2_category_codes",
+    cols=[("o_orderpriority", "str"), ("priority_code", "num")],
     oracle="""
     SELECT o_orderpriority, CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority) AS INT) AS priority_code
     FROM (SELECT DISTINCT o_orderpriority FROM orders)
@@ -850,8 +963,14 @@ def w2_category_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "w3_topk_per_group",
+    cols=[
+        ("p_brand", "str"),
+        ("p_partkey", "num"),
+        ("p_retailprice", "dbl"),
+        ("rank_in_brand", "num"),
+    ],
     oracle="""
     SELECT p_brand, p_partkey, p_retailprice, rank_in_brand FROM (
       SELECT p_brand, p_partkey, p_retailprice,
@@ -875,8 +994,9 @@ def w3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "w4_running_total",
+    cols=[("o_custkey", "num"), ("o_orderkey", "num"), ("running_spend", "dbl")],
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8)))
@@ -907,8 +1027,9 @@ def w4_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 
 
-@register(
+@component(
     "o2_sort_desc_limit",
+    cols=[("o_orderkey", "num"), ("o_totalprice", "dbl")],
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
@@ -932,8 +1053,9 @@ def o2_sort_desc_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 
 
-@register(
+@component(
     "so1_intersect",
+    cols=[("user_id", "num")],
     oracle="""
     SELECT user_id FROM events
     INTERSECT
@@ -948,8 +1070,9 @@ def so1_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.intersect(o)
 
 
-@register(
+@component(
     "so2_except",
+    cols=[("p_partkey", "num")],
     oracle="""
     SELECT p_partkey FROM part
     EXCEPT
@@ -964,8 +1087,9 @@ def so2_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.subtract(li)
 
 
-@register(
+@component(
     "so3_union_distinct",
+    cols=[("user_id", "num")],
     oracle="""
     SELECT user_id FROM events
     UNION
@@ -985,8 +1109,15 @@ def so3_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ==========================================================================
 
 
-@register(
+@component(
     "f_string_functions",
+    cols=[
+        ("c_custkey", "num"),
+        ("padded_key", "str"),
+        ("name_upper", "str"),
+        ("segment_lower", "str"),
+        ("name_title", "str"),
+    ],
     oracle="""
     SELECT c_custkey,
            lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded_key,
@@ -1012,8 +1143,20 @@ def f_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "f_date_functions",
+    cols=[
+        ("o_orderkey", "num"),
+        ("order_date", "date"),
+        ("year", "num"),
+        ("month", "num"),
+        ("day", "num"),
+        ("quarter", "num"),
+        ("day_of_week", "num"),
+        ("day_name", "str"),
+        ("month_name", "str"),
+        ("is_weekend", "bool"),
+    ],
     oracle="""
     SELECT o_orderkey,
            CAST(o_orderdate AS DATE) AS order_date,
@@ -1049,16 +1192,16 @@ def f_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
-# Catalog (S14) — constant-domain oracle; S15 DESCRIBE is rows-only (Spark
-# type strings are engine-specific).
+# Catalog (S14 constant-domain oracle; S15 DESCRIBE via coarse type classes)
 # ==========================================================================
 
 _TABLE_VALUES = ", ".join(f"('{t}')" for t in sorted(TABLES))
 
 
-@register(
+@component(
     "s14_list_tables",
     oracle=f"SELECT table_name FROM (VALUES {_TABLE_VALUES}) AS t(table_name)",
+    cols=[("table_name", "str")],
 )
 def s14_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S14: catalog table listing (reference: postgres_reader.py:36-54),
@@ -1092,15 +1235,66 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     return spark.sql(sql)
 
 
-@register("s4_adhoc_sql", oracle=_ADHOC_SQL)
+@component(
+    "s4_adhoc_sql",
+    oracle=_ADHOC_SQL,
+    cols=[("n_customers", "num"), ("n_big_spenders", "num")],
+)
 def s4_adhoc_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw-SQL surface, oracle-checked with the *identical* SQL text on
     both engines — proof the views + dialect-common layer line up."""
     return run_sql(spark, sf_dir, _ADHOC_SQL)
 
 
-@register("s15_describe_table")  # no oracle: Spark type names are engine-specific
+@component(
+    "s15_describe_table",
+    oracle="""
+    SELECT column_name,
+           CASE
+             WHEN data_type IN ('BIGINT','INTEGER','SMALLINT','TINYINT',
+                                'HUGEINT','UBIGINT','UINTEGER','USMALLINT','UTINYINT')
+                  THEN 'integer'
+             WHEN data_type IN ('DOUBLE','FLOAT','REAL') THEN 'floating'
+             WHEN data_type LIKE 'DECIMAL%' THEN 'decimal'
+             WHEN data_type = 'VARCHAR' THEN 'string'
+             WHEN data_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+             WHEN data_type = 'DATE' THEN 'date'
+             WHEN data_type LIKE '%[]' THEN 'array'
+             ELSE 'other'
+           END AS type_class
+    FROM information_schema.columns
+    WHERE table_name = 'orders'
+    """,
+    cols=[("column_name", "str"), ("type_class", "str")],
+)
 def s15_describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S15: DESCRIBE TABLE (reference: postgres_reader.py:56-76)."""
+    """S15: DESCRIBE TABLE (reference: postgres_reader.py:56-76). Engine
+    type names differ (Spark ``bigint`` vs DuckDB ``BIGINT``/TIMESTAMP_NS),
+    so both sides normalize to coarse type classes — the introspection
+    surface is oracle-checked without pinning engine-specific spellings."""
+    import pyspark.sql.types as T
+
     prepare(spark, sf_dir)
-    return spark.sql("DESCRIBE TABLE lineitem")
+
+    def type_class(dt: T.DataType) -> str:
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return "integer"
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return "floating"
+        if isinstance(dt, T.DecimalType):
+            return "decimal"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return "timestamp"
+        if isinstance(dt, T.DateType):
+            return "date"
+        if isinstance(dt, T.ArrayType):
+            return "array"
+        return "other"
+
+    fields = spark.table("orders").schema.fields
+    return spark.createDataFrame(
+        [(f.name, type_class(f.dataType)) for f in fields],
+        schema="column_name string, type_class string",
+    )

@@ -196,7 +196,6 @@ def sim_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.select("vec_id", "nrm", unit_head.alias("unit_head"))
 
 
-@register("sim_ann_ivf_topk")  # approximate: rows-only driver check
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF (inverted-file) cells — the trained-partitioning scale
     path next to the LSH variant: KMeans(seed=42) centroids, every vector
@@ -255,7 +254,6 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_lsh_topk", bench=True)  # approximate: rows-only driver check
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via MULTI-TABLE sign-random-projection LSH — the scale path.
 
@@ -327,4 +325,68 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN recall digest: the driver-visible contract for both approximate paths
+# --------------------------------------------------------------------------
+
+LSH_RECALL_FLOOR = 0.3  # pinned in tests/test_ann_recall.py
+IVF_RECALL_FLOOR = 0.5
+
+
+def _recall_vs_exact(exact: DataFrame, approx: DataFrame) -> Column:
+    """recall@k averaged over queries: |approx ∩ exact| / k per query."""
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .na.fill({"n_hits": 0})
+    )
+    return per_q.agg(F.avg(F.col("n_hits") / F.lit(TOPK)).alias("recall")).collect()[0][
+        "recall"
+    ]
+
+
+@register(
+    "sim_ann_digest",
+    oracle=f"""
+    SELECT 'ivf' AS method,
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % {QUERY_MODULUS} = 0) AS BIGINT)
+             AS n_queries,
+           TRUE AS recall_floor_met
+    UNION ALL
+    SELECT 'lsh',
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % {QUERY_MODULUS} = 0) AS BIGINT),
+           TRUE
+    """,
+    bench=True,
+)
+def sim_ann_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN ladder's oracle row: run BOTH approximate paths (multi-table
+    sign-LSH and IVF cells) against the exact brute-force baseline and emit
+    per-method (n_queries, recall@k >= floor). The recall values themselves
+    are algorithm-specific (hence not SQL-expressible), but the floors —
+    LSH >= {LSH_RECALL_FLOOR}, IVF >= {IVF_RECALL_FLOOR} — are the
+    regression contract, computed from genuine recall, so a broken bucket
+    join flips this digest red. Benchmarked: this IS the ANN workload
+    (exact baseline + both approximate paths)."""
+    prepare(spark, sf_dir)
+    exact = sim_cosine_topk(spark, sf_dir).cache()
+    lsh_recall = _recall_vs_exact(exact, sim_ann_lsh_topk(spark, sf_dir))
+    ivf_recall = _recall_vs_exact(exact, sim_ann_ivf_topk(spark, sf_dir))
+    n_queries = exact.select("query_id").distinct().count()
+    return spark.createDataFrame(
+        [
+            ("ivf", n_queries, bool(ivf_recall >= IVF_RECALL_FLOOR)),
+            ("lsh", n_queries, bool(lsh_recall >= LSH_RECALL_FLOOR)),
+        ],
+        schema="method string, n_queries bigint, recall_floor_met boolean",
     )

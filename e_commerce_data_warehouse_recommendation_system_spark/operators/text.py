@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.registry import component, register
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
 
 # Canonical tokenization shared by text + dedup operators: trim, split on
@@ -45,8 +45,14 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is")
 
 
-@register(
+@component(
     "text_token_count",
+    cols=[
+        ("doc_id", "num"),
+        ("n_ws_tokens", "num"),
+        ("n_pieces", "num"),
+        ("n_chars_measured", "num"),
+    ],
     oracle=f"""
     SELECT doc_id,
            CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_ws_tokens,
@@ -68,8 +74,15 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "text_quality_score",
+    cols=[
+        ("doc_id", "num"),
+        ("n_tokens", "num"),
+        ("mean_token_len", "dbl"),
+        ("stopword_ratio", "dbl"),
+        ("quality_score", "dbl"),
+    ],
     oracle=f"""
     SELECT doc_id, n_tokens, mean_token_len, stopword_ratio,
            CASE WHEN n_tokens >= 20 AND stopword_ratio BETWEEN 0.01 AND 0.6
@@ -237,8 +250,9 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 STRATA_FRACTIONS: dict[str, int] = {"en": 8, "es": 4, "fr": 4, "de": 4, "zh": 4}
 
 
-@register(
+@component(
     "text_stratified_sample",
+    cols=[("lang", "str"), ("n_sampled", "num"), ("n_docs", "num")],
     oracle=f"""
     SELECT lang, COUNT(*) AS n_sampled, COUNT(DISTINCT doc_id) AS n_docs
     FROM documents
@@ -269,8 +283,9 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "text_fingerprint",
+    cols=[("doc_id", "num"), ("fingerprint", "str")],
     oracle="""
     SELECT doc_id,
            md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')) AS fingerprint

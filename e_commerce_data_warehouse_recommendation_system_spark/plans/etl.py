@@ -40,7 +40,7 @@ from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar impo
 from e_commerce_data_warehouse_recommendation_system_spark.operators.relational import (
     surrogate_key,
 )
-from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.registry import component, register
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import (
     calendar_frame,
     prepare,
@@ -64,8 +64,18 @@ def _dsum(expr: str) -> str:
 # --------------------------------------------------------------------------
 
 
-@register(
+@component(
     "etl_dim_customer",
+    cols=[
+        ("customer_key", "num"),
+        ("c_custkey", "num"),
+        ("customer_name", "str"),
+        ("mktsegment", "str"),
+        ("nation", "str"),
+        ("region", "str"),
+        ("c_acctbal", "dbl"),
+        ("is_current", "bool"),
+    ],
     oracle=f"""
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS INT) AS customer_key,
            c_custkey,
@@ -114,8 +124,17 @@ def dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "etl_dim_part",
+    cols=[
+        ("part_key", "num"),
+        ("p_partkey", "num"),
+        ("p_name", "str"),
+        ("brand", "str"),
+        ("part_type", "str"),
+        ("part_size", "num"),
+        ("p_retailprice", "dbl"),
+    ],
     oracle="""
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) AS INT) AS part_key,
            p_partkey,
@@ -146,8 +165,15 @@ def dim_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "etl_dim_supplier",
+    cols=[
+        ("supplier_key", "num"),
+        ("s_suppkey", "num"),
+        ("supplier_name", "str"),
+        ("nation", "str"),
+        ("s_acctbal", "dbl"),
+    ],
     oracle=f"""
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) AS INT) AS supplier_key,
            s_suppkey,
@@ -174,8 +200,9 @@ def dim_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "etl_dim_market",
+    cols=[("market_key", "num"), ("mktsegment", "str")],
     oracle="""
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY mktsegment) AS INT) AS market_key,
            mktsegment
@@ -201,8 +228,14 @@ def dim_market(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "etl_dim_geo",
+    cols=[
+        ("geo_key", "num"),
+        ("n_nationkey", "num"),
+        ("nation_name", "str"),
+        ("region_name", "str"),
+    ],
     oracle=f"""
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) AS INT) AS geo_key,
            n_nationkey,
@@ -240,8 +273,19 @@ def dim_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "etl_dim_date",
+    cols=[
+        ("date_key", "date"),
+        ("day", "num"),
+        ("month", "num"),
+        ("year", "num"),
+        ("quarter", "num"),
+        ("day_of_week", "num"),
+        ("day_name", "str"),
+        ("month_name", "str"),
+        ("is_weekend", "bool"),
+    ],
     oracle="""
     SELECT CAST(d AS DATE) AS date_key,
            dayofmonth(d)   AS day,
@@ -498,8 +542,9 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "etl_pipeline_counts",
+    cols=[("table_name", "str"), ("n_rows", "num")],
     oracle="""
     SELECT 'dim_customer' AS table_name, COUNT(*) AS n_rows FROM customer
     UNION ALL SELECT 'dim_part', COUNT(*) FROM part

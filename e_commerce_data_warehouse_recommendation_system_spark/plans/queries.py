@@ -417,21 +417,32 @@ def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 
-@register(
-    "q_sessionize",
-    bench=True,
-    oracle=f"""
-    WITH marked AS (
+#: Sessionize oracle: order AND gap-diff on epoch_us(ts) — never on the raw
+#: timestamp. DuckDB may evaluate events.ts as TIMESTAMP_NS (build-dependent)
+#: while Spark reads the same column ns->us truncated; epoch_us applies the
+#: identical truncation, so sub-microsecond ties and exact 30-min boundaries
+#: cannot order or measure differently between the engines.
+_SESSIONIZE_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+    ),
+    marked AS (
       SELECT user_id,
-             CASE WHEN LAG(ts) OVER w IS NULL
-                    OR date_diff('microsecond', LAG(ts) OVER w, ts) > {SESSION_GAP_US}
+             CASE WHEN LAG(tus) OVER w IS NULL
+                    OR tus - LAG(tus) OVER w > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
     )
     SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
     FROM marked GROUP BY user_id
-    """,
+"""
+
+
+@register(
+    "q_sessionize",
+    bench=True,
+    oracle=_SESSIONIZE_ORACLE,
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (gap islands): a new session starts after >30 min of

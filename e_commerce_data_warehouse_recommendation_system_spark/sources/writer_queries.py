@@ -18,7 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.registry import component, register
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import (
     prepare,
     read_csv,
@@ -51,7 +51,11 @@ _SQL_UPSERT = """
 """
 
 
-@register("wr_upsert", oracle=_SQL_UPSERT)
+@component(
+    "wr_upsert",
+    oracle=_SQL_UPSERT,
+    cols=[("o_orderstatus", "str"), ("n_orders", "num"), ("total_price", "dbl")],
+)
 def wr_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/D4: MERGE-emulation upsert (reference: plugins/mysql_operator.py:28-59)
     — restate every 10th order's total, merge, digest by status."""
@@ -67,8 +71,9 @@ def wr_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "wr_delete_by_keys",
+    cols=[("o_orderstatus", "str"), ("n_orders", "num")],
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n_orders
     FROM orders
@@ -91,8 +96,9 @@ def wr_delete_by_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remaining.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
-@register(
+@component(
     "wr_append_union",
+    cols=[("n_rows", "num"), ("n_distinct", "num")],
     oracle="""
     WITH appended AS (
       SELECT o_orderkey FROM orders
@@ -116,9 +122,10 @@ def wr_append_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "wr_truncate",
     oracle="SELECT COUNT(*) AS n_rows FROM orders WHERE FALSE",
+    cols=[("n_rows", "num")],
 )
 def wr_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9: TRUNCATE analog — schema preserved, zero rows
@@ -127,8 +134,9 @@ def wr_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truncate_like(spark.table("orders")).agg(F.count(F.lit(1)).alias("n_rows"))
 
 
-@register(
+@component(
     "wr_parquet_roundtrip",
+    cols=[("n_name", "str"), ("n_customers", "num"), ("total_balance", "dbl")],
     oracle="""
     SELECT n_name, COUNT(*) AS n_customers,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS total_balance
@@ -165,8 +173,9 @@ def wr_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-@register(
+@component(
     "wr_json_roundtrip",
+    cols=[("event_type", "str"), ("n_events", "num"), ("total_value", "dbl")],
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
@@ -278,8 +287,9 @@ def wr_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-@register(
+@component(
     "wr_csv_roundtrip",
+    cols=[("r_name", "str"), ("n_nations", "num")],
     oracle="""
     SELECT r_name, COUNT(*) AS n_nations
     FROM nation JOIN region ON n_regionkey = r_regionkey

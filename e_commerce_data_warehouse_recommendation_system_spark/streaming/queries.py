@@ -71,11 +71,36 @@ def _events_stream(spark: SparkSession, sf_dir: str, stage_dir: str) -> DataFram
     return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
+def _target_exists(out_dir: str) -> bool:
+    """Bootstrap probe for the local-path sink: a committed parquet write
+    always leaves a _SUCCESS marker. An explicit existence check (instead of
+    read-and-catch) keeps batch 0 from logging a spurious py4j stack trace
+    into the bench/driver output. On object storage this becomes a
+    FileSystem.exists call — same contract."""
+    import os
+
+    return os.path.isdir(out_dir) and os.path.exists(f"{out_dir}/_SUCCESS")
+
+
 def _run_foreach_batch_upsert(
-    stream_df: DataFrame, keys: list[str], out_dir: str, checkpoint: str
+    stream_df: DataFrame,
+    keys: list[str],
+    out_dir: str,
+    checkpoint: str,
+    partition_col: str | None = None,
 ) -> None:
     """Drain the stream with AvailableNow, merging every micro-batch into
-    ``out_dir`` by key. Batch 0 bootstraps the target."""
+    ``out_dir`` by key. Batch 0 bootstraps the target.
+
+    Scale behavior: with ``partition_col`` set, the target is written
+    PARTITIONED by that column and each micro-batch rewrites only the
+    partitions it touches — read old rows pruned to the batch's partition
+    values, merge, write with dynamic partitionOverwriteMode. Merge work is
+    O(|touched partitions|) instead of O(|target|): at 100 TB of
+    accumulated state a late-arriving day rewrites one day's partition, not
+    the table (the Delta/Iceberg MERGE pattern on plain parquet). The
+    touched-partition values are collected per batch — partition METADATA,
+    bounded by distinct windows/dates per micro-batch, never data rows."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -83,15 +108,38 @@ def _run_foreach_batch_upsert(
         # can legitimately carry the same key twice (e.g. replayed files in
         # one trigger), so collapse within-batch duplicates first
         batch_df = batch_df.dropDuplicates(keys)
-        try:
-            old = spark.read.parquet(out_dir)
-        except Exception:
-            old = None
-        merged = batch_df if old is None else upsert(old, batch_df, keys)
-        # localCheckpoint breaks the lineage back to the target files being
-        # overwritten (read-then-overwrite of the same path is otherwise a
-        # self-referencing plan).
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(out_dir)
+        exists = _target_exists(out_dir)
+        if partition_col is None:
+            old = spark.read.parquet(out_dir) if exists else None
+            merged = batch_df if old is None else upsert(old, batch_df, keys)
+            # localCheckpoint breaks the lineage back to the target files
+            # being overwritten (read-then-overwrite of the same path is
+            # otherwise a self-referencing plan).
+            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(out_dir)
+            return
+        touched = [
+            r[0] for r in batch_df.select(partition_col).distinct().collect()
+        ]
+        if exists and touched:
+            # partition pruning: only the touched partitions are ever read
+            old = spark.read.parquet(out_dir).filter(
+                F.col(partition_col).isin(touched)
+            )
+            merged = upsert(old, batch_df, keys)
+        else:
+            merged = batch_df
+        (
+            merged.localCheckpoint(eager=True)
+            # co-locate each partition value into one task before the
+            # partitioned write: without this every shuffle task emits a
+            # file per value it holds (tasks x values small files); with it
+            # the file count is O(touched partition values)
+            .repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(out_dir)
+        )
 
     (
         stream_df.writeStream.foreachBatch(merge_batch)
@@ -135,9 +183,28 @@ def stream_event_daily_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         out = f"{tmp}/daily_agg"
-        _run_foreach_batch_upsert(agg, ["window_start", "event_type"], out, f"{tmp}/ckpt")
-        # Materialize the terminal state before the temp dir disappears.
-        result = spark.read.parquet(out).localCheckpoint(eager=True)
+        # target partitioned by window_start: each micro-batch overwrites
+        # only the day-partitions it touches (late data = one day rewritten)
+        _run_foreach_batch_upsert(
+            agg,
+            ["window_start", "event_type"],
+            out,
+            f"{tmp}/ckpt",
+            partition_col="window_start",
+        )
+        # Materialize the terminal state before the temp dir disappears; the
+        # partition column round-trips through directory names, so pin its
+        # type and the original column order explicitly.
+        result = (
+            spark.read.parquet(out)
+            .select(
+                F.col("window_start").cast("date").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
@@ -148,14 +215,19 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 
 @register(
     "stream_sessionize_stateful",
+    # identical oracle to q_sessionize: epoch_us ordering/diffing so a
+    # TIMESTAMP_NS-reading DuckDB build can't diverge from Spark's us clock
     oracle=f"""
-    WITH marked AS (
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+    ),
+    marked AS (
       SELECT user_id,
-             CASE WHEN LAG(ts) OVER w IS NULL
-                    OR date_diff('microsecond', LAG(ts) OVER w, ts) > {SESSION_GAP_US}
+             CASE WHEN LAG(tus) OVER w IS NULL
+                    OR tus - LAG(tus) OVER w > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
     )
     SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
     FROM marked GROUP BY user_id
@@ -211,8 +283,17 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         out = f"{tmp}/sessions"
-        _run_foreach_batch_upsert(sessions, ["user_id"], out, f"{tmp}/ckpt")
-        result = spark.read.parquet(out).localCheckpoint(eager=True)
+        # user_id has no natural time partition; a stable hash bucket bounds
+        # each batch's rewrite to the buckets its users fall in
+        bucketed = sessions.withColumn("_bucket", F.pmod("user_id", F.lit(16)))
+        _run_foreach_batch_upsert(
+            bucketed, ["user_id"], out, f"{tmp}/ckpt", partition_col="_bucket"
+        )
+        result = (
+            spark.read.parquet(out)
+            .select("user_id", "n_sessions", "n_events")
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
@@ -237,7 +318,12 @@ def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _events_stream(spark, sf_dir, f"{tmp}/landing")
     try:
         out = f"{tmp}/events_ingested"
-        _run_foreach_batch_upsert(events, ["event_id"], out, f"{tmp}/ckpt")
+        # raw ingest partitions by event date — the landing layout every
+        # downstream incremental read prunes on
+        dated = events.withColumn("_event_date", F.col("ts").cast("date"))
+        _run_foreach_batch_upsert(
+            dated, ["event_id"], out, f"{tmp}/ckpt", partition_col="_event_date"
+        )
         result = (
             spark.read.parquet(out)
             .groupBy("event_type")

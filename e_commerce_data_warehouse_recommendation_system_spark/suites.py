@@ -1,0 +1,119 @@
+"""Composite digest suites: the driver-visible form of every micro-operator.
+
+The verify driver checks only the first ``registry.DRIVER_QUERY_BUDGET`` (50)
+registered queries. Flagship queries keep their own slots; the ~60 micro
+operators from SURVEY.md §2 (projections, joins, aggregations, windows, set
+ops, scalar functions, catalog, ETL dims, text profile, media ops, sinks)
+register as *components* — full queries with full-result oracles, checked
+individually by ``scripts/check_correctness.py --components`` — and each
+family below collapses into ONE oracle-checked digest query
+(operators/digest.py), so the complete inventory fits the driver window with
+zero coverage loss: a value bug in any component still flips its suite's
+driver row red.
+
+Suite membership mirrors SURVEY.md §2's families; tests/test_registry_contract.py
+pins the budget and the family coverage so a future import reshuffle can't
+silently evict a flagship query again.
+"""
+
+from __future__ import annotations
+
+# Importing the component modules runs their @component registrations.
+import e_commerce_data_warehouse_recommendation_system_spark.operators.relational  # noqa: F401
+import e_commerce_data_warehouse_recommendation_system_spark.plans.etl  # noqa: F401
+import e_commerce_data_warehouse_recommendation_system_spark.operators.text  # noqa: F401
+import e_commerce_data_warehouse_recommendation_system_spark.operators.multimodal  # noqa: F401
+import e_commerce_data_warehouse_recommendation_system_spark.recommend.queries  # noqa: F401
+import e_commerce_data_warehouse_recommendation_system_spark.sources.writer_queries  # noqa: F401
+
+from e_commerce_data_warehouse_recommendation_system_spark.operators.digest import register_suite
+from e_commerce_data_warehouse_recommendation_system_spark.registry import _COMPONENTS
+
+#: suite name -> component names (order = digest row grouping, stable)
+SUITE_SPECS: dict[str, list[str]] = {
+    # §2.2 projections / filters / predicates
+    "rel_scan_filter_suite": [
+        "p2_projection",
+        "p4_filter_timestamp",
+        "p5_limit_offset",
+        "p6_null_drop",
+        "p7_null_fill",
+        "p8_isin",
+        "p9_column_guard",
+    ],
+    # §2.3 equi-joins (broadcast dim, fan-out, inner+agg)
+    "rel_join_suite": ["j1_left_broadcast", "j2_fanout", "j3_inner_agg"],
+    # §2.3 semi/anti/integrity joins
+    "rel_semi_anti_suite": ["j4_semi", "j5_anti", "j6_fk_integrity"],
+    # custom joins: range-binned interval join + salted skew join
+    "rel_range_salted_suite": ["j_range_binned", "j_salted_skew"],
+    # §2.4 aggregations (incl. the HLL bound contract)
+    "rel_agg_suite": [
+        "a1_count_star",
+        "a3_summary_stats",
+        "a4_null_profile",
+        "a5_group_collect",
+        "a6_distinct_count",
+        "a6b_approx_distinct_bound",
+        "a8_cube",
+        "a10_shape_profile",
+    ],
+    # §2.5 dedup + §2.6 windows
+    "rel_window_dedup_suite": [
+        "d1_dedup_keep_first",
+        "d2_dedup_pair_subset",
+        "d3_distinct",
+        "w1_surrogate_key",
+        "w1b_surrogate_key_two_phase",
+        "w2_category_codes",
+        "w3_topk_per_group",
+        "w4_running_total",
+    ],
+    # §2.7 sorts/limits + §2.8 set ops + §2.9 scalar functions
+    "rel_set_sort_func_suite": [
+        "o2_sort_desc_limit",
+        "so1_intersect",
+        "so2_except",
+        "so3_union_distinct",
+        "f_string_functions",
+        "f_date_functions",
+    ],
+    # catalog introspection + the raw-SQL surface
+    "rel_catalog_sql_suite": ["s4_adhoc_sql", "s14_list_tables", "s15_describe_table"],
+    # the Kimball dims + end-to-end pipeline counts
+    "etl_dims_suite": [
+        "etl_dim_customer",
+        "etl_dim_part",
+        "etl_dim_supplier",
+        "etl_dim_market",
+        "etl_dim_geo",
+        "etl_dim_date",
+        "etl_pipeline_counts",
+    ],
+    # text analysis: counting / quality / fingerprint / sampling
+    "text_profile_suite": [
+        "text_token_count",
+        "text_quality_score",
+        "text_fingerprint",
+        "text_stratified_sample",
+    ],
+    # multimodal: frame sampling + decode->resize->sample chain
+    "mm_media_suite": ["mm_frame_sample", "mm_resize_sample"],
+    # recommender prep: label encode / interactions / hash split
+    "rec_prep_suite": ["rec_label_encode", "rec_interactions", "rec_train_test_split"],
+    # sinks: upsert/delete/append/truncate + format round-trips
+    "wr_sinks_suite": [
+        "wr_upsert",
+        "wr_delete_by_keys",
+        "wr_append_union",
+        "wr_truncate",
+        "wr_parquet_roundtrip",
+        "wr_json_roundtrip",
+        "wr_csv_roundtrip",
+    ],
+}
+
+for _suite_name, _comp_names in SUITE_SPECS.items():
+    register_suite(
+        _suite_name, {n: _COMPONENTS[n] for n in _comp_names}
+    )

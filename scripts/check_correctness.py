@@ -4,7 +4,11 @@ Runs every registered query at a scale factor, runs its DuckDB oracle on the
 same parquet tables, and compares row count + column names + values
 (columns sorted by name, rows sorted, doubles compared to 1e-9 relative).
 
-Usage: python scripts/check_correctness.py [sf_dir] [query-name-filter...]
+With ``--components`` the suite *components* are checked one-by-one against
+their FULL-RESULT oracles (strictly stronger than the digest rows the
+driver sees) — the local gate behind the 50-slot suite consolidation.
+
+Usage: python scripts/check_correctness.py [--components] [sf_dir] [filter...]
 """
 
 from __future__ import annotations
@@ -53,14 +57,22 @@ def normalize(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    args = sys.argv[1:]
+    use_components = "--components" in args
+    args = [a for a in args if a != "--components"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    filters = args[1:]
 
     from e_commerce_data_warehouse_recommendation_system_spark.session import get_spark
     from e_commerce_data_warehouse_recommendation_system_spark import registry
 
     spark = get_spark()
-    qs, os_ = registry.queries(), registry.oracles()
+    if use_components:
+        comps = registry.components()
+        qs = {n: c.fn for n, c in comps.items()}
+        os_ = {n: c.oracle for n, c in comps.items() if c.oracle is not None}
+    else:
+        qs, os_ = registry.queries(), registry.oracles()
     con = duck_connect(sf_dir)
 
     results = {}

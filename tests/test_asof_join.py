@@ -52,3 +52,15 @@ def test_asof_key_isolation(spark):
         [(1, _ts("2026-01-01T09:00"), "a")],
     )
     assert got == {(1, "e1"): "a", (2, "e2"): None}
+
+
+def test_asof_null_value_column_propagates(spark):
+    """A matched right row whose value column is legitimately NULL must win
+    over an older non-null row (DuckDB ASOF semantics) — the struct-carry
+    form, not per-column last(ignorenulls)."""
+    got = _run(
+        spark,
+        [(1, _ts("2026-01-01T12:00"), "e1")],
+        [(1, _ts("2026-01-01T09:00"), "old"), (1, _ts("2026-01-01T11:00"), None)],
+    )
+    assert got == {(1, "e1"): None}

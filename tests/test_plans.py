@@ -77,6 +77,22 @@ def test_q1_single_shuffle(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_label_encode_has_no_global_sort_window(spark):
+    """_encode must build its dictionaries with the two-phase surrogate key:
+    no unpartitioned dense_rank/row_number window over the distinct-id set
+    (the round-2 perf-weak finding). The only tolerated single-partition
+    work is the O(buckets) offset frame."""
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import _encode
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
+
+    prepare(spark, SF0001)
+    ids = spark.table("orders").select(F.col("o_custkey").alias("user_id"))
+    plan = _plan(_encode(ids, "user_id", "user_idx"))
+    assert "dense_rank" not in plan, "dictionary built by a global dense_rank sort"
+    # the partition-local rank must be windowed by the quantile bucket
+    assert "row_number" in plan and "_bkt" in plan
+
+
 def test_salted_join_matches_plain_join(spark):
     fact = spark.createDataFrame(
         [(i % 3, float(i)) for i in range(100)], schema="k int, x double"

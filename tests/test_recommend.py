@@ -16,10 +16,12 @@ from tests.conftest import SF0001
 @pytest.fixture(scope="module")
 def recs(spark):
     from e_commerce_data_warehouse_recommendation_system_spark.recommend import queries as rq
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
 
+    prepare(spark, SF0001)
     return {
-        "topk": rq.rec_als_topk(spark, SF0001).collect(),
-        "mmr": rq.rec_mmr_diversify(spark, SF0001).collect(),
+        "topk": rq._topk_recs(spark, SF0001).collect(),
+        "mmr": rq.mmr_rerank(spark, SF0001).collect(),
         "pool": rq._topk_recs(spark, SF0001, k=rq.MMR_POOL).collect(),
         "metrics": rq.rec_eval_metrics(spark, SF0001).collect()[0],
         "k": rq.TOP_K,

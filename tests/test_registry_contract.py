@@ -1,0 +1,84 @@
+"""Driver-replica gate: the registry must fit the driver's correctness
+window, fully oracled, with every SURVEY.md §2 family represented.
+
+CORRECTNESS_r02 proved the driver records exactly the first
+``DRIVER_QUERY_BUDGET`` (50) registered queries — round 2 silently lost all
+etl_/rec_/dedup_/sim_/text_/stream_/wr_ rows to the truncation. These
+assertions make a registration-order regression (a new module import
+reshuffling the window) a test failure instead of a silent scoreboard hole.
+"""
+
+from __future__ import annotations
+
+from e_commerce_data_warehouse_recommendation_system_spark import registry
+
+#: every family that must be driver-visible, by name prefix
+FAMILIES = (
+    "q",  # headline analytics
+    "j_asof",  # custom as-of join
+    "etl_",  # warehouse ETL
+    "dedup_",  # text dedup ladder
+    "sim_",  # similarity / ANN
+    "text_",  # text analysis
+    "mm_",  # multimodal
+    "dq_",  # data quality
+    "rec_",  # recommender
+    "stream_",  # structured streaming
+    "wr_",  # sinks / maintenance
+    "rel_",  # micro-relational digest suites
+)
+
+
+def test_registry_fits_driver_window():
+    qs = registry.queries()
+    assert len(qs) <= registry.DRIVER_QUERY_BUDGET, (
+        f"{len(qs)} registered queries exceed the driver's "
+        f"{registry.DRIVER_QUERY_BUDGET}-row correctness window — "
+        "consolidate new micro-operators into a digest suite "
+        "(operators/digest.py) instead of registering them individually"
+    )
+
+
+def test_every_query_has_an_oracle():
+    qs, os_ = registry.queries(), registry.oracles()
+    missing = sorted(set(qs) - set(os_))
+    assert not missing, (
+        f"queries without oracles read as `err: no_oracle` on the driver "
+        f"scoreboard: {missing} — give each a digest/invariant oracle"
+    )
+
+
+def test_every_family_is_driver_visible():
+    names = list(registry.queries())
+    for prefix in FAMILIES:
+        assert any(n.startswith(prefix) for n in names), (
+            f"no registered query for family {prefix!r} — it has zero "
+            "driver-visible correctness rows"
+        )
+
+
+def test_every_component_is_covered_by_a_suite():
+    from e_commerce_data_warehouse_recommendation_system_spark.suites import SUITE_SPECS
+
+    comps = set(registry.components())
+    in_suites = {n for members in SUITE_SPECS.values() for n in members}
+    orphans = sorted(comps - in_suites)
+    assert not orphans, (
+        f"components registered but absent from every suite (invisible to "
+        f"the driver): {orphans}"
+    )
+
+
+def test_bench_queries_are_registered():
+    qs = registry.queries()
+    missing = [n for n in registry.bench_queries() if n not in qs]
+    assert not missing, f"bench names not in the registry: {missing}"
+
+
+def test_components_have_full_oracles_and_cols():
+    bad = [
+        n
+        for n, c in registry.components().items()
+        if c.oracle is None or not c.cols
+    ]
+    assert not bad, f"components need a full-result oracle and a digest col spec: {bad}"
