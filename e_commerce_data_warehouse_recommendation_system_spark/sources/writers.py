@@ -66,6 +66,48 @@ def upsert(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     return new.unionByName(survivors.select(*new.columns))
 
 
+def merge_keys_condition(keys: list[str], target: str = "t", source: str = "s") -> str:
+    """MERGE ON condition for a key list: ``t.k1 = s.k1 AND ...``."""
+    return " AND ".join(f"{target}.{k} = {source}.{k}" for k in keys)
+
+
+def upsert_path(spark, target_path: str, new: DataFrame, keys: list[str]) -> None:
+    """Keyed upsert into a MATERIALIZED target path — the real
+    partial-update lever when a transactional table format is available.
+
+    With Delta on the classpath this is ``MERGE INTO`` (touches only
+    collided files — the true analog of the reference's ``ON DUPLICATE KEY
+    UPDATE``, reference: plugins/mysql_operator.py:28-59); without it, the
+    join-based read-merge-overwrite fallback (same public semantics,
+    oracle-checked through ``wr_upsert``). The streaming sink's
+    partition-scoped variant (streaming/queries.py) bounds the fallback's
+    rewrite to touched partitions.
+    """
+    if _has_delta():  # pragma: no cover - no Delta jar in this container
+        from delta.tables import DeltaTable
+
+        if DeltaTable.isDeltaTable(spark, target_path):
+            (
+                DeltaTable.forPath(spark, target_path)
+                .alias("t")
+                .merge(new.alias("s"), merge_keys_condition(keys))
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+        else:
+            new.write.format("delta").mode("overwrite").save(target_path)
+        return
+    import os
+
+    if os.path.isdir(target_path) and os.path.exists(f"{target_path}/_SUCCESS"):
+        old = spark.read.parquet(target_path)
+        merged = upsert(old, new.select(*old.columns), keys)
+    else:
+        merged = new
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+
+
 def delete_by_keys(df: DataFrame, del_keys: DataFrame, keys: list[str]) -> DataFrame:
     """S7: ``DELETE FROM t WHERE key IN (...)``
     (reference: plugins/mysql_operator.py:61-80) as an anti-join — the only

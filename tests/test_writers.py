@@ -47,3 +47,28 @@ def test_truncate_preserves_schema(spark):
     t = truncate_like(df)
     assert t.count() == 0
     assert t.schema == df.schema
+
+
+def test_merge_keys_condition():
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
+        merge_keys_condition,
+    )
+
+    assert merge_keys_condition(["a"]) == "t.a = s.a"
+    assert merge_keys_condition(["a", "b"]) == "t.a = s.a AND t.b = s.b"
+
+
+def test_upsert_path_parquet_fallback(spark, tmp_path):
+    """Bootstrap write, then a keyed merge: collided key replaced, new key
+    inserted, untouched key survives — MERGE semantics on plain parquet."""
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
+        upsert_path,
+    )
+
+    target = str(tmp_path / "tgt")
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    upsert_path(spark, target, first, ["k"])
+    second = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    upsert_path(spark, target, second, ["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
