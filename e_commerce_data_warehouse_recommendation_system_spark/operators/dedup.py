@@ -28,7 +28,7 @@ from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity 
     cosine_pairs_sql,
 )
 from e_commerce_data_warehouse_recommendation_system_spark.operators.text import tokens
-from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.registry import component, register
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
 
 SHINGLE_N = 3
@@ -343,3 +343,93 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path; this exact form is the verification twin."""
     prepare(spark, sf_dir)
     return cosine_pairs(spark, COSINE_DUP_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster assignment (connected components over the near-dup graph)
+# --------------------------------------------------------------------------
+
+CC_MAX_ITERS = 20  # label propagation rounds; >= graph diameter in practice
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, node_col: str = "node") -> DataFrame:
+    """Min-label propagation connected components: every node's label
+    converges to the smallest node id in its component — the cluster
+    assignment step after near-dup pair mining (keep one doc per cluster).
+
+    Spark has no native CC (GraphFrames isn't on the classpath), so this is
+    the standard iterative join: each round, a node adopts
+    min(own label, neighbors' labels); converged when no label changes.
+    Rounds needed = graph diameter (near-dup clusters are shallow — a few
+    rounds). Per round: one shuffle join edges x labels + one aggregation;
+    ``localCheckpoint`` truncates the lineage so the plan stays O(1) per
+    round instead of growing exponentially. At 100 TB this is the same
+    loop large-scale dedup pipelines run; big-diameter graphs would swap
+    in alternating large/small-star steps, same join primitives.
+    """
+    sym = (
+        edges.select(F.col("a"), F.col("b"))
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            sym.join(labels, sym.a == labels.node)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                (F.coalesce("nmin", F.col("label")) < F.col("label")).alias("_chg"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
+@component(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_sql_minhash_lsh()}),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_root FROM reach GROUP BY node
+    """,
+    cols=[("doc_id", "num"), ("cluster_root", "num")],
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup ladder: MinHash-LSH near-dup pairs -> connected
+    components -> (doc_id, cluster_root); downstream keeps
+    ``doc_id == cluster_root`` (one representative per duplicate cluster,
+    keep-smallest-id — the D1 contract lifted to fuzzy clusters). The
+    oracle computes the same components with a DuckDB recursive CTE over
+    the identical pair SQL, so the iterative Spark loop is hash-checked
+    against declarative transitive closure."""
+    prepare(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    docs = spark.table("documents").select("doc_id")
+    labels = connected_components(docs, pairs, node_col="doc_id")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_root")
+    )

@@ -754,6 +754,113 @@ def a8_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCTS = (0.25, 0.5, 0.75, 0.9)
+
+
+@component(
+    "a11_percentiles",
+    oracle="\n    UNION ALL\n".join(
+        f"SELECT CAST({p} AS DOUBLE) AS pct, "
+        f"quantile_cont(o_totalprice, {p}) AS val FROM orders"
+        for p in _PCTS
+    ),
+    cols=[("pct", "dbl"), ("val", "dbl")],
+)
+def a11_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (A-family extension): Spark's
+    ``percentile`` (exact, sort-based — NOT approx_percentile's GK sketch)
+    against DuckDB's ``quantile_cont``; both use the same linear
+    interpolation, verified to match bit-for-bit. At 100 TB swap in
+    ``approx_percentile`` (mergeable sketch, no global sort) — the exact
+    form here is the oracle-checkable contract."""
+    prepare(spark, sf_dir)
+    o = spark.table("orders")
+    parts = [
+        o.agg(
+            F.lit(float(p)).alias("pct"),
+            F.expr(f"percentile(o_totalprice, {p})").alias("val"),
+        )
+        for p in _PCTS
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+@component(
+    "a12_corr_moments",
+    oracle=f"""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             {_dsum('l_quantity')} AS sx,
+             {_dsum('l_extendedprice')} AS sy,
+             {_dsum('l_quantity * l_extendedprice')} AS sxy,
+             {_dsum('l_quantity * l_quantity')} AS sxx,
+             {_dsum('l_extendedprice * l_extendedprice')} AS syy
+      FROM lineitem
+    )
+    SELECT n,
+           (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+           (sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr
+    FROM m
+    """,
+    cols=[("n", "num"), ("covar_samp", "dbl"), ("corr", "dbl")],
+)
+def a12_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance + Pearson correlation from DECIMAL-exact co-moments
+    (the a3 pattern): built-in ``corr``/``covar_samp`` stream their moments
+    in shuffle order (float, nondeterministic across engines), so the engine
+    computes the five exact sums once — one aggregation pass, map-side
+    partial, order-independent — and derives both statistics in identical
+    double arithmetic on both engines."""
+    prepare(spark, sf_dir)
+    li = spark.table("lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum(x).alias("sx"),
+        dec_sum(y).alias("sy"),
+        dec_sum(x * y).alias("sxy"),
+        dec_sum(x * x).alias("sxx"),
+        dec_sum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov = (sxy - sx * sy / n) / (n - 1)
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    return m.select("n", cov.alias("covar_samp"), corr.alias("corr"))
+
+
+HIST_BIN_WIDTH = 50_000
+
+
+@component(
+    "a13_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+           CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) * {HIST_BIN_WIDTH} AS DOUBLE) AS bin_low,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1, 2
+    """,
+    cols=[("bin", "num"), ("bin_low", "dbl"), ("n_orders", "num")],
+)
+def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bin = floor(x / width) — one map-side
+    expression + one aggregation shuffle, the scalable form of a value
+    distribution profile (vs sorting for exact quantiles)."""
+    prepare(spark, sf_dir)
+    o = spark.table("orders")
+    b = F.floor(F.col("o_totalprice") / HIST_BIN_WIDTH)
+    return o.groupBy(
+        b.cast("bigint").alias("bin"),
+        (b * HIST_BIN_WIDTH).cast("double").alias("bin_low"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
 # ==========================================================================
 # SS2.5 Deduplication (relational forms; scale-out text dedup lives in
 # operators/dedup.py)

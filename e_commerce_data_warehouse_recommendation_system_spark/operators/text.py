@@ -300,3 +300,64 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.table("documents")
     normalized = F.array_join(tokens(F.lower(F.col("text"))), " ")
     return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+TFIDF_TOP_TERMS = 3
+
+
+@component(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ranked AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS score,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS rnk
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TFIDF_TOP_TERMS}
+    """,
+    cols=[
+        ("doc_id", "num"),
+        ("tok", "str"),
+        ("tf", "num"),
+        ("df", "num"),
+        ("score", "dbl"),
+        ("rnk", "num"),
+    ],
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top distinctive terms, tf-idf family: rank by
+    (tf DESC, df ASC, term ASC) — an all-integer ordering, so ranking never
+    depends on float log rounding — and report score = tf x (N/df)
+    (rational normalized frequency: one exact-rounded division, identical
+    in both engines, unlike ln-based idf whose libm rounding is
+    platform-specific). Shape: explode -> two aggregations (tf per
+    doc-term, df per term) -> broadcastable df table join -> per-doc
+    window. At 100 TB df is the only corpus-global state (vocabulary-sized,
+    bounded); everything else shuffles on doc_id once."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * (F.col("n_docs").cast("double") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "tok", "tf", "df", "score", "rnk")
+    )

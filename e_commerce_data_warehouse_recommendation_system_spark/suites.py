@@ -19,6 +19,7 @@ silently evict a flagship query again.
 from __future__ import annotations
 
 # Importing the component modules runs their @component registrations.
+import e_commerce_data_warehouse_recommendation_system_spark.operators.dedup  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.operators.relational  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.plans.etl  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.operators.text  # noqa: F401
@@ -47,7 +48,8 @@ SUITE_SPECS: dict[str, list[str]] = {
     "rel_semi_anti_suite": ["j4_semi", "j5_anti", "j6_fk_integrity"],
     # custom joins: range-binned interval join + salted skew join
     "rel_range_salted_suite": ["j_range_binned", "j_salted_skew"],
-    # §2.4 aggregations (incl. the HLL bound contract)
+    # §2.4 aggregations (incl. the HLL bound contract, exact percentiles,
+    # decimal-moment correlation, fixed-width histogram)
     "rel_agg_suite": [
         "a1_count_star",
         "a3_summary_stats",
@@ -57,12 +59,16 @@ SUITE_SPECS: dict[str, list[str]] = {
         "a6b_approx_distinct_bound",
         "a8_cube",
         "a10_shape_profile",
+        "a11_percentiles",
+        "a12_corr_moments",
+        "a13_histogram",
     ],
-    # §2.5 dedup + §2.6 windows
+    # §2.5 dedup + §2.6 windows (+ near-dup cluster assignment)
     "rel_window_dedup_suite": [
         "d1_dedup_keep_first",
         "d2_dedup_pair_subset",
         "d3_distinct",
+        "dedup_clusters",
         "w1_surrogate_key",
         "w1b_surrogate_key_two_phase",
         "w2_category_codes",
@@ -90,12 +96,13 @@ SUITE_SPECS: dict[str, list[str]] = {
         "etl_dim_date",
         "etl_pipeline_counts",
     ],
-    # text analysis: counting / quality / fingerprint / sampling
+    # text analysis: counting / quality / fingerprint / sampling / tf-idf
     "text_profile_suite": [
         "text_token_count",
         "text_quality_score",
         "text_fingerprint",
         "text_stratified_sample",
+        "text_tfidf_topterms",
     ],
     # multimodal: frame sampling + decode->resize->sample chain
     "mm_media_suite": ["mm_frame_sample", "mm_resize_sample"],
