@@ -336,3 +336,67 @@ def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+STREAM_JOIN_WINDOW_S = 300  # same 5-minute proximity window as j_range_binned
+
+
+def stream_stream_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join: pairs of same-user events within
+    5 minutes, computed BY THE STREAMING ENGINE — the continuous twin of
+    the batch range join (operators/relational.j_range_binned).
+
+    Both sides carry a watermark; the join condition bounds b.ts to
+    [a.ts, a.ts + 5 min], so state for each side is dropped once the other
+    side's watermark passes the bound — bounded state at 100 TB/day, the
+    whole point of the time-bound form (an unbounded-condition
+    stream-stream join would buffer forever). ``a.event_id < b.event_id``
+    with a one-sided time bound emits each unordered pair once when event
+    ids ascend with time (true for the testdata generator and for any
+    monotonic event-id source; the batch twin uses the symmetric form).
+    AvailableNow drains the source, so the terminal output equals the
+    batch inner join — asserted in tests/test_streaming_join.py.
+    """
+    prepare(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ecomdw_stream_")
+    try:
+        a = (
+            _events_stream(spark, sf_dir, f"{tmp}/landing")
+            .select("event_id", "user_id", "ts")
+            .withWatermark("ts", "10 minutes")
+            .alias("a")
+        )
+        b = (
+            _events_stream(spark, sf_dir, f"{tmp}/landing")
+            .select("event_id", "user_id", "ts")
+            .withWatermark("ts", "10 minutes")
+            .alias("b")
+        )
+        pairs = a.join(
+            b,
+            F.expr(
+                f"""
+                a.user_id = b.user_id
+                AND a.event_id < b.event_id
+                AND b.ts >= a.ts
+                AND b.ts <= a.ts + interval {STREAM_JOIN_WINDOW_S} seconds
+                """
+            ),
+        ).select(
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            F.col("a.user_id").alias("user_id"),
+        )
+        out = f"{tmp}/pairs"
+        (
+            pairs.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
