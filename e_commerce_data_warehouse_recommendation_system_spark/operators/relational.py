@@ -349,15 +349,23 @@ def asof_join(
 @register(
     "j_asof_event_order",
     bench=True,
+    # the ASOF inequality runs on epoch_us of both clocks: Spark compares
+    # ns->us-truncated timestamps, so the oracle must too (a TIMESTAMP_NS-
+    # reading DuckDB build would otherwise resolve sub-microsecond
+    # boundaries differently — same hardening as q_sessionize)
     oracle="""
-    WITH last_orders AS (
-      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
-      FROM orders GROUP BY o_custkey, o_orderdate
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+    ),
+    last_orders AS (
+      SELECT o_custkey, epoch_us(o_orderdate) AS odate_us,
+             MAX(o_orderkey) AS last_orderkey
+      FROM orders GROUP BY o_custkey, epoch_us(o_orderdate)
     )
     SELECT e.event_id, e.user_id, o.last_orderkey
-    FROM events e
+    FROM ev e
     ASOF LEFT JOIN last_orders o
-      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      ON e.user_id = o.o_custkey AND e.tus >= o.odate_us
     """,
 )
 def j_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -361,3 +361,82 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_TERMS)
         .select("doc_id", "tok", "tf", "df", "score", "rnk")
     )
+
+
+@component(
+    "text_repetition",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok,
+             generate_subscripts({_SQL_TOKENS}, 1) AS i
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    counts AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+    ),
+    stats AS (
+      SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_count,
+             COUNT(*) AS n_distinct
+      FROM counts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(s.top_count, 0) AS BIGINT) AS top_bigram_count,
+           CASE WHEN s.n_bigrams > 0
+                THEN CAST(s.top_count AS DOUBLE) / s.n_bigrams ELSE 0.0 END
+             AS top_bigram_ratio,
+           CASE WHEN s.n_bigrams > 0
+                THEN 1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_bigrams ELSE 0.0 END
+             AS dup_bigram_fraction
+    FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+    """,
+    cols=[
+        ("doc_id", "num"),
+        ("n_bigrams", "num"),
+        ("top_bigram_count", "num"),
+        ("top_bigram_ratio", "dbl"),
+        ("dup_bigram_fraction", "dbl"),
+    ],
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (the Gopher-style quality rule family): per doc,
+    the most-frequent bigram's share of all bigrams and the fraction of
+    duplicated bigrams — high values flag boilerplate/spam for training-data
+    filtering. One NGram pass + two aggregations, all shuffling on doc_id;
+    ratios are exact rationals of integer counts (engine-identical)."""
+    from pyspark.ml.feature import NGram
+
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    toks = d.select("doc_id", tokens("text").alias("toks"))
+    grams = NGram(n=2, inputCol="toks", outputCol="grams").transform(toks)
+    counts = (
+        grams.select("doc_id", F.explode("grams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_count"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    nb = F.col("n_bigrams")
+    return (
+        d.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(nb, F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("top_count", F.lit(0)).cast("bigint").alias("top_bigram_count"),
+            F.when(nb > 0, F.col("top_count").cast("double") / nb)
+            .otherwise(0.0)
+            .alias("top_bigram_ratio"),
+            F.when(nb > 0, 1.0 - F.col("n_distinct").cast("double") / nb)
+            .otherwise(0.0)
+            .alias("dup_bigram_fraction"),
+        )
+    )

@@ -314,21 +314,28 @@ def q_pivot_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_funnel",
+    # stage comparisons run on epoch_us(ts): Spark compares ns->us-truncated
+    # timestamps, so the oracle must too — a DuckDB build reading
+    # TIMESTAMP_NS would otherwise resolve sub-microsecond ordering ties
+    # differently at stage boundaries (same hardening as q_sessionize)
     oracle="""
-    WITH v AS (
-      SELECT user_id, MIN(ts) AS t_view FROM events
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+    ),
+    v AS (
+      SELECT user_id, MIN(tus) AS t_view FROM e
       WHERE event_type = 'view' GROUP BY user_id
     ),
     c AS (
-      SELECT e.user_id, MIN(e.ts) AS t_click
-      FROM events e JOIN v ON e.user_id = v.user_id
-      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      SELECT e.user_id, MIN(e.tus) AS t_click
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.tus >= v.t_view
       GROUP BY e.user_id
     ),
     p AS (
-      SELECT e.user_id, MIN(e.ts) AS t_purchase
-      FROM events e JOIN c ON e.user_id = c.user_id
-      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      SELECT e.user_id, MIN(e.tus) AS t_purchase
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.tus >= c.t_click
       GROUP BY e.user_id
     )
     SELECT (SELECT COUNT(*) FROM v) AS n_viewed,

@@ -103,6 +103,7 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_fingerprint",
         "text_stratified_sample",
         "text_tfidf_topterms",
+        "text_repetition",
     ],
     # multimodal: frame sampling + decode->resize->sample chain
     "mm_media_suite": ["mm_frame_sample", "mm_resize_sample"],
