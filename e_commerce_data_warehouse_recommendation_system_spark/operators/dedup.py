@@ -349,23 +349,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Duplicate-cluster assignment (connected components over the near-dup graph)
 # --------------------------------------------------------------------------
 
-CC_MAX_ITERS = 20  # label propagation rounds; >= graph diameter in practice
+CC_MAX_ITERS = 40  # propagate+compress rounds: O(log diameter) suffices
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame, node_col: str = "node") -> DataFrame:
-    """Min-label propagation connected components: every node's label
-    converges to the smallest node id in its component — the cluster
-    assignment step after near-dup pair mining (keep one doc per cluster).
+    """Min-label propagation connected components with path compression:
+    every node's label converges to the smallest node id in its component —
+    the cluster assignment step after near-dup pair mining (keep one doc
+    per cluster).
 
-    Spark has no native CC (GraphFrames isn't on the classpath), so this is
-    the standard iterative join: each round, a node adopts
-    min(own label, neighbors' labels); converged when no label changes.
-    Rounds needed = graph diameter (near-dup clusters are shallow — a few
-    rounds). Per round: one shuffle join edges x labels + one aggregation;
-    ``localCheckpoint`` truncates the lineage so the plan stays O(1) per
-    round instead of growing exponentially. At 100 TB this is the same
-    loop large-scale dedup pipelines run; big-diameter graphs would swap
-    in alternating large/small-star steps, same join primitives.
+    Spark has no native CC (GraphFrames isn't on the classpath), so each
+    round does two join steps:
+
+    1. **propagate**: a node adopts min(own label, neighbors' labels) —
+       one shuffle join edges x labels + one aggregation;
+    2. **compress** (pointer jumping): ``label <- label[label]`` — one
+       labels-x-labels self-join, halving every label-chain.
+
+    Plain propagation alone needs rounds = graph DIAMETER (a 1000-node
+    chain would need 1000 rounds); with compression the chain length halves
+    each round, so convergence is O(log diameter) — the same guarantee as
+    the large-star/small-star formulation. Convergence is detected (no
+    label changed), and ``CC_MAX_ITERS`` is a log-scale backstop, not a
+    correctness bound for realistic graphs (2^40 diameter). Per round,
+    ``localCheckpoint`` truncates lineage so the plan stays O(1) instead of
+    growing with iterations.
     """
     sym = (
         edges.select(F.col("a"), F.col("b"))
@@ -381,17 +389,33 @@ def connected_components(nodes: DataFrame, edges: DataFrame, node_col: str = "no
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
+        propagated = (
+            labels.withColumnRenamed("label", "_old")
+            .join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
-                (F.coalesce("nmin", F.col("label")) < F.col("label")).alias("_chg"),
+                "_old",
+                F.least(F.col("_old"), F.coalesce("nmin", F.col("_old"))).alias("_mid"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_chg")).count()
-        labels = new_labels.drop("_chg")
+        # pointer jumping: follow one hop through the label table (labels
+        # are node ids, so label-of-label is well-defined); chains halve
+        parent = propagated.select(
+            F.col("node").alias("p_node"), F.col("_mid").alias("p_label")
+        )
+        compressed = (
+            propagated.join(parent, propagated._mid == parent.p_node, "left")
+            .select(
+                "node",
+                F.least(F.col("_mid"), F.coalesce("p_label", F.col("_mid"))).alias("label"),
+                (F.least(F.col("_mid"), F.coalesce("p_label", F.col("_mid"))) < F.col("_old")).alias(
+                    "_chg"
+                ),
+            )
+        )
+        compressed = compressed.localCheckpoint(eager=True)
+        changed = compressed.filter(F.col("_chg")).count()
+        labels = compressed.drop("_chg")
         if changed == 0:
             break
     return labels
