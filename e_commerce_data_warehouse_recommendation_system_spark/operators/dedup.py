@@ -457,3 +457,76 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_root")
     )
+
+
+# --------------------------------------------------------------------------
+# Decontamination: n-gram overlap against a benchmark probe set
+# --------------------------------------------------------------------------
+
+CONTAM_PROBE_MODULUS = 100  # doc_id % 100 == 0 plays the benchmark set
+CONTAM_THRESHOLD = 0.8  # >80% shingle overlap -> drop from training data
+
+
+@component(
+    "text_contamination",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    probe AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % {CONTAM_PROBE_MODULUS} = 0
+    ),
+    train AS (SELECT doc_id, s FROM sh WHERE doc_id % {CONTAM_PROBE_MODULUS} <> 0),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_hit
+      FROM train t JOIN probe p ON t.s = p.s
+      GROUP BY t.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM train GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(s.n AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_overlapping,
+           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n AS overlap_ratio,
+           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n > {CONTAM_THRESHOLD}
+             AS contaminated
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """,
+    cols=[
+        ("doc_id", "num"),
+        ("n_shingles", "num"),
+        ("n_overlapping", "num"),
+        ("overlap_ratio", "dbl"),
+        ("contaminated", "bool"),
+    ],
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of its
+    word 3-gram shingles that appear anywhere in the probe (benchmark) set —
+    docs above the threshold are flagged for removal before training. The
+    probe set is played by every 100th doc (deterministic stand-in for a
+    real eval suite). Shape: the shared shingle table split once, probe
+    shingles deduplicated (bounded by benchmark size — broadcastable in
+    practice), one equi-join on the shingle, one per-doc aggregation. At
+    100 TB the probe side is small by construction (benchmarks are MBs),
+    so the join is a broadcast over a single corpus scan — the standard
+    decontamination pass shape."""
+    prepare(spark, sf_dir)
+    sh = shingle_rows(spark).cache()  # two consumers: probe + train split
+    is_probe = F.col("doc_id") % CONTAM_PROBE_MODULUS == 0
+    probe = sh.filter(is_probe).select("s").distinct()
+    train = sh.filter(~is_probe)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    hits = (
+        train.join(F.broadcast(probe), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    ratio = F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n")
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_shingles"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_overlapping"),
+            ratio.alias("overlap_ratio"),
+            (ratio > CONTAM_THRESHOLD).alias("contaminated"),
+        )
+    )
