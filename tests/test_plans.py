@@ -101,3 +101,34 @@ def test_salted_join_matches_plain_join(spark):
     plain = sorted(map(tuple, fact.join(dim, "k").collect()))
     salted = sorted(map(tuple, salted_join(fact, dim, "k", n_salts=4).collect()))
     assert salted == plain
+
+
+def test_q3_dims_broadcast_fact_shuffles_once(spark):
+    """The flagship star join: nation/region ride broadcast joins; the only
+    hash exchanges are the fact-side orderkey join + the final agg."""
+    from e_commerce_data_warehouse_recommendation_system_spark import registry
+
+    df = registry.queries()["q3_revenue_by_region"](spark, SF0001)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, "nation/region must broadcast"
+
+
+def test_lang_id_lexicon_broadcasts(spark):
+    """The language-ID marker lexicon must never shuffle the exploded
+    token stream — broadcast join only."""
+    from e_commerce_data_warehouse_recommendation_system_spark import registry
+
+    df = registry.queries()["text_lang_id"](spark, SF0001)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_vocab_join_broadcasts(spark):
+    """tf-idf's document-frequency table is vocabulary-sized (bounded) and
+    must broadcast against the per-doc term frequencies."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        text_tfidf_topterms,
+    )
+
+    plan = _plan(text_tfidf_topterms(spark, SF0001))
+    assert "BroadcastHashJoin" in plan
