@@ -147,7 +147,10 @@ def _kind_metrics(col: str, kind: str) -> list[tuple[str, "Callable[[], Column]"
         return [
             (
                 f"sumb:{col}",
-                lambda c=col: F.sum(F.col(c).cast("long")).cast("double"),
+                # when/otherwise maps NULL -> 0 exactly like the SQL CASE;
+                # a bare SUM(CAST(col AS LONG)) would skip NULLs and return
+                # NULL on an all-NULL column while the oracle returns 0
+                lambda c=col: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("double"),
                 f"CAST(SUM(CASE WHEN {col} THEN 1 ELSE 0 END) AS DOUBLE)",
                 False,
             ),

@@ -175,7 +175,7 @@ def mm_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            scale = 224.0 / pdf[["fake_width", "fake_height"]].max(axis=1)
+            scale = float(RESIZE_TARGET) / pdf[["fake_width", "fake_height"]].max(axis=1)
             out = pdf[["doc_id", "byte_len"]].copy()
             out["resized_width"] = (pdf["fake_width"] * scale).astype("int32")
             out["resized_height"] = (pdf["fake_height"] * scale).astype("int32")

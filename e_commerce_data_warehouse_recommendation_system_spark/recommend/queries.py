@@ -122,6 +122,12 @@ def _artifacts(spark: SparkSession, sf_dir: str) -> dict:
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     if cache_key in _CACHE:
         return _CACHE[cache_key]
+    # evict entries from dead sessions: only the current application's
+    # artifacts can ever be reused, and each entry pins cached frames +
+    # memoized serving outputs — keeping them would grow driver memory with
+    # every session restart
+    for stale in [k for k in _CACHE if k[0] != cache_key[0]]:
+        del _CACHE[stale]
     from pyspark.ml.recommendation import ALS
 
     # cache: the interaction join feeds the two dictionary builds (whose
@@ -211,7 +217,10 @@ def _topk_recs(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
 def rec_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1: both encoding dictionaries, stacked (entity, original_id, idx)."""
     prepare(spark, sf_dir)
-    inter = interactions(spark)
+    # cache: each _encode runs an eager approxQuantile plus rank/offset jobs
+    # over this join — uncached, the orders ⋈ lineitem distinct re-executes
+    # per consumer (same reasoning as _artifacts)
+    inter = interactions(spark).cache()
     u = _encode(inter, "user_id", "idx").select(
         F.lit("user").alias("entity"), F.col("user_id").alias("original_id"), "idx"
     )

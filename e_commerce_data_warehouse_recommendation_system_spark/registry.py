@@ -113,7 +113,10 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    _LOADED = True  # set first: suites imports back into the registry
+    # (suites.py reads _COMPONENTS directly, never back through _load_all,
+    # so there is no re-entrancy; _LOADED flips only after every module
+    # imported cleanly — a failed import stays retryable instead of leaving
+    # a silently truncated registry.)
     import e_commerce_data_warehouse_recommendation_system_spark.plans.queries  # noqa: F401
     import e_commerce_data_warehouse_recommendation_system_spark.plans.etl  # noqa: F401
     import e_commerce_data_warehouse_recommendation_system_spark.operators.relational  # noqa: F401
@@ -126,3 +129,5 @@ def _load_all() -> None:
     import e_commerce_data_warehouse_recommendation_system_spark.streaming.queries  # noqa: F401
     import e_commerce_data_warehouse_recommendation_system_spark.sources.writer_queries  # noqa: F401
     import e_commerce_data_warehouse_recommendation_system_spark.suites  # noqa: F401
+
+    _LOADED = True

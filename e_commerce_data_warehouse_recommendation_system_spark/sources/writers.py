@@ -71,6 +71,17 @@ def merge_keys_condition(keys: list[str], target: str = "t", source: str = "s") 
     return " AND ".join(f"{target}.{k} = {source}.{k}" for k in keys)
 
 
+def parquet_target_exists(path: str) -> bool:
+    """Bootstrap probe shared by every parquet sink (batch ``upsert_path``
+    and the streaming foreachBatch merge): a committed parquet write always
+    leaves a _SUCCESS marker. Explicit check instead of read-and-catch so
+    batch 0 never logs a spurious stack trace. On object storage this
+    becomes a FileSystem.exists call — same contract."""
+    import os
+
+    return os.path.isdir(path) and os.path.exists(f"{path}/_SUCCESS")
+
+
 def upsert_path(spark, target_path: str, new: DataFrame, keys: list[str]) -> None:
     """Keyed upsert into a MATERIALIZED target path — the real
     partial-update lever when a transactional table format is available.
@@ -98,9 +109,7 @@ def upsert_path(spark, target_path: str, new: DataFrame, keys: list[str]) -> Non
         else:
             new.write.format("delta").mode("overwrite").save(target_path)
         return
-    import os
-
-    if os.path.isdir(target_path) and os.path.exists(f"{target_path}/_SUCCESS"):
+    if parquet_target_exists(target_path):
         old = spark.read.parquet(target_path)
         merged = upsert(old, new.select(*old.columns), keys)
     else:

@@ -34,7 +34,10 @@ from pyspark.sql import types as T
 from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar import dec_sum
 from e_commerce_data_warehouse_recommendation_system_spark.registry import register
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
-from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import upsert
+from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
+    parquet_target_exists,
+    upsert,
+)
 
 #: File-source schema: ts is declared LONG because events.parquet stores
 #: TIMESTAMP(NANOS) and the session reads nanos as raw longs
@@ -71,17 +74,6 @@ def _events_stream(spark: SparkSession, sf_dir: str, stage_dir: str) -> DataFram
     return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
-def _target_exists(out_dir: str) -> bool:
-    """Bootstrap probe for the local-path sink: a committed parquet write
-    always leaves a _SUCCESS marker. An explicit existence check (instead of
-    read-and-catch) keeps batch 0 from logging a spurious py4j stack trace
-    into the bench/driver output. On object storage this becomes a
-    FileSystem.exists call — same contract."""
-    import os
-
-    return os.path.isdir(out_dir) and os.path.exists(f"{out_dir}/_SUCCESS")
-
-
 def _run_foreach_batch_upsert(
     stream_df: DataFrame,
     keys: list[str],
@@ -108,7 +100,7 @@ def _run_foreach_batch_upsert(
         # can legitimately carry the same key twice (e.g. replayed files in
         # one trigger), so collapse within-batch duplicates first
         batch_df = batch_df.dropDuplicates(keys)
-        exists = _target_exists(out_dir)
+        exists = parquet_target_exists(out_dir)
         if partition_col is None:
             old = spark.read.parquet(out_dir) if exists else None
             merged = batch_df if old is None else upsert(old, batch_df, keys)
@@ -338,7 +330,11 @@ def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-STREAM_JOIN_WINDOW_S = 300  # same 5-minute proximity window as j_range_binned
+# the SAME 5-minute proximity window as the batch range join — imported,
+# not duplicated, so tuning one cannot silently break the batch/stream twin
+from e_commerce_data_warehouse_recommendation_system_spark.operators.relational import (  # noqa: E402
+    RANGE_JOIN_WINDOW_S as STREAM_JOIN_WINDOW_S,
+)
 
 
 def stream_stream_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
