@@ -396,3 +396,31 @@ def stream_stream_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str, stage_dir: str, out_dir: str, checkpoint: str) -> None:
+    """Streaming deduplication: ``dropDuplicatesWithinWatermark`` on
+    event_id — the at-least-once -> exactly-once repair stage for sources
+    that can replay (Kafka redelivery, file re-drops). Unlike plain
+    ``dropDuplicates`` (whose key state grows forever), the watermark bound
+    lets the engine expire dedup state once event time passes — bounded
+    state on an unbounded stream. The landing directory may contain the
+    same records any number of times; the sink sees each event_id once per
+    watermark window. Asserted against the distinct batch count in
+    tests/test_streaming_dedup.py."""
+    events = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .parquet(stage_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    (
+        events.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
