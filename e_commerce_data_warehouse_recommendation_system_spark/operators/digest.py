@@ -52,6 +52,18 @@ from e_commerce_data_warehouse_recommendation_system_spark.registry import (
 
 _EPOCH = "DATE '1970-01-01'"
 
+#: dbl-digest saturation bound: DBL_CLAMP * 1e6 = 8e15 < 2^53, so the
+#: clamped micro-fold is exact in double on both engines.
+DBL_CLAMP = 8e9
+
+
+def _dbl_clamp(c: Column) -> Column:
+    """NULL-preserving clamp to ±DBL_CLAMP (greatest/least alone would map
+    NULL to the bound — both engines skip NULLs in GREATEST)."""
+    return F.when(
+        c.isNotNull(), F.least(F.greatest(c, F.lit(-DBL_CLAMP)), F.lit(DBL_CLAMP))
+    )
+
 
 def _kind_metrics(col: str, kind: str) -> list[tuple[str, "Callable[[], Column]", str, bool]]:
     """Metric spec per column kind: (metric, spark_expr_factory, sql_expr,
@@ -74,13 +86,24 @@ def _kind_metrics(col: str, kind: str) -> list[tuple[str, "Callable[[], Column]"
             ),
         ]
     if kind == "dbl":
+        # Clamp to ±DBL_CLAMP before the micro-fold so every intermediate
+        # stays an EXACT integer double (< 2^53): beyond that, Spark's
+        # floor(double)->LONG saturates while DuckDB floors in double, and
+        # double->decimal casts use shortest-repr vs exact-binary rules —
+        # found by the fuzzer (tests/test_digest_property.py). Out-of-range
+        # values saturate identically on both engines; real digest columns
+        # (prices, ratios, running sums) sit orders of magnitude inside.
+        clamp_sql = (
+            f"CASE WHEN {col} IS NOT NULL THEN "
+            f"LEAST(GREATEST({col}, -{DBL_CLAMP:.1f}), {DBL_CLAMP:.1f}) END"
+        )
         return [
             (
                 f"sumf:{col}",
                 lambda c=col: F.sum(
-                    F.floor(F.col(c) * 1000000).cast("decimal(38,0)")
+                    F.floor(_dbl_clamp(F.col(c)) * 1000000).cast("decimal(38,0)")
                 ).cast("double"),
-                f"CAST(SUM(CAST(FLOOR({col} * 1000000) AS DECIMAL(38,0))) AS DOUBLE)",
+                f"CAST(SUM(CAST(FLOOR(({clamp_sql}) * 1000000) AS DECIMAL(38,0))) AS DOUBLE)",
                 False,
             ),
             (
