@@ -1137,6 +1137,82 @@ def w4_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@component(
+    "w5_analytic_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) - CAST(LAG(o_orderdate) OVER w AS DATE) AS prev_gap_days,
+           LEAD(o_orderkey) OVER w AS next_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+           CAST(NTILE(4) OVER w AS INT) AS spend_quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    cols=[
+        ("o_custkey", "num"),
+        ("o_orderkey", "num"),
+        ("prev_gap_days", "num"),
+        ("next_orderkey", "num"),
+        ("first_orderkey", "num"),
+        ("spend_quartile", "num"),
+        ("pct_rank", "dbl"),
+        ("cume", "dbl"),
+    ],
+)
+def w5_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic-window surface beyond ranking (W-family extension):
+    lag/lead/first_value/ntile/percent_rank/cume_dist over each customer's
+    order timeline — one shuffle on the partition key, linear per-key
+    sweeps. The ORDER BY includes the unique orderkey, so frames have no
+    peer rows and every function is engine-deterministic."""
+    prepare(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate")
+    return spark.table("orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(d, F.lag(d).over(w)).alias("prev_gap_days"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.ntile(4).over(w).cast("int").alias("spend_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@component(
+    "a11b_approx_percentile_bound",
+    oracle="""
+    SELECT quantile_cont(o_totalprice, 0.5) AS exact_median,
+           TRUE AS approx_within_rank_bound
+    FROM orders
+    """,
+    cols=[("exact_median", "dbl"), ("approx_within_rank_bound", "bool")],
+)
+def a11b_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percentile sketch path's contract (the a6b pattern for
+    quantiles): ``approx_percentile`` (Greenwald-Khanna, mergeable — no
+    global sort at 100 TB) must land between the exact quantiles at
+    p ± 1/accuracy. The flag is computed from the genuine sketch value;
+    the exact median anchors the row."""
+    prepare(spark, sf_dir)
+    o = spark.table("orders")
+    agg = o.agg(
+        F.expr("approx_percentile(o_totalprice, 0.5, 100)").alias("approx"),
+        F.expr("percentile(o_totalprice, 0.49)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.51)").alias("hi"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
+    )
+    return agg.select(
+        "exact_median",
+        ((F.col("approx") >= F.col("lo")) & (F.col("approx") <= F.col("hi"))).alias(
+            "approx_within_rank_bound"
+        ),
+    )
+
+
 # ==========================================================================
 # SS2.7 Sorts / limits / top-k
 # ==========================================================================
@@ -1303,6 +1379,48 @@ def f_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(d, "EEEE").alias("day_name"),
         F.date_format(d, "MMMM").alias("month_name"),
         F.dayofweek(d).isin(1, 7).alias("is_weekend"),
+    )
+
+
+@component(
+    "f_advanced_strings",
+    oracle="""
+    SELECT c_custkey,
+           reverse(c_name) AS name_rev,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS segment_translated,
+           repeat(substr(c_name, 1, 2), 2) AS name_head_doubled,
+           split_part(c_name, '#', 2) AS name_suffix,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           CAST(levenshtein(c_mktsegment, 'MACHINERY') AS INT) AS seg_edit_distance
+    FROM customer
+    """,
+    cols=[
+        ("c_custkey", "num"),
+        ("name_rev", "str"),
+        ("segment_translated", "str"),
+        ("name_head_doubled", "str"),
+        ("name_suffix", "str"),
+        ("name_digits", "str"),
+        ("seg_edit_distance", "num"),
+    ],
+)
+def f_advanced_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family extension: reverse / translate / repeat / split_part /
+    regexp_extract / levenshtein — verified engine-identical (including
+    regexp_extract's empty-string no-match and the Levenshtein DP). All
+    codegen'd Column expressions; levenshtein is the fuzzy-match primitive
+    for entity resolution at scale (pair it with a blocking join, never
+    all-pairs)."""
+    prepare(spark, sf_dir)
+    c = spark.table("customer")
+    return c.select(
+        "c_custkey",
+        F.reverse("c_name").alias("name_rev"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("segment_translated"),
+        F.repeat(F.substring("c_name", 1, 2), 2).alias("name_head_doubled"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_suffix"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.levenshtein("c_mktsegment", F.lit("MACHINERY")).cast("int").alias("seg_edit_distance"),
     )
 
 

@@ -62,6 +62,7 @@ SUITE_SPECS: dict[str, list[str]] = {
         "a11_percentiles",
         "a12_corr_moments",
         "a13_histogram",
+        "a11b_approx_percentile_bound",
     ],
     # §2.5 dedup + §2.6 windows (+ near-dup cluster assignment)
     "rel_window_dedup_suite": [
@@ -74,6 +75,7 @@ SUITE_SPECS: dict[str, list[str]] = {
         "w2_category_codes",
         "w3_topk_per_group",
         "w4_running_total",
+        "w5_analytic_functions",
     ],
     # §2.7 sorts/limits + §2.8 set ops + §2.9 scalar functions
     "rel_set_sort_func_suite": [
@@ -83,6 +85,7 @@ SUITE_SPECS: dict[str, list[str]] = {
         "so3_union_distinct",
         "f_string_functions",
         "f_date_functions",
+        "f_advanced_strings",
     ],
     # catalog introspection + the raw-SQL surface
     "rel_catalog_sql_suite": ["s4_adhoc_sql", "s14_list_tables", "s15_describe_table"],
