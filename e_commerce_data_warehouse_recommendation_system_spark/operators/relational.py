@@ -1481,22 +1481,23 @@ def s4_adhoc_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @component(
     "s15_describe_table",
+    # DESCRIBE, not information_schema: it works however the harness
+    # registered the view (CREATE VIEW, python register(), table, subquery)
     oracle="""
     SELECT column_name,
            CASE
-             WHEN data_type IN ('BIGINT','INTEGER','SMALLINT','TINYINT',
-                                'HUGEINT','UBIGINT','UINTEGER','USMALLINT','UTINYINT')
+             WHEN column_type IN ('BIGINT','INTEGER','SMALLINT','TINYINT',
+                                  'HUGEINT','UBIGINT','UINTEGER','USMALLINT','UTINYINT')
                   THEN 'integer'
-             WHEN data_type IN ('DOUBLE','FLOAT','REAL') THEN 'floating'
-             WHEN data_type LIKE 'DECIMAL%' THEN 'decimal'
-             WHEN data_type = 'VARCHAR' THEN 'string'
-             WHEN data_type LIKE 'TIMESTAMP%' THEN 'timestamp'
-             WHEN data_type = 'DATE' THEN 'date'
-             WHEN data_type LIKE '%[]' THEN 'array'
+             WHEN column_type IN ('DOUBLE','FLOAT','REAL') THEN 'floating'
+             WHEN column_type LIKE 'DECIMAL%' THEN 'decimal'
+             WHEN column_type = 'VARCHAR' THEN 'string'
+             WHEN column_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+             WHEN column_type = 'DATE' THEN 'date'
+             WHEN column_type LIKE '%[]' THEN 'array'
              ELSE 'other'
            END AS type_class
-    FROM information_schema.columns
-    WHERE table_name = 'orders'
+    FROM (DESCRIBE orders)
     """,
     cols=[("column_name", "str"), ("type_class", "str")],
 )
