@@ -1183,6 +1183,50 @@ def w5_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @component(
+    "w6_rolling_7day_revenue",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day_num,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8)))
+                OVER (PARTITION BY o_custkey ORDER BY day_num
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS revenue_7d
+    FROM o
+    """,
+    cols=[("o_custkey", "num"), ("o_orderkey", "num"), ("revenue_7d", "dbl")],
+)
+def w6_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling aggregate (W-family extension): each order's
+    trailing-7-day customer revenue via a RANGE frame over day numbers —
+    the moving-metric shape every dashboard needs. RANGE frames include
+    peer rows (same customer, same day), so both engines produce identical
+    sums for tied rows; decimal accumulation keeps them exact. One shuffle
+    on the partition key, linear per-key sweep."""
+    prepare(spark, sf_dir)
+    o = spark.table("orders").withColumn(
+        "day_num", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+        .over(w)
+        .cast("double")
+        .alias("revenue_7d"),
+    )
+
+
+@component(
     "a11b_approx_percentile_bound",
     oracle="""
     SELECT quantile_cont(o_totalprice, 0.5) AS exact_median,

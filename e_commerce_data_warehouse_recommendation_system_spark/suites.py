@@ -76,6 +76,7 @@ SUITE_SPECS: dict[str, list[str]] = {
         "w3_topk_per_group",
         "w4_running_total",
         "w5_analytic_functions",
+        "w6_rolling_7day_revenue",
     ],
     # §2.7 sorts/limits + §2.8 set ops + §2.9 scalar functions
     "rel_set_sort_func_suite": [

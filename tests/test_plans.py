@@ -132,3 +132,24 @@ def test_tfidf_vocab_join_broadcasts(spark):
 
     plan = _plan(text_tfidf_topterms(spark, SF0001))
     assert "BroadcastHashJoin" in plan
+
+
+def test_partitioned_fact_gets_partition_pruning(spark):
+    """The ETL fact is written partitioned by order_year; a year predicate
+    must prune partitions at planning time (PartitionFilters), not scan
+    all years and filter rows."""
+    tmp = tempfile.mkdtemp(prefix="ecomdw_test_prune_")
+    try:
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") % 4 + 2020).alias("order_year")
+        )
+        df.write.mode("overwrite").partitionBy("order_year").parquet(tmp)
+        read = spark.read.parquet(tmp).filter(F.col("order_year") == 2021)
+        plan = read._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and "order_year" in pf[0], "year predicate must reach PartitionFilters"
+        assert read.count() == 250
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
