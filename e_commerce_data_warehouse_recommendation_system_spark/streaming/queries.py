@@ -424,3 +424,33 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str, stage_dir: str, out_di
         .start()
         .awaitTermination()
     )
+
+
+def stream_enrich_events(spark: SparkSession, sf_dir: str, stage_dir: str, out_dir: str, checkpoint: str) -> None:
+    """Stream-static enrichment join: the event stream joined to the static
+    customer dimension (user -> market segment) — the standard streaming
+    dimension-lookup pattern. The static side is a bounded dim, so Catalyst
+    plans a broadcast hash join against every micro-batch; no stream state
+    is kept at all (unlike stream-stream joins). At 100 TB/day of events
+    the dim refreshes by swapping the static table between restarts (or a
+    foreachBatch re-read for slowly changing dims). Asserted equal to the
+    batch join in tests/test_streaming_enrich.py."""
+    customer = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    events = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .parquet(stage_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    enriched = events.join(F.broadcast(customer), "user_id", "left")
+    (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
