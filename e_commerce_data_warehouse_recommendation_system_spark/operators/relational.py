@@ -1227,6 +1227,45 @@ def w6_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @component(
+    "w7_windowed_distinct_count",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority,
+             DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS dr
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(MAX(dr) OVER (PARTITION BY o_custkey) AS INT) AS n_distinct_priorities
+    FROM ranked
+    """,
+    cols=[("o_custkey", "num"), ("o_orderkey", "num"), ("n_distinct_priorities", "num")],
+)
+def w7_windowed_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a window — neither engine supports
+    COUNT(DISTINCT) OVER directly, so this is the standard two-window
+    rewrite: dense_rank within the partition ordered by the value, then
+    max(dense_rank) over the partition. Both windows share the partition
+    key, so the whole thing costs ONE shuffle (Catalyst reuses the
+    exchange) plus two linear sweeps."""
+    prepare(spark, sf_dir)
+    w_rank = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    w_part = Window.partitionBy("o_custkey")
+    return (
+        spark.table("orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.dense_rank().over(w_rank).alias("dr"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.max("dr").over(w_part).cast("int").alias("n_distinct_priorities"),
+        )
+    )
+
+
+@component(
     "a11b_approx_percentile_bound",
     oracle="""
     SELECT quantile_cont(o_totalprice, 0.5) AS exact_median,

@@ -77,6 +77,7 @@ SUITE_SPECS: dict[str, list[str]] = {
         "w4_running_total",
         "w5_analytic_functions",
         "w6_rolling_7day_revenue",
+        "w7_windowed_distinct_count",
     ],
     # §2.7 sorts/limits + §2.8 set ops + §2.9 scalar functions
     "rel_set_sort_func_suite": [
