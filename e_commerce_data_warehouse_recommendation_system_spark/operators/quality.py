@@ -64,11 +64,14 @@ def validate(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
     "dq_orders_checks",
     oracle="""
     WITH agg AS (
-      SELECT SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS r0,
+      -- DuckDB types SUM(<integer>) as HUGEINT (int128); Spark returns BIGINT.
+      -- The driver's value hash is type-sensitive, so every integer SUM must
+      -- be cast back to BIGINT to hash-match the Spark long.
+      SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r0,
              COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS r1,
-             SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS r2,
-             SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS r3,
-             SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[0-9]-') THEN 1 ELSE 0 END) AS r4
+             CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+             CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[0-9]-') THEN 1 ELSE 0 END) AS BIGINT) AS r4
       FROM orders
     )
     SELECT 'not_null(o_orderkey)' AS rule, r0 AS violations FROM agg

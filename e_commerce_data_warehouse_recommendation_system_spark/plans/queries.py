@@ -441,7 +441,10 @@ _SESSIONIZE_ORACLE = f"""
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
     )
-    SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+    -- CAST: DuckDB types SUM(<integer>) as HUGEINT; Spark returns BIGINT and
+    -- the driver hash is type-sensitive, so cast back to BIGINT.
+    SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
     FROM marked GROUP BY user_id
 """
 

@@ -202,28 +202,17 @@ def stream_event_daily_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-SESSION_GAP_US = 30 * 60 * 1_000_000
+from e_commerce_data_warehouse_recommendation_system_spark.plans.queries import (  # noqa: E402
+    SESSION_GAP_US,
+    _SESSIONIZE_ORACLE,
+)
 
 
 @register(
     "stream_sessionize_stateful",
-    # identical oracle to q_sessionize: epoch_us ordering/diffing so a
-    # TIMESTAMP_NS-reading DuckDB build can't diverge from Spark's us clock
-    oracle=f"""
-    WITH e AS (
-      SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
-    ),
-    marked AS (
-      SELECT user_id,
-             CASE WHEN LAG(tus) OVER w IS NULL
-                    OR tus - LAG(tus) OVER w > {SESSION_GAP_US}
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM e
-      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
-    )
-    SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
-    FROM marked GROUP BY user_id
-    """,
+    # identical oracle to q_sessionize, imported (not duplicated) so fixes
+    # like the epoch_us truncation and the BIGINT cast land in one place
+    oracle=_SESSIONIZE_ORACLE,
 )
 def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
