@@ -44,6 +44,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
+    # Bench-only workloads: each may declare an off-the-clock warmup (e.g.
+    # the ALS fit feeding a serving benchmark) so every number measures ONE
+    # workload, not a composite of training + serving + verification.
+    for name, wl in registry.bench_workloads().items():
+        if wl.warmup is not None:
+            wl.warmup(spark, sf_dir)
+        t0 = time.perf_counter()
+        n = wl.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -26,7 +26,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+    bench_workload,
+    register,
+)
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
 
 TOPK = 5
@@ -196,6 +199,7 @@ def sim_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.select("vec_id", "nrm", unit_head.alias("unit_head"))
 
 
+@bench_workload("sim_ann_ivf", warmup=lambda spark, sf_dir: prepare(spark, sf_dir))
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF (inverted-file) cells — the trained-partitioning scale
     path next to the LSH variant: KMeans(seed=42) centroids, every vector
@@ -254,6 +258,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@bench_workload("sim_ann_lsh", warmup=lambda spark, sf_dir: prepare(spark, sf_dir))
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via MULTI-TABLE sign-random-projection LSH — the scale path.
 
@@ -367,7 +372,6 @@ def _recall_vs_exact(exact: DataFrame, approx: DataFrame) -> Column:
            CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % {QUERY_MODULUS} = 0) AS BIGINT),
            TRUE
     """,
-    bench=True,
 )
 def sim_ann_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN ladder's oracle row: run BOTH approximate paths (multi-table
@@ -376,8 +380,9 @@ def sim_ann_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     are algorithm-specific (hence not SQL-expressible), but the floors —
     LSH >= {LSH_RECALL_FLOOR}, IVF >= {IVF_RECALL_FLOOR} — are the
     regression contract, computed from genuine recall, so a broken bucket
-    join flips this digest red. Benchmarked: this IS the ANN workload
-    (exact baseline + both approximate paths)."""
+    join flips this digest red. Benchmarked via the split sim_ann_lsh /
+    sim_ann_ivf workloads (exact baseline has its own sim_cosine_topk
+    slot) — this digest verifies, it is not what the clock measures."""
     prepare(spark, sf_dir)
     exact = sim_cosine_topk(spark, sf_dir).cache()
     lsh_recall = _recall_vs_exact(exact, sim_ann_lsh_topk(spark, sf_dir))

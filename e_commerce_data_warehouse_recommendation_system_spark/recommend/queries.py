@@ -55,7 +55,11 @@ from pyspark.sql.window import Window
 from e_commerce_data_warehouse_recommendation_system_spark.operators.relational import (
     surrogate_key,
 )
-from e_commerce_data_warehouse_recommendation_system_spark.registry import component, register
+from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+    bench_workload,
+    component,
+    register,
+)
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
 
 RANK = 16
@@ -162,18 +166,11 @@ def _artifacts(spark: SparkSession, sf_dir: str) -> dict:
     return art
 
 
-def _topk_recs(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
-    """M4/M5: batch top-k for every trained user, decoded back to natural
-    ids (the inverse_transform step, reference: mf_knn_recommender.py:276).
-
-    Memoized per (session, sf_dir, k) in the artifact cache:
-    ``recommendForAllUsers`` is the most expensive serving op and feeds the
-    serving digest, the eval stack, coverage, AND the MMR pool — without
-    the cache each consumer re-runs the factor cross-product."""
+def _serve_all(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """M4/M5 serving plan, built fresh (no memoization): batch top-k for
+    every trained user, decoded back to natural ids (the inverse_transform
+    step, reference: mf_knn_recommender.py:276)."""
     art = _artifacts(spark, sf_dir)
-    memo_key = f"recs_k{k}"
-    if memo_key in art:
-        return art[memo_key]
     recs = art["model"].recommendForAllUsers(k)
     exploded = recs.select(
         "user_idx", F.posexplode("recommendations").alias("rnk0", "rec")
@@ -183,14 +180,87 @@ def _topk_recs(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
         F.col("rec.item_idx").alias("item_idx"),
         F.col("rec.rating").alias("score"),
     )
-    out = (
+    return (
         exploded.join(F.broadcast(art["users"]), "user_idx")
         .join(F.broadcast(art["items"]), "item_idx")
         .select("user_id", "item_id", "rnk", "score")
-        .cache()
     )
+
+
+def _topk_recs(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Memoized wrapper around :func:`_serve_all`, per (session, sf_dir, k):
+    ``recommendForAllUsers`` is the most expensive serving op and feeds the
+    serving digest, the eval stack, coverage, AND the MMR pool — without
+    the cache each consumer re-runs the factor cross-product."""
+    art = _artifacts(spark, sf_dir)
+    memo_key = f"recs_k{k}"
+    if memo_key in art:
+        return art[memo_key]
+    out = _serve_all(spark, sf_dir, k).cache()
     art[memo_key] = out
     return out
+
+
+# --------------------------------------------------------------------------
+# Bench workloads: the r3 rec_als_topk bench slot timed fit + both serving
+# paths + contract aggregations in one number. These split it so BENCH
+# measures one workload each; the correctness digest (rec_als_topk) stays a
+# driver slot but is no longer what the benchmark times.
+# --------------------------------------------------------------------------
+
+
+def _warm_model(spark: SparkSession, sf_dir: str) -> None:
+    """Off-the-clock warmup: make sure the fitted model + dictionaries are
+    in the artifact cache so serving benchmarks time serving only."""
+    prepare(spark, sf_dir)
+    _artifacts(spark, sf_dir)
+
+
+@bench_workload("rec_als_fit", warmup=lambda spark, sf_dir: prepare(spark, sf_dir))
+def rec_als_fit_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 alone: encode interactions + fit implicit ALS, cold (deliberately
+    bypasses the artifact cache so the number is a real fit regardless of
+    what ran earlier in the bench session). Returns the item-factor frame —
+    counting it is O(n_items) and adds nothing to the fit cost."""
+    from pyspark.ml.recommendation import ALS
+
+    inter = interactions(spark).cache()
+    users = _encode(inter, "user_id", "user_idx")
+    items = _encode(inter, "item_id", "item_idx")
+    train = (
+        inter.join(users, "user_id")
+        .join(items, "item_id")
+        .withColumn("rating", F.lit(1.0))
+        .withColumn("bucket", _split_bucket("user_id", "item_id"))
+        .filter(~F.col("bucket").isin(*_TEST_DIGITS))
+    )
+    als = ALS(
+        rank=RANK,
+        maxIter=MAX_ITER,
+        regParam=REG,
+        implicitPrefs=True,
+        seed=SEED,
+        userCol="user_idx",
+        itemCol="item_idx",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(train)
+    return model.itemFactors.select("id")
+
+
+@bench_workload("rec_als_serve_all", warmup=_warm_model)
+def rec_als_serve_all_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 alone: ``recommendForAllUsers`` + dictionary decode on an
+    already-fitted model (fit happens in the off-clock warmup)."""
+    return _serve_all(spark, sf_dir)
+
+
+@bench_workload("rec_als_serve_subset", warmup=_warm_model)
+def rec_als_serve_subset_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 alone: ``recommendForUserSubset`` for the deterministic every-50th
+    user subset, on an already-fitted model."""
+    return rec_user_topk(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -299,7 +369,6 @@ def rec_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rec_als_topk",
-    bench=True,
     oracle=f"""
     WITH inter AS ({_SQL_INTERACTIONS}),
     train AS (
@@ -325,8 +394,9 @@ def rec_als_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks 1..k, every recommended item inside the catalog dictionary, and
     the subset path covering exactly the trained subset users. Scores are
     algorithm-specific (never hashed); every flag is computed from the real
-    recommendations, so a serving bug flips this row red. Benchmarked: this
-    IS the ALS fit + both serving paths."""
+    recommendations, so a serving bug flips this row red. Benchmarked via
+    the split rec_als_fit / rec_als_serve_all / rec_als_serve_subset
+    workloads — this digest verifies, it is not what the clock measures."""
     prepare(spark, sf_dir)
     art = _artifacts(spark, sf_dir)
     recs = _topk_recs(spark, sf_dir)  # memoized + cached in the artifact store

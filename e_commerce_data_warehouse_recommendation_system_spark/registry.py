@@ -35,6 +35,42 @@ _BENCH: list[str] = []
 
 
 @dataclass(frozen=True)
+class BenchWorkload:
+    """A bench-only timed workload (NOT a driver correctness slot).
+
+    ``warmup`` runs OFF the clock before timing — it hoists shared fixed
+    costs (e.g. an ALS fit feeding a serving benchmark) out of the timed
+    region so BENCH_r{N} numbers measure one workload each, not a composite
+    of training + serving + contract verification."""
+
+    fn: QueryFn
+    warmup: Callable[[SparkSession, str], None] | None = None
+
+
+_BENCH_WORKLOADS: dict[str, BenchWorkload] = {}
+
+
+def bench_workload(name: str, warmup: Callable[[SparkSession, str], None] | None = None):
+    """Decorator: register a bench-only workload timed by bench.py.
+
+    Unlike ``register(bench=True)`` these never consume a driver
+    correctness slot — they exist so composite correctness digests (which
+    verify several paths in one query) don't force the benchmark to time
+    verification work alongside the workload it reports on."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _BENCH_WORKLOADS[name] = BenchWorkload(fn, warmup)
+        return fn
+
+    return deco
+
+
+def bench_workloads() -> dict[str, BenchWorkload]:
+    _load_all()
+    return dict(_BENCH_WORKLOADS)
+
+
+@dataclass(frozen=True)
 class Component:
     """A micro-operator: full query fn + full-result DuckDB oracle + a
     column spec (name, kind) used to build its digest inside a suite.
