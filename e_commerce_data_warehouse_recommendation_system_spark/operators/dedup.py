@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
     cosine_pairs,
+    cosine_pairs_lsh,
+    cosine_pairs_lsh_sql,
     cosine_pairs_sql,
 )
 from e_commerce_data_warehouse_recommendation_system_spark.operators.text import tokens
@@ -334,13 +336,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_DUP_THRESHOLD = 0.35  # synthetic embeddings have no planted dups; this
 # threshold exercises the operator on the densest tail (max cosine ~0.51)
 
+# OR-amplified multi-table banding for the registered near-dup miner. More
+# tables -> higher recall vs the exact twin; more planes/table -> smaller
+# buckets (at real corpus scale planes_per_table grows with log(n) so bucket
+# occupancy stays bounded).
+DUP_LSH_TABLES = 8
+DUP_LSH_PLANES_PER_TABLE = 4
 
-@register("dedup_embedding_cosine", oracle=cosine_pairs_sql(COSINE_DUP_THRESHOLD))
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=cosine_pairs_lsh_sql(
+        COSINE_DUP_THRESHOLD, DUP_LSH_TABLES, DUP_LSH_PLANES_PER_TABLE
+    ),
+)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: all pairs with cosine >= threshold. Reuses the
-    similarity module's exact pair machinery (decimal-accumulated dot
-    products). The LSH-bucketed variant in operators/similarity.py is the
-    scale path; this exact form is the verification twin."""
+    """Embedding near-dup, BUCKETED (the 100 TB shape): sign-LSH candidates
+    (same bucket in ANY of the DUP_LSH_TABLES tables, OR-amplified) are
+    exact-verified with the decimal cosine — the candidate join shuffles on
+    (table, bucket), never the O(n^2) pair space. Deterministic end-to-end
+    (data-derived hyperplanes), so the oracle replicates the banding and the
+    check is full-fidelity. The exact all-pairs twin stays oracle-checked as
+    the dedup_embedding_exact component (reference analog: the similarity
+    machinery of mf_knn_recommender.py:507-508)."""
+    prepare(spark, sf_dir)
+    return cosine_pairs_lsh(
+        spark, COSINE_DUP_THRESHOLD, DUP_LSH_TABLES, DUP_LSH_PLANES_PER_TABLE
+    )
+
+
+@component(
+    "dedup_embedding_exact",
+    oracle=cosine_pairs_sql(COSINE_DUP_THRESHOLD),
+    cols=[("id_a", "num"), ("id_b", "num"), ("cosine", "dbl")],
+)
+def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs twin of dedup_embedding_cosine: every pair with
+    cosine >= threshold via the O(n^2) self-join — verification scale only
+    (the registered operator mines the same pairs through LSH buckets)."""
     prepare(spark, sf_dir)
     return cosine_pairs(spark, COSINE_DUP_THRESHOLD)
 

@@ -258,6 +258,140 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_membership(vecs: DataFrame, n_tables: int, planes_per_table: int) -> DataFrame:
+    """Multi-table sign-LSH bucket membership: (vec_id, tbl, bucket).
+
+    Hyperplanes are data-derived deterministically (the ``n_tables *
+    planes_per_table`` lowest vec_ids — no driver-side randomness), so the
+    DuckDB twin (:func:`cosine_pairs_lsh_sql`) reproduces the buckets
+    bit-for-bit: the sign decision runs on the decimal-exact dot product in
+    both engines. Shared by the ANN top-k path and the embedding near-dup
+    candidate generator. Shuffles (vec_id, plane_id, bit) rows only — never
+    float arrays."""
+    n_planes = n_tables * planes_per_table
+    planes = (
+        vecs.orderBy("vec_id")
+        .limit(n_planes)
+        .select(F.col("vec_id").alias("plane_id"), F.col("v").alias("pv"))
+    )
+    bits = vecs.join(F.broadcast(planes)).select(
+        "vec_id",
+        "plane_id",
+        F.when(_dot(F.col("v"), F.col("pv")) >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
+    )
+    bit_arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("plane_id", "bit"))), lambda s: s["bit"]
+    )
+    sigs = bits.groupBy("vec_id").agg(bit_arr.alias("bits"))
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.concat_ws(
+                    "",
+                    *[
+                        F.element_at("bits", t * planes_per_table + j + 1)
+                        for j in range(planes_per_table)
+                    ],
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return sigs.select("vec_id", F.explode(tables).alias("tb")).select(
+        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def _lsh_planes_sql(n_tables: int, planes_per_table: int) -> str:
+    """DuckDB CTE fragments reproducing :func:`lsh_membership` exactly."""
+    n_planes = n_tables * planes_per_table
+    return f"""
+    planes AS (
+      SELECT vec_id AS plane_id,
+             ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS plane_pos
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_planes})
+    ),
+    bits AS (
+      SELECT e.vec_id, p.plane_pos,
+             CASE WHEN CAST(SUM(CAST(e.x * pe.x AS DECIMAL(30,12))) AS DOUBLE) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM elems e
+      JOIN planes p ON TRUE
+      JOIN elems pe ON pe.vec_id = p.plane_id AND pe.i = e.i
+      GROUP BY e.vec_id, p.plane_pos
+    ),
+    membership AS (
+      SELECT vec_id,
+             CAST(FLOOR(plane_pos / {planes_per_table}) AS INT) AS tbl,
+             STRING_AGG(bit, '' ORDER BY plane_pos) AS bucket
+      FROM bits
+      GROUP BY vec_id, CAST(FLOOR(plane_pos / {planes_per_table}) AS INT)
+    )"""
+
+
+def cosine_pairs_lsh(
+    spark: SparkSession, threshold: float, n_tables: int, planes_per_table: int
+) -> DataFrame:
+    """Bucketed near-dup pair mining: sign-LSH candidates (same bucket in
+    ANY table), then exact decimal cosine on the candidates only — the
+    100 TB shape: the candidate join shuffles on (table, bucket), never the
+    O(n^2) pair space. Deterministic (data-derived planes), so the DuckDB
+    twin :func:`cosine_pairs_lsh_sql` reproduces it bit-for-bit. Recall vs
+    the exact all-pairs twin is tuned by tables x planes (OR-amplification);
+    the exact form stays available as :func:`cosine_pairs` for
+    verification scale."""
+    vecs = vectors_with_norms(spark).cache()
+    membership = lsh_membership(vecs, n_tables, planes_per_table)
+    a = membership.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+    b = membership.select(F.col("vec_id").alias("id_b"), "tbl", "bucket")
+    candidates = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = candidates.join(va, "id_a").join(vb, "id_b")
+    cos_fast = _dot_fast(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    survivors = pairs.filter(cos_fast >= threshold - 1e-6)
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return survivors.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def cosine_pairs_lsh_sql(threshold: float, n_tables: int, planes_per_table: int) -> str:
+    """DuckDB oracle for the BUCKETED pair miner: identical plane choice,
+    sign bits, table buckets, candidate set, and exact cosine — a
+    full-fidelity differential test of the bucketed algorithm itself."""
+    return f"""
+    WITH elems AS ({_SQL_ELEMS}),
+    norms AS ({_SQL_NORMS}),
+    {_lsh_planes_sql(n_tables, planes_per_table)},
+    candidates AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM membership a
+      JOIN membership b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                       AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM candidates c
+      JOIN elems ea ON ea.vec_id = c.id_a
+      JOIN elems eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots
+    JOIN norms na ON id_a = na.vec_id
+    JOIN norms nb ON id_b = nb.vec_id
+    WHERE dot / (na.nrm * nb.nrm) >= {threshold}
+    """
+
+
 @bench_workload("sim_ann_lsh", warmup=lambda spark, sf_dir: prepare(spark, sf_dir))
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via MULTI-TABLE sign-random-projection LSH — the scale path.
@@ -278,39 +412,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prepare(spark, sf_dir)
     vecs = vectors_with_norms(spark).cache()  # planes + bits + candidate rerank
-    planes = (
-        vecs.orderBy("vec_id")
-        .limit(LSH_PLANES)
-        .select(F.col("vec_id").alias("plane_id"), F.col("v").alias("pv"))
-    )
-    # sign bits: shuffles only (vec_id, plane_id, bit) — never float arrays
-    bits = vecs.join(F.broadcast(planes)).select(
-        "vec_id",
-        "plane_id",
-        F.when(_dot(F.col("v"), F.col("pv")) >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
-    )
-    bit_arr = F.transform(
-        F.array_sort(F.collect_list(F.struct("plane_id", "bit"))), lambda s: s["bit"]
-    )
-    sigs = bits.groupBy("vec_id").agg(bit_arr.alias("bits"))
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                F.concat_ws(
-                    "",
-                    *[
-                        F.element_at("bits", t * LSH_PLANES_PER_TABLE + j + 1)
-                        for j in range(LSH_PLANES_PER_TABLE)
-                    ],
-                ).alias("bucket"),
-            )
-            for t in range(LSH_TABLES)
-        ]
-    )
-    membership = sigs.select("vec_id", F.explode(tables).alias("tb")).select(
-        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
-    )
+    membership = lsh_membership(vecs, LSH_TABLES, LSH_PLANES_PER_TABLE)
     a = membership.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )

@@ -70,6 +70,7 @@ SUITE_SPECS: dict[str, list[str]] = {
         "d2_dedup_pair_subset",
         "d3_distinct",
         "dedup_clusters",
+        "dedup_embedding_exact",
         "w1_surrogate_key",
         "w1b_surrogate_key_two_phase",
         "w2_category_codes",

@@ -153,3 +153,24 @@ def test_partitioned_fact_gets_partition_pruning(spark):
         assert read.count() == 250
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_embedding_neardup_joins_on_buckets_not_pairs(spark):
+    """The registered embedding near-dup must generate candidates through
+    the LSH bucket join — a corpus x corpus nested-loop/cartesian pair space
+    is the scale-killer this operator exists to avoid. The only nested-loop
+    allowed is the deliberate planes broadcast (a bounded ~32-row side)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.dedup import (
+        dedup_embedding_cosine,
+    )
+
+    plan = _plan(dedup_embedding_cosine(spark, SF0001))
+    assert "CartesianProduct" not in plan
+    # candidate generation joins on the (tbl, bucket) keys
+    assert "tbl" in plan and "bucket" in plan
+    # every corpus-sized join is hash/sort-merge keyed, so the pair space is
+    # bucket-restricted; the nested-loop joins in the plan are the planes
+    # broadcast inside lsh_membership (BuildRight of a limit-32 side)
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight" in line
