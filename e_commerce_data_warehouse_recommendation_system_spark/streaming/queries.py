@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar import dec_sum
-from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.registry import component, register
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
 from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
     parquet_target_exists,
@@ -112,6 +112,16 @@ def _run_foreach_batch_upsert(
         touched = [
             r[0] for r in batch_df.select(partition_col).distinct().collect()
         ]
+        # isin(touched) can never match NULL, so a NULL partition value would
+        # silently exclude old NULL-partition rows from the merge read while
+        # the batch still writes __HIVE_DEFAULT_PARTITION__ — duplicate keys
+        # across batches. Enforce the non-null contract instead of corrupting.
+        if any(v is None for v in touched):
+            raise ValueError(
+                f"partition column {partition_col!r} contains NULL in a "
+                "micro-batch; partition-scoped upsert requires non-null "
+                "partition values (derive a sentinel bucket upstream)"
+            )
         if exists and touched:
             # partition pruning: only the touched partitions are ever read
             old = spark.read.parquet(out_dir).filter(
@@ -326,21 +336,37 @@ from e_commerce_data_warehouse_recommendation_system_spark.operators.relational 
 )
 
 
+@component(
+    "stream_pairs_range_join",
+    cols=[("event_a", "num"), ("event_b", "num"), ("user_id", "num")],
+    # raw-microsecond symmetric bound — the exact semantics of the streaming
+    # join condition below (epoch_us == Spark's ns->us truncation)
+    oracle=f"""
+    SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id AS user_id
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - {STREAM_JOIN_WINDOW_S * 1_000_000}
+                            AND epoch_us(a.ts) + {STREAM_JOIN_WINDOW_S * 1_000_000}
+    """,
+)
 def stream_stream_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval self-join: pairs of same-user events within
     5 minutes, computed BY THE STREAMING ENGINE — the continuous twin of
     the batch range join (operators/relational.j_range_binned).
 
     Both sides carry a watermark; the join condition bounds b.ts to
-    [a.ts, a.ts + 5 min], so state for each side is dropped once the other
-    side's watermark passes the bound — bounded state at 100 TB/day, the
-    whole point of the time-bound form (an unbounded-condition
-    stream-stream join would buffer forever). ``a.event_id < b.event_id``
-    with a one-sided time bound emits each unordered pair once when event
-    ids ascend with time (true for the testdata generator and for any
-    monotonic event-id source; the batch twin uses the symmetric form).
-    AvailableNow drains the source, so the terminal output equals the
-    batch inner join — asserted in tests/test_streaming_join.py.
+    [a.ts - 5 min, a.ts + 5 min], so state for each side is dropped once
+    the other side's watermark passes the bound — bounded state at
+    100 TB/day, the whole point of the time-bound form (an
+    unbounded-condition stream-stream join would buffer forever). The
+    SYMMETRIC two-sided bound plus ``a.event_id < b.event_id`` emits each
+    unordered pair exactly once with no assumption that event ids ascend
+    with event time — the same condition as the batch twin, so sources
+    with non-monotonic ids are handled identically. AvailableNow drains
+    the source, so the terminal output equals the batch inner join —
+    asserted in tests/test_streaming_join.py.
     """
     prepare(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="ecomdw_stream_")
@@ -363,7 +389,7 @@ def stream_stream_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"""
                 a.user_id = b.user_id
                 AND a.event_id < b.event_id
-                AND b.ts >= a.ts
+                AND b.ts >= a.ts - interval {STREAM_JOIN_WINDOW_S} seconds
                 AND b.ts <= a.ts + interval {STREAM_JOIN_WINDOW_S} seconds
                 """
             ),
@@ -443,3 +469,85 @@ def stream_enrich_events(spark: SparkSession, sf_dir: str, stage_dir: str, out_d
         .start()
         .awaitTermination()
     )
+
+
+# --------------------------------------------------------------------------
+# Driver-visible component wrappers for the e2e-only streaming ops. Under
+# Trigger.AvailableNow each terminal state is deterministic, so all three
+# carry FULL-RESULT DuckDB oracles and surface on the scoreboard as digest
+# rows inside existing suites (suites.SUITE_SPECS) — previously they were
+# pytest-only (VERDICT r3 item 6).
+# --------------------------------------------------------------------------
+
+
+@component(
+    "stream_dedup_replay",
+    cols=[
+        ("event_id", "num"),
+        ("ts", "ts"),
+        ("user_id", "num"),
+        ("event_type", "str"),
+        ("value", "dbl"),
+    ],
+    # the landing dir carries every event TWICE (file replay); the
+    # watermarked dedup must restore exactly-once, i.e. the events table
+    oracle="SELECT event_id, ts, user_id, event_type, value FROM events",
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup under at-least-once replay: the same source file is
+    dropped into the landing directory twice (a redelivered Kafka batch / a
+    re-dropped file), and ``dropDuplicatesWithinWatermark`` on event_id must
+    emit each event exactly once — the terminal sink equals the events table
+    itself, which is the oracle."""
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="ecomdw_stream_")
+    stage = f"{tmp}/landing"
+    os.makedirs(stage)
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    os.symlink(src, f"{stage}/events.parquet")
+    os.symlink(src, f"{stage}/events_replay.parquet")
+    try:
+        out = f"{tmp}/deduped"
+        stream_dedup_events(spark, sf_dir, stage, out, f"{tmp}/ckpt")
+        return (
+            spark.read.parquet(out)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@component(
+    "stream_enrich_segments",
+    cols=[
+        ("event_id", "num"),
+        ("user_id", "num"),
+        ("event_type", "str"),
+        ("value", "dbl"),
+        ("segment", "str"),
+    ],
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_mktsegment AS segment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment, driver-visible form: every
+    micro-batch broadcast-joins the static customer dim; the drained sink
+    equals the batch left join, which is the oracle."""
+    prepare(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ecomdw_stream_")
+    stage = f"{tmp}/landing"
+    import os
+
+    os.makedirs(stage)
+    os.symlink(f"{sf_dir.rstrip('/')}/events.parquet", f"{stage}/events.parquet")
+    try:
+        out = f"{tmp}/enriched"
+        stream_enrich_events(spark, sf_dir, stage, out, f"{tmp}/ckpt")
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -26,6 +26,7 @@ import e_commerce_data_warehouse_recommendation_system_spark.operators.text  # n
 import e_commerce_data_warehouse_recommendation_system_spark.operators.multimodal  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.recommend.queries  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.sources.writer_queries  # noqa: F401
+import e_commerce_data_warehouse_recommendation_system_spark.streaming.queries  # noqa: F401
 
 from e_commerce_data_warehouse_recommendation_system_spark.operators.digest import register_suite
 from e_commerce_data_warehouse_recommendation_system_spark.registry import _COMPONENTS
@@ -42,12 +43,23 @@ SUITE_SPECS: dict[str, list[str]] = {
         "p8_isin",
         "p9_column_guard",
     ],
-    # §2.3 equi-joins (broadcast dim, fan-out, inner+agg)
-    "rel_join_suite": ["j1_left_broadcast", "j2_fanout", "j3_inner_agg"],
+    # §2.3 equi-joins (broadcast dim, fan-out, inner+agg) + the streaming
+    # twin of the broadcast dim lookup (stream-static enrichment)
+    "rel_join_suite": [
+        "j1_left_broadcast",
+        "j2_fanout",
+        "j3_inner_agg",
+        "stream_enrich_segments",
+    ],
     # §2.3 semi/anti/integrity joins
     "rel_semi_anti_suite": ["j4_semi", "j5_anti", "j6_fk_integrity"],
-    # custom joins: range-binned interval join + salted skew join
-    "rel_range_salted_suite": ["j_range_binned", "j_salted_skew"],
+    # custom joins: range-binned interval join + salted skew join + the
+    # stream-stream time-bound twin of the interval join
+    "rel_range_salted_suite": [
+        "j_range_binned",
+        "j_salted_skew",
+        "stream_pairs_range_join",
+    ],
     # §2.4 aggregations (incl. the HLL bound contract, exact percentiles,
     # decimal-moment correlation, fixed-width histogram)
     "rel_agg_suite": [
@@ -79,6 +91,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         "w5_analytic_functions",
         "w6_rolling_7day_revenue",
         "w7_windowed_distinct_count",
+        # streaming twin of the batch dedup ladder: watermarked exactly-once
+        # repair over a replayed source
+        "stream_dedup_replay",
     ],
     # §2.7 sorts/limits + §2.8 set ops + §2.9 scalar functions
     "rel_set_sort_func_suite": [
