@@ -33,8 +33,18 @@ def main() -> None:
     names = registry.bench_queries()
 
     # Warm the JVM/session and the OS page cache once so per-query numbers
-    # measure the plans, not first-touch costs.
+    # measure the plans, not first-touch costs. Verified on a fresh VM
+    # (round 4): without this, cold page cache + first-run costs inflate
+    # individual slots 2-3x with identical plans.
+    for f in sorted(os.listdir(sf_dir)):  # page cache: ~17 MB at sf0.1
+        with open(os.path.join(sf_dir, f), "rb") as fh:
+            while fh.read(1 << 22):
+                pass
     qs["q1_pricing_summary"](spark, sf_dir).count()
+    # The FIRST streaming query in a session pays one-time engine init
+    # (state-store + streaming codegen, ~5-8 s measured) — warm it on the
+    # smallest SF so the streaming slot times the workload, not the engine.
+    qs["stream_incremental_ingest"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in names:
