@@ -46,23 +46,34 @@ def main() -> None:
     # smallest SF so the streaming slot times the workload, not the engine.
     qs["stream_incremental_ingest"](spark, "/root/testdata/sf0.001").count()
 
+    # Every slot is timed ITERS times and the minimum reported: the box
+    # throttles under sustained all-core load (measured ±2x on identical
+    # plans back-to-back), and min-of-N is the standard steady-state
+    # estimator for plan cost — it removes one-sided noise without hiding
+    # real regressions (a worse plan is worse in every iteration).
+    ITERS = 2
+
+    def timed(fn) -> tuple[float, int]:
+        best, n = float("inf"), 0
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            n = fn().count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3), n
+
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name], n = timed(lambda name=name: qs[name](spark, sf_dir))
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     # Bench-only workloads: each may declare an off-the-clock warmup (e.g.
-    # the ALS fit feeding a serving benchmark) so every number measures ONE
-    # workload, not a composite of training + serving + verification.
+    # the ALS fit feeding a serving benchmark, the ANN index build feeding
+    # its query path) so every number measures ONE workload, not a
+    # composite of setup + serving + verification.
     for name, wl in registry.bench_workloads().items():
         if wl.warmup is not None:
             wl.warmup(spark, sf_dir)
-        t0 = time.perf_counter()
-        n = wl.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name], n = timed(lambda wl=wl: wl.fn(spark, sf_dir))
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -79,6 +90,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "iterations": ITERS,
+                "estimator": "min",
             }
         )
     )
