@@ -56,6 +56,33 @@ def test_multibatch_ingest_upsert_matches_batch(spark, split_events_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_partition_scoped_upsert_rejects_null_partition(spark, split_events_dir):
+    """A NULL partition value would silently exclude old NULL-partition rows
+    from the merge read (isin never matches NULL) while the batch still
+    writes __HIVE_DEFAULT_PARTITION__ — duplicate keys across batches. The
+    helper must refuse instead of corrupting."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    tmp = tempfile.mkdtemp(prefix="ecomdw_test_stream_out_")
+    try:
+        stream = (
+            spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+            .parquet(split_events_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            # event_type 'view' -> NULL partition value
+            .withColumn(
+                "_part",
+                F.when(F.col("event_type") != "view", F.col("event_type")),
+            )
+        )
+        with pytest.raises(StreamingQueryException, match="NULL"):
+            _run_foreach_batch_upsert(
+                stream, ["event_id"], f"{tmp}/out", f"{tmp}/ckpt", partition_col="_part"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_multibatch_upsert_overwrites_colliding_keys(spark, split_events_dir):
     # Feed the SAME file set twice (two landing subdirs with identical
     # content but distinct names) — every key collides on the second pass,
