@@ -440,3 +440,96 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_bigram_fraction"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+
+#: PII patterns kept RE2-compatible (no lookaround, ASCII \b) so Spark
+#: (java.util.regex) and DuckDB (RE2) match identically.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@component(
+    "text_pii_scrub",
+    cols=[
+        ("doc_id", "num"),
+        ("n_emails", "num"),
+        ("n_phones", "num"),
+        ("n_ips", "num"),
+        ("scrub_md5", "str"),
+    ],
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || CASE doc_id % 3
+               WHEN 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+               WHEN 1 THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+             END AS etext
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(etext, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(etext, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(etext, '{PII_IP_RE}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(etext,
+               '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{PII_PHONE_RE}', '[PHONE]', 'g'),
+               '{PII_IP_RE}', '[IP]', 'g')) AS scrub_md5
+    FROM enriched
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub stage every training-data
+    pipeline runs before anything else sees the text. The synthetic corpus
+    carries no organic PII, so the operator first injects a DETERMINISTIC
+    marker per doc (email / phone / IPv4 by doc_id % 3 — identical
+    construction in the oracle), then counts and redacts with the shared
+    RE2-compatible patterns. Redaction is verified by value: the md5 of the
+    scrubbed text must match DuckDB's byte-for-byte.
+
+    Scale posture: pure ``regexp_count``/``regexp_replace`` column
+    expressions — narrow, codegen'd, pipelined over the documents scan; no
+    shuffle at all (the digest aggregation is the only one)."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    injected = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit(" tel 555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            )
+        )
+    )
+    etext = F.concat(F.col("text"), injected)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(etext, PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE,
+            "[PHONE]",
+        ),
+        PII_IP_RE,
+        "[IP]",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(etext, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(etext, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(etext, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )

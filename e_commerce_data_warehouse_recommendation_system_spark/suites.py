@@ -126,6 +126,7 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_tfidf_topterms",
         "text_repetition",
         "text_contamination",
+        "text_pii_scrub",
     ],
     # multimodal: frame sampling + decode->resize->sample chain
     "mm_media_suite": ["mm_frame_sample", "mm_resize_sample"],
