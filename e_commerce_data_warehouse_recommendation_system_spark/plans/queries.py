@@ -480,6 +480,64 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from e_commerce_data_warehouse_recommendation_system_spark.registry import component  # noqa: E402
+
+
+@component(
+    "session_window_native",
+    cols=[("user_id", "num"), ("session_start", "ts"), ("n_events_s", "num")],
+    # Gaps-and-islands twin of Spark's NATIVE session_window. Boundary
+    # semantics: session_window merges event ranges [ts, ts+gap) on OVERLAP,
+    # so an event exactly gap-separated starts a NEW session — hence
+    # ``>=`` here, where the lag-based q_sessionize twin uses ``>``.
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, tus,
+             CASE WHEN LAG(tus) OVER w IS NULL
+                    OR tus - LAG(tus) OVER w >= {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, tus,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, make_timestamp(MIN(tus)) AS session_start,
+           COUNT(*) AS n_events_s
+    FROM sessions GROUP BY user_id, sess_id
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization via Spark's NATIVE ``session_window``
+    aggregation — the built-in form of the gap-island rewrite q_sessionize
+    hand-rolls (and the batch face of the operator Structured Streaming
+    uses for streaming session aggs). One shuffle on the grouping key;
+    session merging happens JVM-side inside the aggregation — no window
+    function pass, no Python.
+
+    Emits one row per (user, session) with the session start and size, so
+    the oracle checks the exact session BOUNDARIES, not just per-user
+    counts — this is what pins the ``>= gap`` half-open boundary semantics
+    documented above."""
+    prepare(spark, sf_dir)
+    ev = spark.table("events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events_s"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events_s",
+        )
+    )
+
+
 @register(
     "q_event_daily_window",
     oracle=f"""

@@ -22,6 +22,7 @@ from __future__ import annotations
 import e_commerce_data_warehouse_recommendation_system_spark.operators.dedup  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.operators.relational  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.plans.etl  # noqa: F401
+import e_commerce_data_warehouse_recommendation_system_spark.plans.queries  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.operators.text  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.operators.multimodal  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.recommend.queries  # noqa: F401
@@ -94,6 +95,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         # streaming twin of the batch dedup ladder: watermarked exactly-once
         # repair over a replayed source
         "stream_dedup_replay",
+        # NATIVE session_window sessionization (the built-in form of the
+        # q_sessionize gap-island rewrite; boundaries oracle-checked)
+        "session_window_native",
     ],
     # §2.7 sorts/limits + §2.8 set ops + §2.9 scalar functions
     "rel_set_sort_func_suite": [
