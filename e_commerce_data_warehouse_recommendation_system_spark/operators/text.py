@@ -533,3 +533,97 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(etext, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
         F.md5(scrubbed).alias("scrub_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Document filter funnel (C4-style cleaning pipeline)
+# --------------------------------------------------------------------------
+
+#: Sequential cleaning rules: (name, min-chars / token-count / mean-token-
+#: length / stopword-ratio / language gates). Thresholds chosen to bite on
+#: the synthetic corpus (47-558 chars, 10-99 tokens, 5 languages).
+FUNNEL_MIN_CHARS = 100
+FUNNEL_TOKENS = (20, 10_000)
+FUNNEL_MEAN_TOKLEN = (3.0, 12.0)
+FUNNEL_MIN_STOPWORD_FRAC = 0.02
+FUNNEL_LANG = "en"
+
+
+@component(
+    "text_filter_funnel",
+    cols=[("rule", "str"), ("n_in", "num"), ("n_kept", "num")],
+    oracle=f"""
+    WITH d AS (
+      SELECT length(text) AS L,
+             len({_SQL_TOKENS}) AS T,
+             len(list_filter({_SQL_TOKENS},
+                 x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS SW,
+             lang
+      FROM documents
+    ),
+    flags AS (
+      SELECT (L >= {FUNNEL_MIN_CHARS}) AS p1,
+             (T BETWEEN {FUNNEL_TOKENS[0]} AND {FUNNEL_TOKENS[1]}) AS p2,
+             (CAST(L AS DOUBLE) / T BETWEEN {FUNNEL_MEAN_TOKLEN[0]} AND {FUNNEL_MEAN_TOKLEN[1]}) AS p3,
+             (CAST(SW AS DOUBLE) / T >= {FUNNEL_MIN_STOPWORD_FRAC}) AS p4,
+             (lang = '{FUNNEL_LANG}') AS p5
+      FROM d
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n0,
+             CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+             CAST(SUM(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+             CAST(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+             CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS k4,
+             CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5 THEN 1 ELSE 0 END) AS BIGINT) AS k5
+      FROM flags
+    )
+    SELECT 'r1_min_chars' AS rule, n0 AS n_in, k1 AS n_kept FROM agg
+    UNION ALL SELECT 'r2_token_count', k1, k2 FROM agg
+    UNION ALL SELECT 'r3_mean_token_len', k2, k3 FROM agg
+    UNION ALL SELECT 'r4_stopword_frac', k3, k4 FROM agg
+    UNION ALL SELECT 'r5_language', k4, k5 FROM agg
+    """,
+)
+def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style document-cleaning funnel: five sequential keep rules
+    (min length, token count, mean token length, stopword ratio, language),
+    reported as (rule, n_in, n_kept) — the per-stage survivor counts every
+    corpus-cleaning run publishes. All five rules compile into ONE
+    aggregation pass (the dq_orders_checks pattern): a 100 TB corpus pays
+    one scan + one tiny shuffle for the whole funnel, with map-side partial
+    aggregation doing the counting.
+
+    Ratios compare in IEEE double from exact integer counts — identical in
+    both engines, so the funnel is hash-checkable end to end."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    toks = tokens("text")
+    L = F.length("text")
+    T = F.size(toks)
+    SW = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    p1 = L >= FUNNEL_MIN_CHARS
+    p2 = T.between(*FUNNEL_TOKENS)
+    p3 = (L.cast("double") / T).between(*FUNNEL_MEAN_TOKLEN)
+    p4 = (SW.cast("double") / T) >= FUNNEL_MIN_STOPWORD_FRAC
+    p5 = F.col("lang") == FUNNEL_LANG
+    conj = [p1, p1 & p2, p1 & p2 & p3, p1 & p2 & p3 & p4, p1 & p2 & p3 & p4 & p5]
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n0"),
+        *[
+            F.coalesce(F.sum(c.cast("long")), F.lit(0)).alias(f"k{i + 1}")
+            for i, c in enumerate(conj)
+        ],
+    )
+    names = [
+        "r1_min_chars",
+        "r2_token_count",
+        "r3_mean_token_len",
+        "r4_stopword_frac",
+        "r5_language",
+    ]
+    stacked = ", ".join(
+        f"'{name}', k{i}, k{i + 1}" if i > 0 else f"'{name}', n0, k1"
+        for i, name in enumerate(names)
+    )
+    return agg.selectExpr(f"stack({len(names)}, {stacked}) AS (rule, n_in, n_kept)")

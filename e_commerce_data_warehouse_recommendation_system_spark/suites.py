@@ -131,6 +131,7 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_repetition",
         "text_contamination",
         "text_pii_scrub",
+        "text_filter_funnel",
     ],
     # multimodal: frame sampling + decode->resize->sample chain
     "mm_media_suite": ["mm_frame_sample", "mm_resize_sample"],
