@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 
 from e_commerce_data_warehouse_recommendation_system_spark.registry import (
     bench_workload,
+    component,
     register,
 )
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
@@ -545,4 +546,84 @@ def sim_ann_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("lsh", n_queries, bool(lsh_recall >= LSH_RECALL_FLOOR)),
         ],
         schema="method string, n_queries bigint, recall_floor_met boolean",
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding compression: int8 scalar quantization
+# --------------------------------------------------------------------------
+
+QUANT_LEVELS = 254  # codes 0..254 (255 values); keeps the arithmetic small
+
+
+@component(
+    "sim_quantize_int8",
+    cols=[
+        ("vec_id", "num"),
+        ("i", "num"),
+        ("code", "num"),
+        ("vmin", "dbl"),
+        ("vmax", "dbl"),
+    ],
+    oracle=f"""
+    WITH stats AS (
+      SELECT vec_id,
+             CAST(list_min(embedding) AS DOUBLE) AS vmin,
+             CAST(list_max(embedding) AS DOUBLE) AS vmax
+      FROM embeddings
+    ),
+    elems AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    )
+    SELECT e.vec_id, CAST(e.i AS INT) AS i,
+           CASE WHEN s.vmax = s.vmin THEN 0
+                ELSE CAST(FLOOR(((e.x - s.vmin) * {QUANT_LEVELS}.0) / (s.vmax - s.vmin)) AS INT)
+           END AS code,
+           s.vmin, s.vmax
+    FROM elems e JOIN stats s ON e.vec_id = s.vec_id
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the storage/
+    bandwidth move every 100 TB vector corpus makes before ANN serving
+    (4 bytes -> 1 byte per dimension; IVF/LSH candidate generation runs on
+    codes, exact re-scoring on the float originals). Per-vector min/max
+    scaling: code = floor((x - min) * L / (max - min)), L={QUANT_LEVELS}.
+
+    Cross-engine determinism: every input widens float32 -> float64 (exact),
+    and both engines evaluate the SAME double expression tree — subtraction,
+    one multiply, one divide are each correctly-rounded IEEE ops, so the
+    quotient is bit-identical and FLOOR of it is identical. No decimal
+    detour needed because no accumulation crosses rows. Degenerate
+    constant vectors (max = min) map to code 0 explicitly.
+
+    Scale posture: narrow per-row transforms only (array min/max +
+    posexplode) — NO shuffle anywhere in the operator; it pipelines over
+    the embeddings scan. The long format (vec_id, i, code) is the
+    verification view; a production sink would keep codes packed as
+    array<tinyint>."""
+    prepare(spark, sf_dir)
+    e = spark.table("embeddings")
+    vmin = F.array_min("embedding").cast("double")
+    vmax = F.array_max("embedding").cast("double")
+    with_stats = e.select("vec_id", "embedding", vmin.alias("vmin"), vmax.alias("vmax"))
+    exploded = with_stats.select(
+        "vec_id",
+        "vmin",
+        "vmax",
+        F.posexplode("embedding").alias("i0", "x_f"),
+    )
+    x = F.col("x_f").cast("double")
+    code = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+        F.floor(((x - F.col("vmin")) * QUANT_LEVELS) / (F.col("vmax") - F.col("vmin"))).cast(
+            "int"
+        )
+    )
+    return exploded.select(
+        "vec_id",
+        (F.col("i0") + 1).cast("int").alias("i"),
+        code.cast("int").alias("code"),
+        "vmin",
+        "vmax",
     )

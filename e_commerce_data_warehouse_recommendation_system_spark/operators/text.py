@@ -627,3 +627,121 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, name in enumerate(names)
     )
     return agg.selectExpr(f"stack({len(names)}, {stacked}) AS (rule, n_in, n_kept)")
+
+
+# --------------------------------------------------------------------------
+# Vocabulary build + OOV-rate scoring (tokenizer-prep family)
+# --------------------------------------------------------------------------
+
+VOCAB_TOP_K = 20  # reported vocabulary slice
+OOV_VOCAB_SIZE = 16  # in-vocab cut for the OOV-rate quality signal
+
+
+@component(
+    "text_vocab_topk",
+    cols=[("tok", "str"), ("cnt", "num"), ("df", "num"), ("rnk", "num")],
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT tok, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+      FROM toks GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, cnt, df,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+      FROM counts
+    )
+    SELECT tok, CAST(cnt AS BIGINT) AS cnt, CAST(df AS BIGINT) AS df,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {VOCAB_TOP_K}
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build (the tokenizer-training prep step): corpus-global
+    token frequencies + document frequencies, top-K by the all-integer
+    ordering (count DESC, token ASC) so ranking never depends on floats.
+
+    Scale posture: explode is map-local; ONE shuffle on token builds the
+    vocab table (vocabulary-bounded, millions of rows at 100 TB — tiny next
+    to the corpus); the top-K is sort+limit (TakeOrderedAndProject, no
+    global window over the full vocab), and the rank window then runs on
+    only K rows (bounded; the WindowExec single-partition path is
+    intentional and K-sized)."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt"), F.countDistinct("doc_id").alias("df")
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))  # K rows only (bounded)
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+@component(
+    "text_oov_rate",
+    cols=[
+        ("doc_id", "num"),
+        ("n_tokens", "num"),
+        ("n_oov", "num"),
+        ("oov_rate", "dbl"),
+    ],
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+        FROM toks GROUP BY tok
+      ) WHERE rnk <= {OOV_VOCAB_SIZE}
+    ),
+    per_doc AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, n_oov,
+           CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+    FROM per_doc
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document — the unigram-LM-lite quality
+    signal: documents whose tokens fall outside the top-V corpus vocabulary
+    are flagged as noisy/foreign (training-data filtering heuristic). The
+    rate is an exact rational of integer counts, engine-identical.
+
+    Scale posture: the vocab is sort+limit over the token-bounded count
+    table and is BROADCAST to the explode stream (vocab ≪ corpus); the only
+    full shuffle is the per-doc aggregation on doc_id. No window over
+    unbounded data."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(OOV_VOCAB_SIZE)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+    )

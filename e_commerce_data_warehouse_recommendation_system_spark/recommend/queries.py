@@ -767,3 +767,108 @@ def rec_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(rank, n_users, n_items)],
         schema="rank int, n_user_factors bigint, n_item_factors bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-purchase affinity ("customers also bought")
+# --------------------------------------------------------------------------
+
+COPURCHASE_TOP_K = 20
+
+
+@component(
+    "rec_copurchase_pairs",
+    cols=[
+        ("part_a", "num"),
+        ("part_b", "num"),
+        ("pair_count", "num"),
+        ("cnt_a", "num"),
+        ("cnt_b", "num"),
+        ("lift", "dbl"),
+        ("rnk", "num"),
+    ],
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS pair_count
+      FROM baskets a JOIN baskets b
+        ON a.okey = b.okey AND a.part < b.part
+      GROUP BY 1, 2
+    ),
+    part_counts AS (
+      SELECT part, COUNT(*) AS cnt FROM baskets GROUP BY part
+    ),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets),
+    scored AS (
+      SELECT p.part_a, p.part_b, p.pair_count, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+             CAST(p.pair_count * n.n_orders AS DOUBLE) / (ca.cnt * cb.cnt) AS lift,
+             ROW_NUMBER() OVER (ORDER BY p.pair_count DESC, p.part_a, p.part_b) AS rnk
+      FROM pairs p
+      JOIN part_counts ca ON p.part_a = ca.part
+      JOIN part_counts cb ON p.part_b = cb.part
+      CROSS JOIN n
+    )
+    SELECT part_a, part_b, CAST(pair_count AS BIGINT) AS pair_count,
+           CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+           lift, CAST(rnk AS INT) AS rnk
+    FROM scored WHERE rnk <= {COPURCHASE_TOP_K}
+    """,
+)
+def rec_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase affinity — the classic "customers also
+    bought" signal the reference's recommender family implies but never
+    materializes (reference: mf_knn_recommender.py scores user-item pairs;
+    this is the item-item co-occurrence twin). For each unordered part pair
+    bought in the same order: joint count, marginals, and lift =
+    P(a,b) / (P(a)·P(b)) as an exact rational of integer counts (one IEEE
+    division, engine-identical). Top-K by the all-integer ordering
+    (pair_count DESC, part_a, part_b).
+
+    Scale posture: baskets are distinct (orderkey, part) — one shuffle; the
+    pair generation is a SELF-JOIN PER ORDER, bounded by items-per-order
+    (≤7 in TPC-H-shaped data, bounded in any real basket feed), so the
+    blow-up factor is O(k²) per basket, not O(n²) global. Pair counts and
+    marginals each shuffle once on their keys; the part-count join is
+    catalog-sized. Top-K is sort+limit (TakeOrderedAndProject); the rank
+    window runs on K rows only."""
+    prepare(spark, sf_dir)
+    li = spark.table("lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.part") < F.col("b.part")))
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    part_counts = baskets.groupBy("part").agg(F.count(F.lit(1)).alias("cnt"))
+    n_orders = baskets.agg(F.countDistinct("okey").alias("n_orders"))
+    scored = (
+        pairs.join(
+            part_counts.select(F.col("part").alias("part_a"), F.col("cnt").alias("cnt_a")),
+            "part_a",
+        )
+        .join(
+            part_counts.select(F.col("part").alias("part_b"), F.col("cnt").alias("cnt_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .withColumn(
+            "lift",
+            (F.col("pair_count") * F.col("n_orders")).cast("double")
+            / (F.col("cnt_a") * F.col("cnt_b")),
+        )
+    )
+    top = scored.orderBy(F.desc("pair_count"), F.asc("part_a"), F.asc("part_b")).limit(
+        COPURCHASE_TOP_K
+    )
+    w = Window.orderBy(F.desc("pair_count"), F.asc("part_a"), F.asc("part_b"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "part_a", "part_b", "pair_count", "cnt_a", "cnt_b", "lift", "rnk"
+    )

@@ -23,6 +23,7 @@ import e_commerce_data_warehouse_recommendation_system_spark.operators.dedup  # 
 import e_commerce_data_warehouse_recommendation_system_spark.operators.relational  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.plans.etl  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.plans.queries  # noqa: F401
+import e_commerce_data_warehouse_recommendation_system_spark.operators.similarity  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.operators.text  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.operators.multimodal  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.recommend.queries  # noqa: F401
@@ -132,11 +133,20 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_contamination",
         "text_pii_scrub",
         "text_filter_funnel",
+        "text_vocab_topk",
+        "text_oov_rate",
     ],
-    # multimodal: frame sampling + decode->resize->sample chain
-    "mm_media_suite": ["mm_frame_sample", "mm_resize_sample"],
+    # multimodal: frame sampling + decode->resize->sample chain + the
+    # embedding-representation compression step (int8 quantization)
+    "mm_media_suite": ["mm_frame_sample", "mm_resize_sample", "sim_quantize_int8"],
     # recommender prep: label encode / interactions / hash split
-    "rec_prep_suite": ["rec_label_encode", "rec_interactions", "rec_train_test_split"],
+    "rec_prep_suite": [
+        "rec_label_encode",
+        "rec_interactions",
+        "rec_train_test_split",
+        # item-item co-occurrence twin of the user-item recommender
+        "rec_copurchase_pairs",
+    ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [
         "wr_upsert",
