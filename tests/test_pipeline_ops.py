@@ -1,0 +1,94 @@
+"""Invariant tests for the round-4 pipeline operators: vocabulary build,
+OOV-rate scoring, market-basket co-purchase lift, and int8 embedding
+quantization. Cross-engine value equality is covered by the DuckDB oracles
+(scripts/check_correctness.py); these pin the semantic contracts that an
+oracle rewrite could silently relax."""
+
+from __future__ import annotations
+
+from tests.conftest import SF0001
+
+
+def test_vocab_topk_ranking_contract(spark):
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        VOCAB_TOP_K,
+        text_vocab_topk,
+    )
+
+    rows = text_vocab_topk(spark, SF0001).orderBy("rnk").collect()
+    assert 0 < len(rows) <= VOCAB_TOP_K
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r.cnt for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 1 <= r.df <= r.cnt
+
+
+def test_oov_rate_bounds_and_totals(spark):
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        text_oov_rate,
+        text_token_count,
+    )
+
+    oov = text_oov_rate(spark, SF0001)
+    bad = oov.filter(
+        (F.col("n_oov") < 0)
+        | (F.col("n_oov") > F.col("n_tokens"))
+        | (F.col("oov_rate") < 0)
+        | (F.col("oov_rate") > 1)
+    ).count()
+    assert bad == 0
+    # every document is scored, and token totals agree with the counter op
+    tc = text_token_count(spark, SF0001)
+    assert oov.count() == tc.count()
+    assert (
+        oov.agg(F.sum("n_tokens")).first()[0]
+        == tc.agg(F.sum("n_ws_tokens")).first()[0]
+    )
+
+
+def test_copurchase_pairs_contract(spark):
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+        COPURCHASE_TOP_K,
+        rec_copurchase_pairs,
+    )
+
+    rows = rec_copurchase_pairs(spark, SF0001).orderBy("rnk").collect()
+    assert 0 < len(rows) <= COPURCHASE_TOP_K
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.part_a < r.part_b  # unordered pair, canonical orientation
+        assert 1 <= r.pair_count <= min(r.cnt_a, r.cnt_b)
+        assert r.lift > 0
+
+
+def test_quantize_int8_codes(spark):
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
+        QUANT_LEVELS,
+        sim_quantize_int8,
+    )
+
+    q = sim_quantize_int8(spark, SF0001).cache()
+    n_vec = spark.read.parquet(f"{SF0001}/embeddings.parquet").count()
+    dim = len(
+        spark.read.parquet(f"{SF0001}/embeddings.parquet").first()["embedding"]
+    )
+    assert q.count() == n_vec * dim
+    assert (
+        q.filter((F.col("code") < 0) | (F.col("code") > QUANT_LEVELS)).count() == 0
+    )
+    # the min and max elements of every vector land on the end codes
+    # (max may floor to QUANT_LEVELS-1 by one ulp — both engines agree,
+    # but the contract here is the coarse one: ends are near the rails)
+    ends = (
+        q.groupBy("vec_id")
+        .agg(F.min("code").alias("lo"), F.max("code").alias("hi"))
+        .filter((F.col("lo") != 0) | (F.col("hi") < QUANT_LEVELS - 1))
+        .count()
+    )
+    assert ends == 0
+    q.unpersist()
