@@ -627,3 +627,87 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vmin",
         "vmax",
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding clustering: distributed k-means (trained centroids)
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_SEED = 42
+
+
+@component(
+    "sim_kmeans_clusters",
+    cols=[
+        ("algo", "str"),
+        ("k", "num"),
+        ("n_assigned", "num"),
+        ("assignments_in_range", "bool"),
+        ("inertia_finite", "bool"),
+    ],
+    oracle=f"""
+    SELECT 'kmeans_embeddings' AS algo,
+           CAST({KMEANS_K} AS BIGINT) AS k,
+           (SELECT COUNT(*) FROM embeddings) AS n_assigned,
+           TRUE AS assignments_in_range,
+           TRUE AS inertia_finite
+    """,
+)
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embedding corpus (MLlib, k-means||
+    init) — the clustering step a curation pipeline uses for topic-balanced
+    sampling and cluster-level dedup, and the TRAINED form of the IVF cell
+    dictionary (sim_ann_ivf_topk derives its cells from hash-projections;
+    production IVF uses exactly these centroids). Every vector is assigned
+    to a cell; the contract row carries the SQL-derivable count (all
+    vectors assigned) plus flags computed from the genuine fit: assignments
+    in [0, k), finite training cost. Raw centroids are
+    algorithm/partitioning-specific by construction, hence digest-checked
+    (same class as ALS factors).
+
+    Scale posture: MLlib k-means is the canonical distributed Lloyd's —
+    broadcast centroids, map-side partial sums, one small reduce per
+    iteration; cost O(n·k·d) per pass with no shuffle of the corpus
+    itself. The only driver-side values are the bounded contract scalars."""
+    import math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    prepare(spark, sf_dir)
+    e = spark.table("embeddings")
+    fv = e.select(
+        "vec_id",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    model = KMeans(k=KMEANS_K, seed=KMEANS_SEED, featuresCol="features").fit(fv)
+    pred = model.transform(fv)
+    stats = pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                (F.col("prediction") < 0) | (F.col("prediction") >= KMEANS_K)
+            ).cast("long")
+        ).alias("bad"),
+    ).collect()[0]
+    inertia = float(model.summary.trainingCost)
+    return spark.createDataFrame(
+        [
+            (
+                "kmeans_embeddings",
+                stats.n,
+                bool((stats.bad or 0) == 0),
+                bool(math.isfinite(inertia) and inertia >= 0.0),
+            )
+        ],
+        schema="algo string, n_assigned bigint, assignments_in_range boolean, inertia_finite boolean",
+    ).select(
+        "algo",
+        F.lit(KMEANS_K).cast("bigint").alias("k"),
+        "n_assigned",
+        "assignments_in_range",
+        "inertia_finite",
+    )

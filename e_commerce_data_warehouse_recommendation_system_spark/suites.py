@@ -138,7 +138,13 @@ SUITE_SPECS: dict[str, list[str]] = {
     ],
     # multimodal: frame sampling + decode->resize->sample chain + the
     # embedding-representation compression step (int8 quantization)
-    "mm_media_suite": ["mm_frame_sample", "mm_resize_sample", "sim_quantize_int8"],
+    "mm_media_suite": [
+        "mm_frame_sample",
+        "mm_resize_sample",
+        "sim_quantize_int8",
+        # trained-centroid clustering (contract digest, ALS-factor class)
+        "sim_kmeans_clusters",
+    ],
     # recommender prep: label encode / interactions / hash split
     "rec_prep_suite": [
         "rec_label_encode",
