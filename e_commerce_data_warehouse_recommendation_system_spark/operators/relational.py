@@ -1615,3 +1615,54 @@ def s15_describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(f.name, type_class(f.dataType)) for f in fields],
         schema="column_name string, type_class string",
     )
+
+
+HEAVY_HITTER_K = 10
+
+
+@component(
+    "a14_heavy_hitters",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    ), total AS (
+      SELECT COUNT(*) AS total_events FROM events
+    )
+    SELECT user_id, n_events,
+           CAST(FLOOR(n_events * 1000000.0 / total_events) AS BIGINT) AS share_micro
+    FROM counts, total
+    ORDER BY n_events DESC, user_id ASC
+    LIMIT {HEAVY_HITTER_K}
+    """,
+    cols=[("user_id", "num"), ("n_events", "num"), ("share_micro", "num")],
+)
+def a14_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter / skew profiler: top-K keys by frequency with each
+    key's share of total traffic (integer micro-units so the ratio hashes
+    identically across engines). This is the diagnostic that decides
+    whether a join/agg key needs salting (operators/relational.py
+    salted-join path) before a 100 TB run — the reference eyeballs skew
+    manually (reference: notebooks/eda.ipynb top-value counts).
+
+    Scale posture: one partial-agg shuffle to per-key counts, then a
+    sort-limit that compiles to TakeOrderedAndProject (top-K per partition,
+    driver merges K x partitions rows — never a global sort). The
+    denominator is a plain COUNT(*) (sum of per-key counts == row count),
+    a map-side partial count with a single-row reduce — no second hash
+    shuffle on the key. No window, no collect; K rows leave the cluster."""
+    prepare(spark, sf_dir)
+    events = spark.table("events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = events.agg(F.count(F.lit(1)).alias("total_events"))
+    return (
+        counts.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(HEAVY_HITTER_K)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            F.floor(F.col("n_events") * 1000000.0 / F.col("total_events"))
+            .cast("bigint")
+            .alias("share_micro"),
+        )
+    )

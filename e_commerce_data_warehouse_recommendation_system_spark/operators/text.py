@@ -745,3 +745,71 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_oov",
         (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
     )
+
+
+#: Mixture weights by source-index class (idx % 4): epochs per source in a
+#: training-data mix. Split into integer full repeats + a fractional part
+#: expressed in 16ths (decided per-doc by an md5 bucket), so w=2.25 means
+#: "2 full epochs + a deterministic 25% of docs get a 3rd copy".
+MIXTURE_FULL_REPEATS = (0, 1, 2, 3)
+MIXTURE_FRAC16 = (8, 0, 4, 8)  # -> weights 0.5, 1.0, 2.25, 3.5
+
+
+@component(
+    "text_mixture_upsample",
+    oracle=f"""
+    WITH rep AS (
+      SELECT doc_id, source,
+             (CASE CAST(substr(source, 4) AS INT) % 4
+                {' '.join(f"WHEN {i} THEN {r}" for i, r in enumerate(MIXTURE_FULL_REPEATS))}
+              END)
+             + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 16 <
+                     (CASE CAST(substr(source, 4) AS INT) % 4
+                        {' '.join(f"WHEN {i} THEN {f}" for i, f in enumerate(MIXTURE_FRAC16))}
+                      END)
+                THEN 1 ELSE 0 END) AS n_rep
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs_in,  -- doc_id unique per documents row
+           CAST(SUM(n_rep) AS BIGINT) AS n_emitted
+    FROM rep WHERE n_rep > 0 GROUP BY source
+    """,
+    cols=[("source", "str"), ("n_docs_in", "num"), ("n_emitted", "num")],
+)
+def text_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture by source weights, with UP-sampling: each
+    source gets a target epoch weight (0.5x … 3.5x); integer part = full
+    corpus repeats, fractional part = a deterministic md5-bucketed subset
+    getting one extra copy. This is the "mix web at 0.5 epochs, books at
+    2.25" step of LLM pre-training data assembly — the complement of
+    ``text_stratified_sample`` (which only downsamples). Emission is a real
+    row-multiplying ``explode(sequence(1, n_rep))`` so downstream sees the
+    physically repeated dataset, digested per source.
+
+    Scale posture: one scan, map-side expressions, explode multiplies rows
+    without any shuffle (fan-out stays inside the partition), then ONE
+    aggregation shuffle on source — doc membership is counted as
+    "copy_no == 1" rows instead of countDistinct(doc_id), which would add
+    a second, (source, doc_id)-keyed expand shuffle for a count the unique
+    doc_id already guarantees. Hash-decided fractional membership is
+    topology-independent — same mixture on any cluster or partitioning."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    idx4 = F.substring("source", 4, 10).cast("int") % 4
+    full = F.lit(None).cast("int")
+    frac16 = F.lit(None).cast("int")
+    for i in range(3, -1, -1):
+        full = F.when(idx4 == i, MIXTURE_FULL_REPEATS[i]).otherwise(full)
+        frac16 = F.when(idx4 == i, MIXTURE_FRAC16[i]).otherwise(frac16)
+    bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 16
+    n_rep = full + F.when(bucket < frac16, 1).otherwise(0)
+    emitted = (
+        d.withColumn("n_rep", n_rep)
+        .filter(F.col("n_rep") > 0)
+        .withColumn("copy_no", F.explode(F.sequence(F.lit(1), F.col("n_rep"))))
+    )
+    return emitted.groupBy("source").agg(
+        F.sum((F.col("copy_no") == 1).cast("long")).alias("n_docs_in"),
+        F.count(F.lit(1)).alias("n_emitted"),
+    )

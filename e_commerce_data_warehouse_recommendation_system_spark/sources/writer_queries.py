@@ -322,3 +322,100 @@ def wr_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str], compare: list[str]
+) -> DataFrame:
+    """CDC between two table snapshots: one full outer join on the key,
+    rows classified insert/delete/update/unchanged by comparing the
+    ``compare`` columns null-safely.
+
+    Scale posture: exactly one co-partitioned shuffle on the key (both
+    sides hash-partition identically, so AQE can plan a plain sort-merge
+    join); the comparison is a map-side expression. For very wide rows at
+    100 TB, pre-hash the compare columns (md5 of a canonical concat) on
+    each side so the join carries key + one hash instead of the full row —
+    same classification, a fraction of the shuffle bytes."""
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_oc_{c}") for c in compare],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"_nc_{c}") for c in compare],
+    )
+    cond = [o[f"_ok_{k}"] == n[f"_nk_{k}"] for k in keys]
+    changed = F.lit(False)
+    for c in compare:
+        changed = changed | ~F.col(f"_oc_{c}").eqNullSafe(F.col(f"_nc_{c}"))
+    return o.join(n, cond, "full_outer").select(
+        F.when(F.col(f"_ok_{keys[0]}").isNull(), F.lit("insert"))
+        .when(F.col(f"_nk_{keys[0]}").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type")
+    )
+
+
+# The "next" snapshot, derived deterministically from orders itself so the
+# oracle can rebuild it in SQL: every 10th order deleted, every 7th
+# surviving order's total restated (+1), and every 13th order re-inserted
+# under a fresh (negative) key.
+_SQL_CDC_NEW_SNAPSHOT = """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 10 <> 0
+    UNION ALL
+    SELECT -o_orderkey AS o_orderkey, 'O' AS o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+@component(
+    "wr_snapshot_cdc",
+    oracle=f"""
+    WITH new_snap AS ({_SQL_CDC_NEW_SNAPSHOT}),
+    diff AS (
+      SELECT CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                  WHEN b.o_orderkey IS NULL THEN 'delete'
+                  WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                       OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                       THEN 'update'
+                  ELSE 'unchanged' END AS change_type
+      FROM orders a FULL OUTER JOIN new_snap b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change_type, COUNT(*) AS n_rows FROM diff GROUP BY change_type
+    """,
+    cols=[("change_type", "str"), ("n_rows", "num")],
+)
+def wr_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two snapshots of a table — the
+    incremental-load primitive the reference approximates by re-extracting
+    full tables every DAG run (reference: dags/extract_data.py:33-81 full
+    SELECT *). Detecting the delta instead is what makes a daily 100 TB
+    sync feasible: downstream only reprocesses insert/update/delete rows.
+    Classifies via ``snapshot_diff`` (one key-partitioned full outer
+    join), then digests to per-class counts."""
+    prepare(spark, sf_dir)
+    old = spark.table("orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    survivors = old.filter(F.col("o_orderkey") % 10 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = (
+        old.filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            F.lit("O").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    new = survivors.unionByName(inserts)
+    diff = snapshot_diff(
+        old, new, keys=["o_orderkey"], compare=["o_orderstatus", "o_totalprice"]
+    )
+    return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n_rows"))

@@ -77,6 +77,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "a12_corr_moments",
         "a13_histogram",
         "a11b_approx_percentile_bound",
+        # skew diagnostic: top-K keys + traffic share (salting decision input)
+        "a14_heavy_hitters",
     ],
     # §2.5 dedup + §2.6 windows (+ near-dup cluster assignment)
     "rel_window_dedup_suite": [
@@ -135,6 +137,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_filter_funnel",
         "text_vocab_topk",
         "text_oov_rate",
+        # mixture assembly: per-source epoch weights with real row fan-out
+        "text_mixture_upsample",
     ],
     # multimodal: frame sampling + decode->resize->sample chain + the
     # embedding-representation compression step (int8 quantization)
@@ -162,6 +166,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "wr_parquet_roundtrip",
         "wr_json_roundtrip",
         "wr_csv_roundtrip",
+        # CDC: snapshot diff -> insert/update/delete/unchanged classes
+        "wr_snapshot_cdc",
     ],
 }
 
