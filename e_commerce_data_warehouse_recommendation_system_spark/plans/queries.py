@@ -565,3 +565,162 @@ def q_event_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation + cohort retention — the two classic
+# e-commerce customer-analytics rollups downstream of the warehouse
+# (the reference's Power BI layer consumes exactly these shapes,
+# reference: README.md:117-121).
+# --------------------------------------------------------------------------
+
+_RFM_PCTS = (0.2, 0.4, 0.6, 0.8)
+
+
+@component(
+    "rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+             COUNT(*) AS frequency,
+             {_dsum('o_totalprice')} AS monetary
+      FROM orders GROUP BY o_custkey
+    ), b AS (
+      SELECT {', '.join(f"quantile_cont(recency_days, {p}) AS r{i}, "
+                        f"quantile_cont(frequency, {p}) AS f{i}, "
+                        f"quantile_cont(monetary, {p}) AS m{i}"
+                        for i, p in enumerate(_RFM_PCTS))}
+      FROM cust
+    ), scored AS (
+      SELECT monetary,
+             CASE WHEN recency_days <= r0 THEN 5 WHEN recency_days <= r1 THEN 4
+                  WHEN recency_days <= r2 THEN 3 WHEN recency_days <= r3 THEN 2
+                  ELSE 1 END AS r_score,
+             CASE WHEN frequency <= f0 THEN 1 WHEN frequency <= f1 THEN 2
+                  WHEN frequency <= f2 THEN 3 WHEN frequency <= f3 THEN 4
+                  ELSE 5 END AS f_score,
+             CASE WHEN monetary <= m0 THEN 1 WHEN monetary <= m1 THEN 2
+                  WHEN monetary <= m2 THEN 3 WHEN monetary <= m3 THEN 4
+                  ELSE 5 END AS m_score
+      FROM cust, b
+    )
+    SELECT CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN m_score >= 4 THEN 'big_spender'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'lost'
+                WHEN r_score <= 2 THEN 'at_risk'
+                ELSE 'regular' END AS segment,
+           COUNT(*) AS n_customers,
+           {_dsum('monetary')} AS monetary_total
+    FROM scored GROUP BY segment
+    """,
+    cols=[("segment", "str"), ("n_customers", "num"), ("monetary_total", "dbl")],
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary, scored
+    1-5 against the metric's own quintile BOUNDARIES (exact interpolated
+    percentiles, the a11-proven cross-engine form), then mapped to named
+    segments. Boundary-threshold scoring replaces NTILE on purpose: NTILE
+    is a global total-order sort (single-partition WindowExec — the known
+    scale-killer), while thresholds are one tiny aggregate broadcast back
+    and a map-side CASE. At 100 TB swap the exact percentile for
+    approx_percentile (mergeable sketch), same shape.
+
+    Plan: one shuffle to per-customer aggregates, one 1-row boundary
+    aggregate (exact percentile sorts customer-count rows, not order
+    rows), broadcast cross join, map-side scoring, one final tiny shuffle
+    on segment."""
+    prepare(spark, sf_dir)
+    o = spark.table("orders")
+    ref = o.agg(F.max("o_orderdate").alias("_ref_date"))
+    cust = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("_ref_date"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            dec_sum("o_totalprice").alias("monetary"),
+        )
+    )
+    bounds = cust.agg(
+        *[
+            e
+            for i, p in enumerate(_RFM_PCTS)
+            for e in (
+                F.expr(f"percentile(recency_days, {p})").alias(f"r{i}"),
+                F.expr(f"percentile(frequency, {p})").alias(f"f{i}"),
+                F.expr(f"percentile(monetary, {p})").alias(f"m{i}"),
+            )
+        ]
+    )
+    def score(metric: str, prefix: str, ascending: bool):
+        # ascending=True: smaller metric -> HIGHER score (recency)
+        scores = (5, 4, 3, 2, 1) if ascending else (1, 2, 3, 4, 5)
+        expr = F.lit(scores[4])
+        for i in range(3, -1, -1):
+            expr = F.when(F.col(metric) <= F.col(f"{prefix}{i}"), scores[i]).otherwise(expr)
+        return expr
+
+    scored = cust.crossJoin(F.broadcast(bounds)).select(
+        "monetary",
+        score("recency_days", "r", True).alias("r_score"),
+        score("frequency", "f", False).alias("f_score"),
+        score("monetary", "m", False).alias("m_score"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("m_score") >= 4, "big_spender")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "lost")
+        .when(F.col("r_score") <= 2, "at_risk")
+        .otherwise("regular")
+    )
+    return scored.groupBy(segment.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dec_sum("monetary").alias("monetary_total"),
+    )
+
+
+@component(
+    "cohort_retention",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS amonth FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(amonth) AS cohort_month FROM ev GROUP BY user_id
+    )
+    SELECT cohort_month,
+           CAST(date_diff('month', cohort_month, amonth) AS INT) AS months_since,
+           COUNT(DISTINCT ev.user_id) AS n_active
+    FROM ev JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+    cols=[("cohort_month", "date"), ("months_since", "num"), ("n_active", "num")],
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity month,
+    counted active per months-since-cohort. The standard growth-analytics
+    rollup the reference's dashboard layer would chart.
+
+    Plan: one shuffle to per-user first month, a key-co-partitioned join
+    back to events (AQE picks broadcast when the user dim fits), then the
+    distinct-count aggregation. months_between on first-of-month dates is
+    an exact integer — matches DuckDB's month-boundary date_diff."""
+    prepare(spark, sf_dir)
+    ev = spark.table("events").select(
+        "user_id", F.trunc(F.to_date("ts"), "month").alias("amonth")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("amonth").alias("cohort_month"))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_month",
+            F.months_between("amonth", "cohort_month").cast("int").alias("months_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -79,6 +79,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "a11b_approx_percentile_bound",
         # skew diagnostic: top-K keys + traffic share (salting decision input)
         "a14_heavy_hitters",
+        # growth analytics: cohort retention triangle over events
+        "cohort_retention",
     ],
     # §2.5 dedup + §2.6 windows (+ near-dup cluster assignment)
     "rel_window_dedup_suite": [
@@ -123,6 +125,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "etl_dim_geo",
         "etl_dim_date",
         "etl_pipeline_counts",
+        # customer-dim enrichment: RFM quintile-threshold segmentation
+        "rfm_segments",
     ],
     # text analysis: counting / quality / fingerprint / sampling / tf-idf
     "text_profile_suite": [
