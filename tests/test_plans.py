@@ -174,3 +174,42 @@ def test_embedding_neardup_joins_on_buckets_not_pairs(spark):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "BuildRight" in line
+
+
+def test_heavy_hitters_topk_without_global_window(spark):
+    """a14: top-K must compile to TakeOrderedAndProject (per-partition
+    top-K, driver merge) — never a global sort or window — and the share
+    denominator must not add a second hash shuffle on the key."""
+    from e_commerce_data_warehouse_recommendation_system_spark import registry
+
+    df = registry.components()["a14_heavy_hitters"].fn(spark, SF0001)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected the per-key count shuffle only, got {n}"
+
+
+def test_rfm_scores_without_ntile_sort(spark):
+    """rfm_segments: quintile scores come from broadcast percentile
+    thresholds + map-side CASE — no NTILE, which would be a
+    single-partition total-order WindowExec over all customers."""
+    from e_commerce_data_warehouse_recommendation_system_spark import registry
+
+    df = registry.components()["rfm_segments"].fn(spark, SF0001)
+    plan = _plan(df)
+    assert "Window" not in plan, "RFM scoring regressed to a global-sort window"
+    assert "BroadcastExchange" in plan, "percentile bounds must broadcast"
+
+
+def test_mixture_upsample_explodes_map_side(spark):
+    """text_mixture_upsample: the epoch fan-out must be a map-side
+    Generate(explode) with exactly ONE aggregation shuffle after it (no
+    countDistinct expand shuffle)."""
+    from e_commerce_data_warehouse_recommendation_system_spark import registry
+
+    df = registry.components()["text_mixture_upsample"].fn(spark, SF0001)
+    plan = _plan(df)
+    assert "Generate explode" in plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected one source-keyed shuffle, got {n}"
