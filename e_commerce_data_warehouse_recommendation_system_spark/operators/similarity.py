@@ -636,6 +636,34 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_K = 8
 KMEANS_SEED = 42
 
+#: Memoized fit per sf_dir (one entry — stale dirs evicted), so the
+#: clustering component and the balanced-sample component share one
+#: training pass instead of refitting per caller.
+_KMEANS_CACHE: dict[str, object] = {}
+
+
+def _kmeans_model(spark: SparkSession, sf_dir: str):
+    """Fit (or reuse) k-means on the embedding corpus; returns
+    (model, assignments DF of vec_id/prediction)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    prepare(spark, sf_dir)
+    fv = spark.table("embeddings").select(
+        "vec_id",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    if sf_dir not in _KMEANS_CACHE:
+        for stale in [k for k in _KMEANS_CACHE if k != sf_dir]:
+            del _KMEANS_CACHE[stale]
+        _KMEANS_CACHE[sf_dir] = KMeans(
+            k=KMEANS_K, seed=KMEANS_SEED, featuresCol="features"
+        ).fit(fv)
+    model = _KMEANS_CACHE[sf_dir]
+    return model, model.transform(fv).select("vec_id", "prediction")
+
 
 @component(
     "sim_kmeans_clusters",
@@ -672,19 +700,7 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself. The only driver-side values are the bounded contract scalars."""
     import math
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    prepare(spark, sf_dir)
-    e = spark.table("embeddings")
-    fv = e.select(
-        "vec_id",
-        array_to_vector(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("features"),
-    )
-    model = KMeans(k=KMEANS_K, seed=KMEANS_SEED, featuresCol="features").fit(fv)
-    pred = model.transform(fv)
+    model, pred = _kmeans_model(spark, sf_dir)
     stats = pred.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
@@ -710,4 +726,90 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_assigned",
         "assignments_in_range",
         "inertia_finite",
+    )
+
+
+CLUSTER_SAMPLE_CAP = 40
+
+
+@component(
+    "sim_cluster_balanced_sample",
+    cols=[
+        ("algo", "str"),
+        ("cap", "num"),
+        ("k", "num"),
+        ("balanced", "bool"),
+        ("cap_respected", "bool"),
+        ("sample_is_subset", "bool"),
+    ],
+    oracle=f"""
+    SELECT 'cluster_balanced_sample' AS algo,
+           CAST({CLUSTER_SAMPLE_CAP} AS BIGINT) AS cap,
+           CAST({KMEANS_K} AS BIGINT) AS k,
+           TRUE AS balanced,
+           TRUE AS cap_respected,
+           TRUE AS sample_is_subset
+    """,
+)
+def sim_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced sampling via the trained k-means cells: each cluster
+    contributes at most CLUSTER_SAMPLE_CAP vectors, chosen deterministically
+    by md5 rank within the cluster — the curation move that stops one
+    dominant topic from flooding a training mix (the cluster-level
+    counterpart of ``text_stratified_sample``'s per-language rates).
+
+    Contract flags are computed from the genuine sample: per-cluster
+    sampled count == min(cap, cluster size) for EVERY cluster (balanced),
+    never above cap, and the sample joins back onto the assignments
+    (subset). Cluster populations are model-dependent, hence digest-checked
+    (same class as the k-means fit itself).
+
+    Scale posture: the rank is a window PARTITIONED by cluster — bounded
+    per-key state, no global sort (k-means shares the fit via
+    ``_kmeans_model``, one training pass per sf_dir). The verification
+    joins group on at most k keys."""
+    from pyspark.sql.window import Window
+
+    _, pred = _kmeans_model(spark, sf_dir)
+    w = Window.partitionBy("prediction").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    sample = (
+        pred.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= CLUSTER_SAMPLE_CAP)
+        .drop("_rn")
+    )
+    sizes = pred.groupBy("prediction").agg(F.count(F.lit(1)).alias("n_in"))
+    sampled = sample.groupBy("prediction").agg(F.count(F.lit(1)).alias("n_samp"))
+    per_cluster = sizes.join(sampled, "prediction", "left").select(
+        "prediction",
+        "n_in",
+        F.coalesce("n_samp", F.lit(0)).alias("n_samp"),
+    )
+    stats = per_cluster.agg(
+        F.sum(
+            (
+                F.col("n_samp") != F.least(F.lit(CLUSTER_SAMPLE_CAP), F.col("n_in"))
+            ).cast("long")
+        ).alias("unbalanced"),
+        F.max("n_samp").alias("max_samp"),
+    ).collect()[0]
+    n_orphans = sample.join(pred, ["vec_id", "prediction"], "left_anti").count()
+    return spark.createDataFrame(
+        [
+            (
+                "cluster_balanced_sample",
+                bool((stats.unbalanced or 0) == 0),
+                bool((stats.max_samp or 0) <= CLUSTER_SAMPLE_CAP),
+                bool(n_orphans == 0),
+            )
+        ],
+        schema="algo string, balanced boolean, cap_respected boolean, sample_is_subset boolean",
+    ).select(
+        "algo",
+        F.lit(CLUSTER_SAMPLE_CAP).cast("bigint").alias("cap"),
+        F.lit(KMEANS_K).cast("bigint").alias("k"),
+        "balanced",
+        "cap_respected",
+        "sample_is_subset",
     )

@@ -152,6 +152,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "sim_quantize_int8",
         # trained-centroid clustering (contract digest, ALS-factor class)
         "sim_kmeans_clusters",
+        # topic-balanced sampling over the trained cells (shares the fit)
+        "sim_cluster_balanced_sample",
     ],
     # recommender prep: label encode / interactions / hash split
     "rec_prep_suite": [
