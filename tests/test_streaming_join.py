@@ -25,7 +25,7 @@ def test_stream_stream_join_matches_batch(spark):
         b,
         F.expr(
             f"""a.user_id = b.user_id AND a.event_id < b.event_id
-            AND b.ts >= a.ts
+            AND b.ts >= a.ts - interval {STREAM_JOIN_WINDOW_S} seconds
             AND b.ts <= a.ts + interval {STREAM_JOIN_WINDOW_S} seconds"""
         ),
     ).select(F.col("a.event_id").alias("event_a"), F.col("b.event_id").alias("event_b"))
