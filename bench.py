@@ -40,11 +40,17 @@ def main() -> None:
         with open(os.path.join(sf_dir, f), "rb") as fh:
             while fh.read(1 << 22):
                 pass
-    qs["q1_pricing_summary"](spark, sf_dir).count()
-    # The FIRST streaming query in a session pays one-time engine init
-    # (state-store + streaming codegen, ~5-8 s measured) — warm it on the
-    # smallest SF so the streaming slot times the workload, not the engine.
-    qs["stream_incremental_ingest"](spark, "/root/testdata/sf0.001").count()
+    for warm in (
+        lambda: qs["q1_pricing_summary"](spark, sf_dir).count(),
+        # The FIRST streaming query in a session pays one-time engine init
+        # (state-store + streaming codegen, ~5-8 s measured) — warm it on the
+        # smallest SF so the streaming slot times the workload, not the engine.
+        lambda: qs["stream_incremental_ingest"](spark, "/root/testdata/sf0.001").count(),
+    ):
+        try:
+            warm()
+        except Exception as exc:  # a broken warmup slot still gets its own error row below
+            print(f"# warmup error: {type(exc).__name__}: {exc}"[:200], file=sys.stderr)
 
     # Every slot is timed ITERS times and the minimum reported: the box
     # throttles under sustained all-core load (measured ±2x on identical
@@ -61,20 +67,42 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3), n
 
+    # One query raising must NOT zero the whole artifact (round 4's bench
+    # crashed on a single AnalysisException and the round had no number at
+    # all): record the error per-slot, keep timing the rest, and exit
+    # non-zero only if NOTHING ran.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    def run_slot(name: str, fn) -> None:
+        try:
+            timings[name], n = timed(fn)
+            print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — per-slot fault isolation
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+
     for name in names:
-        timings[name], n = timed(lambda name=name: qs[name](spark, sf_dir))
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        run_slot(name, lambda name=name: qs[name](spark, sf_dir))
 
     # Bench-only workloads: each may declare an off-the-clock warmup (e.g.
     # the ALS fit feeding a serving benchmark, the ANN index build feeding
     # its query path) so every number measures ONE workload, not a
     # composite of setup + serving + verification.
     for name, wl in registry.bench_workloads().items():
-        if wl.warmup is not None:
-            wl.warmup(spark, sf_dir)
-        timings[name], n = timed(lambda wl=wl: wl.fn(spark, sf_dir))
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        def one(wl=wl):
+            if wl.warmup is not None:
+                wl.warmup(spark, sf_dir)
+            return run_slot(name, lambda: wl.fn(spark, sf_dir))
+        try:
+            one()
+        except Exception as exc:  # warmup itself failed
+            errors[name] = f"warmup {type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: WARMUP ERROR {errors[name][:120]}", file=sys.stderr)
+
+    if not timings:
+        print(json.dumps({"metric": "headline_queries_total", "value": None, "errors": errors}))
+        sys.exit(1)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -92,6 +120,7 @@ def main() -> None:
                 "sf": sf_val,
                 "iterations": ITERS,
                 "estimator": "min",
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -421,7 +421,9 @@ def j_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts second-boundary crossings, i.e. floor(b) - floor(a) — match it
     # exactly rather than truncating the microsecond difference
     ev = spark.table("events").select(
-        "event_id", "user_id", F.floor(F.unix_micros("ts") / 1_000_000).alias("t_s")
+        "event_id",
+        "user_id",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).alias("t_s"),
     )
     bin_col = F.floor(F.col("t_s") / RANGE_JOIN_WINDOW_S)
     # left probes its own bin plus both neighbors; right sits in its bin once,

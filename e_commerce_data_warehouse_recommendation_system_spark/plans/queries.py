@@ -466,10 +466,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.table("events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag(F.unix_micros("ts")).over(w)
-    new_sess = F.when(
-        prev.isNull() | ((F.unix_micros("ts") - prev) > SESSION_GAP_US), 1
-    ).otherwise(0)
+    # cast("timestamp") defends against TIMESTAMP_NTZ inputs (unix_micros
+    # requires TIMESTAMP; session TZ is UTC so the cast is value-preserving)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(ts_us).over(w)
+    new_sess = F.when(prev.isNull() | ((ts_us - prev) > SESSION_GAP_US), 1).otherwise(0)
     return (
         ev.withColumn("new_sess", new_sess)
         .groupBy("user_id")

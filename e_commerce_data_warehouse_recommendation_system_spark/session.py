@@ -30,10 +30,12 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
-    # events.parquet stores ts as TIMESTAMP(NANOS); Spark 4 refuses NANOS
-    # columns (PARQUET_TYPE_ILLEGAL) unless read as raw longs. readers.load_table
-    # rebuilds the timestamp exactly (ns -> us truncation, same as DuckDB's
-    # TIMESTAMP_NS -> TIMESTAMP cast).
+    # LEGACY-LAYOUT GUARD ONLY: older testdata generations stored events.ts as
+    # TIMESTAMP(NANOS), which Spark 4 refuses (PARQUET_TYPE_ILLEGAL) unless
+    # read as raw longs; readers.normalize_event_ts then rebuilds the
+    # timestamp (ns -> us truncation, same as DuckDB's TIMESTAMP_NS cast).
+    # The current testdata ships us-precision TIMESTAMP_NTZ, which this conf
+    # does not affect — kept so a nanos-era file still loads correctly.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # dims up to 64 MB broadcast (runtime-settable, so an externally-built
     # session plans star joins the same way get_spark's do)

@@ -119,13 +119,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.parquet stores ts as TIMESTAMP(NANOS); Spark 4 reads it only
-        # as a raw long (spark.sql.legacy.parquet.nanosAsLong, set in
-        # session.RUNTIME_CONF). Rebuild the timestamp with exact ns -> us
-        # truncation — the same cast DuckDB applies for TIMESTAMP_NS, so the
-        # oracle agrees to the microsecond.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize events.ts to session-TZ TimestampType whatever physical
+    layout the parquet shipped with. The testdata has stored ts as
+    TIMESTAMP(NANOS) (reads as a raw long under
+    spark.sql.legacy.parquet.nanosAsLong) and, since the r4 regeneration, as
+    Timestamp(isAdjustedToUTC=false, MICROS) (reads as TIMESTAMP_NTZ).
+    Branching on the OBSERVED dtype makes the engine immune to either
+    direction of drift:
+
+    - ``bigint``        -> nanos-as-long: rebuild with exact ns -> us
+      truncation, the same cast DuckDB applies for TIMESTAMP_NS;
+    - ``timestamp_ntz`` -> cast to TIMESTAMP. The session TZ is pinned UTC
+      (session.RUNTIME_CONF), so NTZ -> LTZ is value-preserving and
+      downstream ``unix_micros``/windowing gets the type it expects;
+    - ``timestamp``     -> already normalized, pass through.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

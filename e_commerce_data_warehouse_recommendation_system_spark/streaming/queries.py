@@ -39,20 +39,50 @@ from e_commerce_data_warehouse_recommendation_system_spark.sources.writers impor
     upsert,
 )
 
-#: File-source schema: ts is declared LONG because events.parquet stores
-#: TIMESTAMP(NANOS) and the session reads nanos as raw longs
-#: (session.RUNTIME_CONF nanosAsLong); the stream rebuilds the timestamp
-#: with the same exact ns -> us truncation as sources/readers.load_table.
-_EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    """File-source schema for the events landing directory, parameterized by
+    the physical ts type the files actually carry (see _events_ts_layout)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _events_ts_layout(spark: SparkSession, landing_path: str):
+    """Probe the landing files' ACTUAL ts layout with a one-footer batch read
+    and return ``(stream_schema, normalize)``. Streaming sources need a
+    declared schema up front, and hard-coding it rots when the testdata
+    regenerates (r4: TIMESTAMP(NANOS) -> TIMESTAMP_NTZ(MICROS) silently made
+    a declared-LONG schema read raw MICROseconds, and the ns -> us rebuild
+    then landed every event in Jan 1970). Branch on what the files say:
+
+    - batch reads ``bigint``        -> nanos-as-long: declare LONG, rebuild
+      via ``timestamp_micros(ts DIV 1000)`` (exact ns -> us truncation);
+    - batch reads ``timestamp_ntz`` -> declare TimestampNTZType and cast to
+      session-TZ TIMESTAMP (TZ pinned UTC, so the cast is value-preserving);
+    - batch reads ``timestamp``     -> declare TimestampType, no rebuild.
+
+    The probe is one parquet footer read per stream setup — noise next to
+    starting a streaming query, and on a real deployment the landing dir's
+    layout is stable so the result could be cached per path."""
+    dt = dict(spark.read.parquet(landing_path).dtypes).get("ts")
+    if dt == "bigint":
+        return (
+            _events_stream_schema(T.LongType()),
+            lambda df: df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)")),
+        )
+    if dt == "timestamp_ntz":
+        return (
+            _events_stream_schema(T.TimestampNTZType()),
+            lambda df: df.withColumn("ts", F.col("ts").cast("timestamp")),
+        )
+    return _events_stream_schema(T.TimestampType()), lambda df: df
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, stage_dir: str) -> DataFrame:
@@ -70,8 +100,8 @@ def _events_stream(spark: SparkSession, sf_dir: str, stage_dir: str) -> DataFram
     link = f"{stage_dir}/events.parquet"
     if not os.path.exists(link):
         os.symlink(f"{sf_dir.rstrip('/')}/events.parquet", link)
-    raw = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(stage_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    schema, normalize = _events_ts_layout(spark, stage_dir)
+    return normalize(spark.readStream.schema(schema).parquet(stage_dir))
 
 
 def _run_foreach_batch_upsert(
@@ -240,7 +270,7 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="ecomdw_stream_")
     events = _events_stream(spark, sf_dir, f"{tmp}/landing").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
     )
 
     gap = SESSION_GAP_US
@@ -423,10 +453,9 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str, stage_dir: str, out_di
     same records any number of times; the sink sees each event_id once per
     watermark window. Asserted against the distinct batch count in
     tests/test_streaming_dedup.py."""
+    schema, normalize = _events_ts_layout(spark, stage_dir)
     events = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
-        .parquet(stage_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        normalize(spark.readStream.schema(schema).parquet(stage_dir))
         .withWatermark("ts", "1 day")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
@@ -453,10 +482,9 @@ def stream_enrich_events(spark: SparkSession, sf_dir: str, stage_dir: str, out_d
     customer = spark.table("customer").select(
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
+    schema, normalize = _events_ts_layout(spark, stage_dir)
     events = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
-        .parquet(stage_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        normalize(spark.readStream.schema(schema).parquet(stage_dir))
         .select("event_id", "user_id", "event_type", "value")
     )
     enriched = events.join(F.broadcast(customer), "user_id", "left")

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import load_table
 from e_commerce_data_warehouse_recommendation_system_spark.streaming.queries import (
-    _EVENTS_STREAM_SCHEMA,
+    _events_ts_layout,
     _run_foreach_batch_upsert,
 )
 from tests.conftest import SF0001
@@ -25,9 +25,11 @@ from tests.conftest import SF0001
 
 @pytest.fixture(scope="module")
 def split_events_dir(spark):
-    """events.parquet split into 4 files (still nanos-as-long ts)."""
+    """events.parquet split into 4 files. The raw (unnormalized) batch read
+    round-trips whatever physical ts layout the testdata carries — the
+    stream side must cope via _events_ts_layout, same as production."""
     tmp = tempfile.mkdtemp(prefix="ecomdw_test_stream_")
-    raw = spark.read.parquet(f"{SF0001}/events.parquet")  # ts stays bigint
+    raw = spark.read.parquet(f"{SF0001}/events.parquet")
     raw.repartition(4).write.mode("overwrite").parquet(f"{tmp}/landing")
     yield f"{tmp}/landing"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -36,11 +38,11 @@ def split_events_dir(spark):
 def test_multibatch_ingest_upsert_matches_batch(spark, split_events_dir):
     tmp = tempfile.mkdtemp(prefix="ecomdw_test_stream_out_")
     try:
-        stream = (
-            spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        schema, normalize = _events_ts_layout(spark, split_events_dir)
+        stream = normalize(
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(split_events_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         )
         out = f"{tmp}/ingested"
         _run_foreach_batch_upsert(stream, ["event_id"], out, f"{tmp}/ckpt")
@@ -65,15 +67,13 @@ def test_partition_scoped_upsert_rejects_null_partition(spark, split_events_dir)
 
     tmp = tempfile.mkdtemp(prefix="ecomdw_test_stream_out_")
     try:
-        stream = (
-            spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
-            .parquet(split_events_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        schema, normalize = _events_ts_layout(spark, split_events_dir)
+        stream = normalize(
+            spark.readStream.schema(schema).parquet(split_events_dir)
             # event_type 'view' -> NULL partition value
-            .withColumn(
-                "_part",
-                F.when(F.col("event_type") != "view", F.col("event_type")),
-            )
+        ).withColumn(
+            "_part",
+            F.when(F.col("event_type") != "view", F.col("event_type")),
         )
         with pytest.raises(StreamingQueryException, match="NULL"):
             _run_foreach_batch_upsert(
@@ -102,11 +102,11 @@ def test_multibatch_upsert_overwrites_colliding_keys(spark, split_events_dir):
             for f_ in os.listdir(src):
                 if f_.endswith(".parquet"):
                     os.symlink(f"{src}/{f_}", f"{merged_landing}/{f_}")
-        stream = (
-            spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        schema, normalize = _events_ts_layout(spark, merged_landing)
+        stream = normalize(
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "2")
             .parquet(merged_landing)
-            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         )
         out = f"{tmp}/ingested"
         _run_foreach_batch_upsert(stream, ["event_id"], out, f"{tmp}/ckpt")

@@ -15,16 +15,24 @@ import tempfile
 from pyspark.sql import functions as F
 
 from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar import dec_sum
+from pyspark.sql import types as T
+
 from e_commerce_data_warehouse_recommendation_system_spark.streaming.queries import (
-    _EVENTS_STREAM_SCHEMA,
+    _events_stream_schema,
+    _events_ts_layout,
     _run_foreach_batch_upsert,
 )
+
+#: This test writes its OWN fixture files with nanos-as-long ts — the legacy
+#: testdata layout — so it doubles as coverage for _events_ts_layout's bigint
+#: branch (the probe must pick the LONG schema + DIV 1000 rebuild here).
+_LEGACY_LONG_SCHEMA = _events_stream_schema(T.LongType())
 
 US_PER_DAY = 86_400 * 1_000_000
 
 
 def _write_events(spark, path, rows):
-    spark.createDataFrame(rows, schema=_EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+    spark.createDataFrame(rows, schema=_LEGACY_LONG_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(path)
 
@@ -44,12 +52,14 @@ def test_late_event_beyond_watermark_is_dropped(spark):
                 (2, day(5) * 1000, 10, "click", 1.0, None),
             ],
         )
-        # ts column stores NANOS (hence *1000 above, matching the source schema)
-        stream = (
-            spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        # ts column stores NANOS (hence *1000 above); the probe must detect
+        # the long layout and apply the DIV 1000 rebuild itself
+        schema, normalize = _events_ts_layout(spark, landing)
+        assert schema["ts"].dataType == T.LongType()
+        stream = normalize(
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(landing)
-            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         )
         agg = (
             stream.withWatermark("ts", "1 day")
