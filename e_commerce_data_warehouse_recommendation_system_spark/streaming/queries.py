@@ -136,8 +136,12 @@ def _run_foreach_batch_upsert(
             merged = batch_df if old is None else upsert(old, batch_df, keys)
             # localCheckpoint breaks the lineage back to the target files
             # being overwritten (read-then-overwrite of the same path is
-            # otherwise a self-referencing plan).
-            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(out_dir)
+            # otherwise a self-referencing plan). Only needed when the merge
+            # actually read the target — the bootstrap batch writes straight
+            # through without the extra materialization pass.
+            if old is not None:
+                merged = merged.localCheckpoint(eager=True)
+            merged.write.mode("overwrite").parquet(out_dir)
             return
         touched = [
             r[0] for r in batch_df.select(partition_col).distinct().collect()
@@ -157,11 +161,12 @@ def _run_foreach_batch_upsert(
             old = spark.read.parquet(out_dir).filter(
                 F.col(partition_col).isin(touched)
             )
-            merged = upsert(old, batch_df, keys)
+            # lineage reads the files being overwritten -> must materialize
+            merged = upsert(old, batch_df, keys).localCheckpoint(eager=True)
         else:
-            merged = batch_df
+            merged = batch_df  # bootstrap: no self-reference, no checkpoint
         (
-            merged.localCheckpoint(eager=True)
+            merged
             # co-locate each partition value into one task before the
             # partitioned write: without this every shuffle task emits a
             # file per value it holds (tasks x values small files); with it
