@@ -175,8 +175,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@component(
     "sim_l2_normalize",
+    cols=[("vec_id", "num"), ("nrm", "dbl"), ("unit_head", "dbl")],
     oracle=f"""
     WITH elems AS ({_SQL_ELEMS}),
     norms AS ({_SQL_NORMS})
@@ -191,7 +192,12 @@ def sim_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sklearn.preprocessing.normalize before scoring). The norm is
     decimal-exact; the digest exposes (vec_id, norm, first unit component)
     so the normalize step itself is hash-checked — full unit vectors stay
-    distributed (array-valued results don't hash portably)."""
+    distributed (array-valued results don't hash portably).
+
+    Suite component since round 5: its driver slot went to
+    session_window_native (VERDICT r4 item 6) — this op is a single
+    map-side expression, the weakest claim on an own slot; the full-result
+    oracle is unchanged and still checked via --components."""
     prepare(spark, sf_dir)
     vecs = vectors_with_norms(spark)
     unit_head = F.when(

@@ -283,6 +283,71 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shard fan-out for the deterministic global shuffle. 16 here because the
+#: single-hex-digit bucket is portably computable in both engines; at real
+#: scale widen the key slice (e.g. 4 hex chars -> 65536 shards) — the plan
+#: shape is identical.
+N_SHUFFLE_SHARDS = 16
+
+
+@component(
+    "text_shuffle_shards",
+    cols=[
+        ("shard", "num"),
+        ("n_docs", "num"),
+        ("sum_chars", "num"),
+        ("first_key", "str"),
+        ("last_key", "str"),
+    ],
+    # shard = value of the first hex DIGIT (0..15 uniform), not ascii%16 —
+    # ascii of '0'-'9','a'-'f' mod 16 collapses to 10 skewed buckets
+    oracle="""
+    SELECT strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(md5(CAST(doc_id AS VARCHAR))) AS first_key,
+           MAX(md5(CAST(doc_id AS VARCHAR))) AS last_key
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def text_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into fixed training shards — the
+    "shuffle the corpus before training" step every pre-training pipeline
+    needs. Each doc's shard and its within-shard order both derive from
+    md5(doc_id): reproducible on any cluster topology (unlike ``rand()`` or
+    ``repartition`` alone, whose layout depends on partition count and task
+    scheduling), decorrelated from any source ordering (crawl order, URL
+    locality), and stable under re-runs — a replayed pipeline produces
+    byte-identical shards.
+
+    The materialization form is
+    ``df.repartition(N, shard).sortWithinPartitions(order_key).write
+    .partitionBy(shard)`` — ONE shuffle on the shard key, linear sort
+    within each shard. The queryable form here digests the permutation:
+    per-shard doc count (balance), char mass, and the first/last order keys
+    (pins the exact within-shard ordering, since any membership or order
+    change moves a min/max)."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    # first hex digit's VALUE (0..15, uniform) — both engines via string
+    # position; ascii%16 would fold 16 digits onto 10 skewed buckets
+    shard = F.expr(
+        "locate(substr(md5(cast(doc_id as string)), 1, 1), '0123456789abcdef') - 1"
+    )
+    return (
+        d.select(shard.alias("shard"), key.alias("k"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("k").alias("first_key"),
+            F.max("k").alias("last_key"),
+        )
+    )
+
+
 @component(
     "text_fingerprint",
     cols=[("doc_id", "num"), ("fingerprint", "str")],

@@ -100,9 +100,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         # streaming twin of the batch dedup ladder: watermarked exactly-once
         # repair over a replayed source
         "stream_dedup_replay",
-        # NATIVE session_window sessionization (the built-in form of the
-        # q_sessionize gap-island rewrite; boundaries oracle-checked)
-        "session_window_native",
+        # (session_window_native was here through r4; it now holds its own
+        # driver slot — VERDICT r4 item 6)
     ],
     # §2.7 sorts/limits + §2.8 set ops + §2.9 scalar functions
     "rel_set_sort_func_suite": [
@@ -143,12 +142,16 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_oov_rate",
         # mixture assembly: per-source epoch weights with real row fan-out
         "text_mixture_upsample",
+        # deterministic global shuffle -> fixed training shards
+        "text_shuffle_shards",
     ],
     # multimodal: frame sampling + decode->resize->sample chain + the
     # embedding-representation compression step (int8 quantization)
     "mm_media_suite": [
         "mm_frame_sample",
         "mm_resize_sample",
+        # embedding-representation ops sharing the embeddings scan
+        "sim_l2_normalize",
         "sim_quantize_int8",
         # trained-centroid clustering (contract digest, ALS-factor class)
         "sim_kmeans_clusters",
