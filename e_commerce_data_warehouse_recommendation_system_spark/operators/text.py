@@ -348,6 +348,48 @@ def text_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-domain document cap (C4/RefinedWeb-style "limit docs per domain").
+DOMAIN_CAP = 15
+
+
+@component(
+    "text_domain_cap",
+    cols=[("doc_id", "num"), ("source", "str"), ("rnk", "num")],
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {DOMAIN_CAP}
+    """,
+)
+def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the C4/RefinedWeb anti-bias step that stops
+    a handful of giant domains dominating the training mixture. Priority
+    within a domain is the md5 order key (= "shuffle the domain, keep the
+    first K"): deterministic, topology-independent, and uncorrelated with
+    crawl order, so replays keep byte-identical docs.
+
+    One shuffle on the domain key, then a bounded per-group rank (the W3
+    top-k-per-group shape). At 100 TB a mega-domain is exactly the skewed
+    key AQE's skew-join/partition split handles; if a single domain exceeds
+    one executor's window buffer, swap row_number for the two-phase cap
+    (per-partition pre-truncate to K, then re-rank) — same result set, no
+    unbounded per-key window state."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= DOMAIN_CAP)
+    )
+
+
 @component(
     "text_fingerprint",
     cols=[("doc_id", "num"), ("fingerprint", "str")],

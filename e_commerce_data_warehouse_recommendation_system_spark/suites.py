@@ -144,6 +144,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_mixture_upsample",
         # deterministic global shuffle -> fixed training shards
         "text_shuffle_shards",
+        # per-domain doc cap (anti domain-dominance)
+        "text_domain_cap",
     ],
     # multimodal: frame sampling + decode->resize->sample chain + the
     # embedding-representation compression step (int8 quantization)
