@@ -374,11 +374,13 @@ def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl order, so replays keep byte-identical docs.
 
     One shuffle on the domain key, then a bounded per-group rank (the W3
-    top-k-per-group shape). At 100 TB a mega-domain is exactly the skewed
-    key AQE's skew-join/partition split handles; if a single domain exceeds
-    one executor's window buffer, swap row_number for the two-phase cap
-    (per-partition pre-truncate to K, then re-rank) — same result set, no
-    unbounded per-key window state."""
+    top-k-per-group shape). The physical plan (verified via
+    ``explain("formatted")``) already runs the two-phase cap: Catalyst's
+    rank-limit pushdown inserts a map-side ``WindowGroupLimit`` BEFORE the
+    exchange, so each task pre-truncates every domain to K rows and the
+    shuffle moves at most K * n_domains * n_tasks rows, never the full
+    corpus — a mega-domain costs K rows per upstream task, not its whole
+    row count, with no unbounded window state on any executor."""
     prepare(spark, sf_dir)
     d = spark.table("documents")
     w = Window.partitionBy("source").orderBy(

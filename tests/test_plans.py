@@ -213,3 +213,33 @@ def test_mixture_upsample_explodes_map_side(spark):
     assert "Generate explode" in plan
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"expected one source-keyed shuffle, got {n}"
+
+
+def test_domain_cap_pretruncates_before_shuffle(spark):
+    """The per-domain cap must move at most K rows per domain per upstream
+    task through the shuffle: Catalyst's rank-limit pushdown plans a
+    map-side WindowGroupLimit BEFORE the exchange (the automatic two-phase
+    cap). If a refactor loses the pushdown (e.g. by adding a filter the
+    optimizer can't see through), the full corpus crosses the wire."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import text_domain_cap
+
+    plan = _plan(text_domain_cap(spark, SF0001))
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    assert post, f"expected a hash shuffle on the domain key:\n{plan}"
+    assert "WindowGroupLimit" in pre, (
+        f"no map-side WindowGroupLimit before the exchange — the domain cap "
+        f"is shuffling the full corpus:\n{plan}"
+    )
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """The deterministic shard digest is one partial-agg shuffle: shard id
+    and order key are map-side md5 expressions feeding a hash aggregate."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import text_shuffle_shards
+
+    plan = _plan(text_shuffle_shards(spark, SF0001))
+    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_shuffles == 1, f"expected exactly one shuffle, got {n_shuffles}:\n{plan}"
+    assert "partial" in plan.lower(), f"no map-side partial aggregation:\n{plan}"
