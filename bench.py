@@ -120,7 +120,10 @@ def main() -> None:
                 "sf": sf_val,
                 "iterations": ITERS,
                 "estimator": "min",
-                **({"errors": errors} if errors else {}),
+                # a partial total sums only the slots that ran — flag it
+                # STRUCTURALLY so a round with a failed slot can never read
+                # as a speedup in round-over-round comparison
+                **({"errors": errors, "partial": True} if errors else {}),
             }
         )
     )

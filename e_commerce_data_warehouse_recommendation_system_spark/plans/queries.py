@@ -531,8 +531,11 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented above."""
     prepare(spark, sf_dir)
     ev = spark.table("events")
+    # gap derived from SESSION_GAP_US so the Spark window and the oracle's
+    # boundary arithmetic cannot drift independently
+    gap = f"{SESSION_GAP_US // 60_000_000} minutes"
     return (
-        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        ev.groupBy(F.session_window("ts", gap), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events_s"))
         .select(
             "user_id",

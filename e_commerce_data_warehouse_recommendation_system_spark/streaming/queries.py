@@ -33,7 +33,10 @@ from pyspark.sql import types as T
 
 from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar import dec_sum
 from e_commerce_data_warehouse_recommendation_system_spark.registry import component, register
-from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
+from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import (
+    normalize_event_ts,
+    prepare,
+)
 from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
     parquet_target_exists,
     upsert,
@@ -70,19 +73,28 @@ def _events_ts_layout(spark: SparkSession, landing_path: str):
 
     The probe is one parquet footer read per stream setup — noise next to
     starting a streaming query, and on a real deployment the landing dir's
-    layout is stable so the result could be cached per path."""
-    dt = dict(spark.read.parquet(landing_path).dtypes).get("ts")
+    layout is stable so the result could be cached per path.
+
+    The returned normalizer IS readers.normalize_event_ts — one
+    implementation of the rebuild for batch and stream, so the two paths
+    cannot drift apart again (it branches on the OBSERVED dtype, which for
+    a stream is the declared schema chosen here)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        dt = dict(spark.read.parquet(landing_path).dtypes).get("ts")
+    except AnalysisException:
+        # Empty landing directory (files arrive later): no footer to probe.
+        # Declare the CURRENT testdata era's layout (us TIMESTAMP_NTZ); a
+        # legacy nanos-as-long producer must populate before stream setup.
+        dt = "timestamp_ntz"
     if dt == "bigint":
-        return (
-            _events_stream_schema(T.LongType()),
-            lambda df: df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)")),
-        )
-    if dt == "timestamp_ntz":
-        return (
-            _events_stream_schema(T.TimestampNTZType()),
-            lambda df: df.withColumn("ts", F.col("ts").cast("timestamp")),
-        )
-    return _events_stream_schema(T.TimestampType()), lambda df: df
+        ts_type: T.DataType = T.LongType()
+    elif dt == "timestamp_ntz":
+        ts_type = T.TimestampNTZType()
+    else:
+        ts_type = T.TimestampType()
+    return _events_stream_schema(ts_type), normalize_event_ts
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, stage_dir: str) -> DataFrame:

@@ -224,11 +224,13 @@ def test_domain_cap_pretruncates_before_shuffle(spark):
     from e_commerce_data_warehouse_recommendation_system_spark.operators.text import text_domain_cap
 
     plan = _plan(text_domain_cap(spark, SF0001))
+    # plan text is printed ROOT-FIRST: the map-side (upstream) partial
+    # WindowGroupLimit appears BELOW the exchange line, i.e. in `post`
     pre, _, post = plan.partition("Exchange hashpartitioning")
     assert post, f"expected a hash shuffle on the domain key:\n{plan}"
-    assert "WindowGroupLimit" in pre, (
-        f"no map-side WindowGroupLimit before the exchange — the domain cap "
-        f"is shuffling the full corpus:\n{plan}"
+    assert "WindowGroupLimit" in post, (
+        f"no map-side WindowGroupLimit upstream of the exchange — the domain "
+        f"cap is shuffling the full corpus:\n{plan}"
     )
 
 
