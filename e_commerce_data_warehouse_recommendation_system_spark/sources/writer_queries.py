@@ -220,6 +220,48 @@ def wr_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@component(
+    "wr_orc_roundtrip",
+    cols=[("o_orderpriority", "str"), ("n_orders", "num"), ("total_price", "dbl")],
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def wr_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip — the third columnar interchange format
+    next to parquet and CSV/JSON (Spark-native, zstd-compressed here like a
+    warehouse export would be). Same columnar benefits as parquet
+    (predicate pushdown, column pruning, vectorized read), so the engine's
+    scan posture carries over unchanged; the digest proves write+read lose
+    nothing through the format boundary."""
+    import shutil
+    import tempfile
+
+    prepare(spark, sf_dir)
+    o = spark.table("orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="ecomdw_wr_")
+    try:
+        path = f"{tmp}/orders_orc"
+        o.write.mode("overwrite").option("compression", "zstd").orc(path)
+        back = spark.read.orc(path)
+        result = (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
 @register(
     "wr_bucketed_join",
     oracle="""

@@ -177,6 +177,7 @@ SUITE_SPECS: dict[str, list[str]] = {
         "wr_parquet_roundtrip",
         "wr_json_roundtrip",
         "wr_csv_roundtrip",
+        "wr_orc_roundtrip",
         # CDC: snapshot diff -> insert/update/delete/unchanged classes
         "wr_snapshot_cdc",
     ],
