@@ -776,6 +776,47 @@ def rec_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 COPURCHASE_TOP_K = 20
 
 
+#: size of the popularity shelf served to cold-start users
+POPULAR_FALLBACK_K = 100
+
+
+@component(
+    "rec_popular_fallback",
+    cols=[("item_id", "num"), ("n_users", "num"), ("rnk", "num")],
+    oracle=f"""
+    WITH inter AS ({_SQL_INTERACTIONS}),
+    pop AS (SELECT item_id, COUNT(*) AS n_users FROM inter GROUP BY item_id),
+    ranked AS (
+      SELECT item_id, n_users,
+             ROW_NUMBER() OVER (ORDER BY n_users DESC, item_id) AS rnk
+      FROM pop
+    )
+    SELECT item_id, CAST(n_users AS BIGINT) AS n_users, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {POPULAR_FALLBACK_K}
+    """,
+)
+def rec_popular_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start popularity shelf: top-K items by distinct-user reach.
+    The reference REFUSES users absent from training
+    (mf_knn_recommender.py:234-242 returns a warning string); a serving
+    system needs a fallback list instead — the standard most-popular shelf,
+    deterministic (ties broken by item_id) and refreshed with the model.
+
+    Scale posture: distinct (user, item) pairs shuffle once on item_id for
+    the reach count; the global top-K is sort+limit
+    (TakeOrderedAndProject — per-partition heaps, no global sort); the rank
+    window runs on the K-row result only (bounded domain)."""
+    prepare(spark, sf_dir)
+    pop = (
+        interactions(spark)
+        .groupBy("item_id")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    top = pop.orderBy(F.desc("n_users"), F.asc("item_id")).limit(POPULAR_FALLBACK_K)
+    w = Window.orderBy(F.desc("n_users"), F.asc("item_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
 @component(
     "rec_copurchase_pairs",
     cols=[

@@ -167,6 +167,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "rec_train_test_split",
         # item-item co-occurrence twin of the user-item recommender
         "rec_copurchase_pairs",
+        # cold-start popularity shelf (reference refuses unknown users)
+        "rec_popular_fallback",
     ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [
