@@ -776,6 +776,135 @@ def rec_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 COPURCHASE_TOP_K = 20
 
 
+def rec_factor_serve_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """Serving from EXPORTED factors: top-k via explicit dot products over
+    the factor tables, bypassing the ALSModel object entirely — the
+    feature-store pattern (factors land in a serving store; rankers score
+    with plain linear algebra, no MLlib at inference time). Must reproduce
+    ``recommendForUserSubset`` exactly (same factors, same argmax):
+    asserted in tests/test_rec_serving_parity.py.
+
+    Plan shape: item factors are catalog-sized -> broadcast; each subset
+    user scores all items map-side (``zip_with``/``aggregate`` — JVM
+    higher-order fns, no Python), then the per-user top-k window. At 100 TB
+    the user side partitions freely; the item side stays the bounded
+    catalog — the same asymmetry recommendForAllUsers' blocked cross
+    product exploits."""
+    prepare(spark, sf_dir)
+    art = _artifacts(spark, sf_dir)
+    uf = art["model"].userFactors.select(
+        F.col("id").alias("user_idx"), F.col("features").alias("ufeat")
+    )
+    itf = art["model"].itemFactors.select(
+        F.col("id").alias("item_idx"), F.col("features").alias("ifeat")
+    )
+    subset = art["users"].filter(F.col("user_id") % 50 == 0)
+    users = subset.join(uf, "user_idx")
+    dot = F.aggregate(
+        F.zip_with(F.col("ufeat"), F.col("ifeat"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = users.join(F.broadcast(itf)).select(
+        "user_idx", "user_id", "item_idx", dot.cast("float").alias("score")
+    )
+    w = Window.partitionBy("user_idx").orderBy(F.desc("score"), F.asc("item_idx"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .join(F.broadcast(art["items"]), "item_idx")
+        .select("user_id", "item_id", "rnk", "score")
+    )
+
+
+def _gram_matrix(factors: DataFrame) -> "list[list[float]]":
+    """Distributed Gram matrix Y^T Y over a factor table: per-Arrow-batch
+    partial outer-product sums via mapInPandas (map-side, no shuffle), then
+    the driver folds the bounded partials (one rank x rank array per batch
+    — KBs however large the catalog grows)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rank = len(factors.select("features").first()[0])
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            y = np.stack(pdf["features"].to_numpy())
+            g = (y.T @ y).ravel().tolist()
+            yield pd.DataFrame({"g": [g]})
+
+    schema = T.StructType([T.StructField("g", T.ArrayType(T.DoubleType()))])
+    parts = factors.select("features").mapInPandas(partials, schema).collect()
+    total = np.zeros(rank * rank)
+    for row in parts:
+        total += np.array(row.g)
+    return total.reshape(rank, rank).tolist()
+
+
+def rec_fold_in_user_factors(
+    spark: SparkSession, sf_dir: str, interactions_df: DataFrame | None = None
+) -> DataFrame:
+    """FOLD-IN: compute user factors for (new or existing) users from their
+    interaction history and the trained ITEM factors alone — no retrain.
+    This is the capability the reference lacks outright: a user absent from
+    training gets a refusal string (mf_knn_recommender.py:234-242); with
+    fold-in they get first-class recommendations the moment their first
+    interactions land.
+
+    Math: implicit-ALS normal equations for one user, r=1 observations,
+    confidence c = 1 + alpha:
+        (Y^T Y + alpha * Y_O^T Y_O + lambda * |O| * I) u = (1+alpha) * Y_O^T 1
+    with MLlib's ALS-WR scaling (lambda * n_obs) — verified to reproduce the
+    TRAINED user factors to cosine 1.0000 (the final ALS half-step solves
+    users against the final item factors; tests/test_rec_serving_parity.py
+    pins this).
+
+    Plan shape: Y^T Y is a distributed map-side Gram pass (bounded
+    partials); observed rows join the broadcast catalog-sized factor table;
+    ONE shuffle on user_id; each user's rank x rank solve runs inside an
+    Arrow-batched applyInPandas, parallel across users, state bounded by
+    rank^2 per user."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    prepare(spark, sf_dir)
+    art = _artifacts(spark, sf_dir)
+    model = art["model"]
+    itf = model.itemFactors.select(
+        F.col("id").alias("item_idx"), F.col("features").alias("ifeat")
+    )
+    yty = _gram_matrix(model.itemFactors)
+    rank, alpha, lam = RANK, 1.0, REG
+    if interactions_df is None:
+        interactions_df = art["train"].select("user_idx", "item_idx")
+    obs = interactions_df.join(F.broadcast(itf), "item_idx").select(
+        "user_idx", "ifeat"
+    )
+
+    def solve(key, pdf):
+        yo = np.stack(pdf["ifeat"].to_numpy())
+        n = yo.shape[0]
+        a = np.array(yty) + alpha * (yo.T @ yo) + lam * n * np.eye(rank)
+        b = (1 + alpha) * yo.sum(axis=0)
+        u = np.linalg.solve(a, b)
+        return pd.DataFrame(
+            {"user_idx": [int(key[0])], "features": [u.astype("float32").tolist()]}
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_idx", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return obs.groupBy("user_idx").applyInPandas(solve, schema)
+
+
 #: size of the popularity shelf served to cold-start users
 POPULAR_FALLBACK_K = 100
 
