@@ -532,8 +532,9 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark, sf_dir)
     ev = spark.table("events")
     # gap derived from SESSION_GAP_US so the Spark window and the oracle's
-    # boundary arithmetic cannot drift independently
-    gap = f"{SESSION_GAP_US // 60_000_000} minutes"
+    # boundary arithmetic cannot drift independently; microseconds keeps
+    # the interval exact for ANY gap value (no unit truncation)
+    gap = f"{SESSION_GAP_US} microseconds"
     return (
         ev.groupBy(F.session_window("ts", gap), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events_s"))

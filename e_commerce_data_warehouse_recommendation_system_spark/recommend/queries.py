@@ -65,6 +65,10 @@ from e_commerce_data_warehouse_recommendation_system_spark.sources.readers impor
 RANK = 16
 MAX_ITER = 8
 REG = 0.1
+#: implicit-feedback confidence weight (c = 1 + ALPHA * r). MLlib's default;
+#: shared with the fold-in normal equations (rec_fold_in_user_factors) so
+#: tuning it cannot silently desynchronize training and fold-in serving.
+ALPHA = 1.0
 SEED = 42  # reference: mf_knn_recommender.py:108
 TOP_K = 10
 MMR_LAMBDA = 0.7  # reference default, mf_knn_recommender.py:477
@@ -153,6 +157,7 @@ def _artifacts(spark: SparkSession, sf_dir: str) -> dict:
         rank=RANK,
         maxIter=MAX_ITER,
         regParam=REG,
+        alpha=ALPHA,
         implicitPrefs=True,
         seed=SEED,
         userCol="user_idx",
@@ -238,6 +243,7 @@ def rec_als_fit_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank=RANK,
         maxIter=MAX_ITER,
         regParam=REG,
+        alpha=ALPHA,
         implicitPrefs=True,
         seed=SEED,
         userCol="user_idx",
@@ -819,21 +825,21 @@ def rec_factor_serve_topk(
     )
 
 
-def _gram_matrix(factors: DataFrame) -> "list[list[float]]":
+def _gram_matrix(factors: DataFrame, rank: int) -> "list[list[float]]":
     """Distributed Gram matrix Y^T Y over a factor table: per-Arrow-batch
     partial outer-product sums via mapInPandas (map-side, no shuffle), then
     the driver folds the bounded partials (one rank x rank array per batch
-    — KBs however large the catalog grows)."""
+    — KBs however large the catalog grows). Accumulates in float64: the
+    factors are stored float32 and a single-precision outer-product sum
+    would erode parity as batches grow."""
     import numpy as np
     from pyspark.sql import types as T
-
-    rank = len(factors.select("features").first()[0])
 
     def partials(batches):
         import pandas as pd
 
         for pdf in batches:
-            y = np.stack(pdf["features"].to_numpy())
+            y = np.stack(pdf["features"].to_numpy()).astype(np.float64)
             g = (y.T @ y).ravel().tolist()
             yield pd.DataFrame({"g": [g]})
 
@@ -878,8 +884,8 @@ def rec_fold_in_user_factors(
     itf = model.itemFactors.select(
         F.col("id").alias("item_idx"), F.col("features").alias("ifeat")
     )
-    yty = _gram_matrix(model.itemFactors)
-    rank, alpha, lam = RANK, 1.0, REG
+    yty = _gram_matrix(model.itemFactors, model.rank)
+    rank, alpha, lam = model.rank, ALPHA, REG
     if interactions_df is None:
         interactions_df = art["train"].select("user_idx", "item_idx")
     obs = interactions_df.join(F.broadcast(itf), "item_idx").select(

@@ -237,9 +237,6 @@ def wr_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (predicate pushdown, column pruning, vectorized read), so the engine's
     scan posture carries over unchanged; the digest proves write+read lose
     nothing through the format boundary."""
-    import shutil
-    import tempfile
-
     prepare(spark, sf_dir)
     o = spark.table("orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
     tmp = tempfile.mkdtemp(prefix="ecomdw_wr_")

@@ -79,14 +79,24 @@ def _events_ts_layout(spark: SparkSession, landing_path: str):
     implementation of the rebuild for batch and stream, so the two paths
     cannot drift apart again (it branches on the OBSERVED dtype, which for
     a stream is the declared schema chosen here)."""
-    from pyspark.errors.exceptions.captured import AnalysisException
+    # public base class: catches both classic and Spark Connect variants
+    from pyspark.errors import AnalysisException
 
     try:
         dt = dict(spark.read.parquet(landing_path).dtypes).get("ts")
     except AnalysisException:
         # Empty landing directory (files arrive later): no footer to probe.
         # Declare the CURRENT testdata era's layout (us TIMESTAMP_NTZ); a
-        # legacy nanos-as-long producer must populate before stream setup.
+        # legacy nanos-as-long producer must populate before stream setup —
+        # surfaced loudly so a later mid-stream read failure has a pointer.
+        import warnings
+
+        warnings.warn(
+            f"events landing dir {landing_path!r} is empty at stream setup; "
+            "defaulting ts layout to TIMESTAMP_NTZ (us). A nanos-as-long "
+            "producer must drop at least one file before the stream starts.",
+            stacklevel=2,
+        )
         dt = "timestamp_ntz"
     if dt == "bigint":
         ts_type: T.DataType = T.LongType()

@@ -12,8 +12,6 @@ of the contract.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
     rec_factor_serve_topk,
     rec_user_topk,
@@ -95,7 +93,6 @@ def test_fold_in_serves_unseen_user(spark):
     """A user id absent from training gets a finite factor from a handful of
     interactions — the cold-start path the reference refuses."""
     import numpy as np
-    from pyspark.sql import functions as F  # noqa: F811
 
     from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
         _artifacts,
