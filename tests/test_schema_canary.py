@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
@@ -118,14 +119,19 @@ def test_normalized_schema_pinned(spark, table):
     )
 
 
-def test_events_ts_values_are_sane(spark):
-    """Value-level canary: a scaling bug (ns read as us, or vice versa) moves
-    every timestamp by ~1000x — out of any plausible data window."""
-    bounds = load_table(spark, SF0001, "events").agg(
-        F.min("ts").alias("lo"), F.max("ts").alias("hi")
-    ).collect()[0]
-    assert bounds.lo.year >= 2000, f"events.ts min {bounds.lo} — scale bug (1970 = us read as ns)"
-    assert bounds.hi.year <= 2100, f"events.ts max {bounds.hi} — scale bug (us read as ms/s)"
+@pytest.mark.parametrize(
+    "sf_dir",
+    [d for d in ("sf0.001", "sf0.01", "sf0.1") if Path(f"/root/testdata/{d}").is_dir()],
+)
+def test_events_ts_values_are_sane(spark, sf_dir):
+    """Value-level canary at EVERY shipped scale factor (a regeneration can
+    drift one SF and not another): a scaling bug (ns read as us, or vice
+    versa) moves every timestamp ~1000x — out of any plausible window."""
+    df = load_table(spark, f"/root/testdata/{sf_dir}", "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    bounds = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    assert bounds.lo.year >= 2000, f"{sf_dir} events.ts min {bounds.lo} — scale bug (1970 = us read as ns)"
+    assert bounds.hi.year <= 2100, f"{sf_dir} events.ts max {bounds.hi} — scale bug (us read as ms/s)"
 
 
 def test_stream_batch_ts_roundtrip(spark):
