@@ -40,6 +40,11 @@ RUNTIME_CONF = {
     # dims up to 64 MB broadcast (runtime-settable, so an externally-built
     # session plans star joins the same way get_spark's do)
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # zstd for every parquet the engine writes: ~30% smaller than the snappy
+    # default at comparable (de)compression speed — at 100 TB that is tens
+    # of TB of storage and shuffle-read bandwidth; built-in codec, readers
+    # need nothing special. (ORC writes pass compression explicitly.)
+    "spark.sql.parquet.compression.codec": "zstd",
 }
 
 

@@ -72,3 +72,25 @@ def test_upsert_path_parquet_fallback(spark, tmp_path):
     upsert_path(spark, target, second, ["k"])
     got = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_avro_roundtrip_when_available(spark, tmp_path):
+    """Avro interchange seam: spark-avro is an EXTERNAL module (not bundled
+    with pip pyspark), so this round-trips only when the jar is deployed —
+    same gating pattern as the Delta MERGE path in writers.upsert_path.
+    Skipped (not failed) where the jar is absent, so the capability is
+    documented and instantly exercised on any real cluster that ships it."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    df = spark.range(0, 100).selectExpr("id AS k", "id % 7 AS v")
+    path = str(tmp_path / "avro_rt")
+    try:
+        df.write.mode("overwrite").format("avro").save(path)
+    except AnalysisException as exc:
+        if "Failed to find data source: avro" in str(exc):
+            pytest.skip("spark-avro jar not on this classpath (external module)")
+        raise
+    back = spark.read.format("avro").load(path)
+    assert back.count() == 100
+    assert {r.k for r in back.collect()} == set(range(100))
