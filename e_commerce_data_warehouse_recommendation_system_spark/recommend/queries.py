@@ -656,6 +656,122 @@ def rec_pca_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _factor_serve_parity(spark: SparkSession, sf_dir: str) -> tuple[int, int, bool]:
+    """Factor-export serving parity, distributed: compare
+    ``rec_factor_serve_topk`` (dot products over exported factor tables)
+    against MLlib's ``recommendForUserSubset`` on the same subset. The
+    contract (tests/test_rec_serving_parity.py, now also driver-visible):
+    identical (user, rank) key sets, identical served ITEM SET per user
+    (anti-joins both ways — order-free, so float32-vs-float64 accumulation
+    ties can't flip it), and per-rank score agreement within 1e-4.
+    Returns (n_subset_users, n_rows, matches)."""
+    mllib = rec_user_topk(spark, sf_dir).cache()
+    manual = rec_factor_serve_topk(spark, sf_dir).cache()
+    extra = manual.join(
+        mllib.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti"
+    ).count()
+    missing = mllib.join(
+        manual.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti"
+    ).count()
+    n_rows = mllib.count()
+    n_users = mllib.select("user_id").distinct().count()
+    sc = (
+        mllib.select("user_id", "rnk", F.col("score").alias("s_mllib"))
+        .join(
+            manual.select("user_id", "rnk", F.col("score").alias("s_manual")),
+            ["user_id", "rnk"],
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_joined"),
+            F.max(F.abs(F.col("s_mllib") - F.col("s_manual"))).alias("max_diff"),
+        )
+        .collect()[0]
+    )
+    matches = (
+        extra == 0
+        and missing == 0
+        and manual.count() == n_rows
+        and sc.n_joined == n_rows
+        and float(sc.max_diff or 0.0) < 1e-4
+    )
+    return n_users, n_rows, matches
+
+
+#: synthetic fold-in user index, far outside any trained index space
+_FOLD_IN_UNSEEN_IDX = 1 << 24
+
+
+def _fold_in_parity(spark: SparkSession, sf_dir: str) -> tuple[int, bool, bool]:
+    """Fold-in contract, distributed: solve user factors for every trained
+    user's history PLUS one synthetic unseen user (5 catalog items) in ONE
+    fold-in pass, then check (a) every trained user's solved factor lands on
+    the TRAINED factor at cosine > 0.9999 — the final ALS half-step solves
+    exactly this system — and (b) the unseen user (the case the reference
+    refuses, mf_knn_recommender.py:234-242) gets one finite nonzero factor.
+    Cosines are computed JVM-side (zip_with/aggregate in float64); only
+    bounded scalars reach the driver. Returns (n_folded, cosine_ok,
+    unseen_ok)."""
+    art = _artifacts(spark, sf_dir)
+    some_items = [r.item_idx for r in art["items"].orderBy("item_idx").limit(5).collect()]
+    unseen = spark.createDataFrame(
+        [(_FOLD_IN_UNSEEN_IDX, i) for i in some_items], "user_idx int, item_idx int"
+    )
+    inter = art["train"].select("user_idx", "item_idx").unionByName(unseen)
+    folded = rec_fold_in_user_factors(spark, sf_dir, interactions_df=inter).cache()
+    n_folded = folded.count()
+    trained = art["model"].userFactors.select(
+        F.col("id").alias("user_idx"), F.col("features").alias("tfeat")
+    )
+    n_trained = trained.count()
+
+    def _norm(col: str) -> F.Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("features"), F.col("tfeat"), lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (_norm("features") * _norm("tfeat") + F.lit(1e-12))
+    st = (
+        folded.join(trained, "user_idx")
+        .select(cos.alias("cos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_joined"),
+            F.min("cos").alias("min_cos"),
+            F.sum((F.isnan("cos") | F.col("cos").isNull()).cast("long")).alias("bad"),
+        )
+        .collect()[0]
+    )
+    cosine_ok = (
+        st.n_joined == n_trained
+        and n_folded == n_trained + 1
+        and (st.bad or 0) == 0
+        and float(st.min_cos) > 0.9999
+    )
+    un = (
+        folded.filter(F.col("user_idx") == _FOLD_IN_UNSEEN_IDX)
+        .select(_norm("features").alias("nrm"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.isnan("nrm") | F.col("nrm").isNull() | (F.col("nrm") <= 0)).cast("long")
+            ).alias("bad"),
+        )
+        .collect()[0]
+    )
+    unseen_ok = un.n == 1 and (un.bad or 0) == 0
+    return n_folded, cosine_ok, unseen_ok
+
+
 @register(
     "rec_eval_suite",
     oracle=f"""
@@ -684,19 +800,34 @@ def rec_pca_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'sq_error', 'nonneg', CAST(1.0 AS DOUBLE)
     UNION ALL SELECT 'pca', 'n_items', CAST((SELECT COUNT(*) FROM ti) AS DOUBLE)
     UNION ALL SELECT 'pca', 'coords_finite', CAST(1.0 AS DOUBLE)
+    UNION ALL SELECT 'factor_serve', 'n_subset_users',
+           CAST((SELECT COUNT(*) FROM tu WHERE user_id % 50 = 0) AS DOUBLE)
+    UNION ALL SELECT 'factor_serve', 'n_rows',
+           CAST((SELECT COUNT(*) FROM tu WHERE user_id % 50 = 0) * {TOP_K} AS DOUBLE)
+    UNION ALL SELECT 'factor_serve', 'matches_mllib', CAST(1.0 AS DOUBLE)
+    UNION ALL SELECT 'fold_in', 'n_folded',
+           CAST((SELECT COUNT(*) FROM tu) + 1 AS DOUBLE)
+    UNION ALL SELECT 'fold_in', 'cosine_floor_ok', CAST(1.0 AS DOUBLE)
+    UNION ALL SELECT 'fold_in', 'unseen_user_served', CAST(1.0 AS DOUBLE)
     """,
 )
 def rec_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7/M8/A9/M9 in one driver row: run the full evaluation stack —
-    P@k/R@k/F1 (``rec_eval_metrics``), catalog coverage (``rec_coverage``),
-    held-out squared error (``rec_sq_error``) and the 2-D PCA projection
-    (``rec_pca_items``) — and emit each sub-op's oracle-checkable digest:
-    counts that are SQL-derivable from the deterministic hash split
-    (eval users = test ∩ train users via coldStart drop; scored pairs =
-    test pairs whose user AND item have factors; PCA rows = train items)
-    plus range/validity flags computed from the genuine metric values.
-    The raw metric values stay algorithm-specific by construction (ALS vs
-    the reference's SGD — parity is metric-level, SURVEY §7 phase 3)."""
+    """M7/M8/A9/M9 + the serving-parity contracts in one driver row: run the
+    full evaluation stack — P@k/R@k/F1 (``rec_eval_metrics``), catalog
+    coverage (``rec_coverage``), held-out squared error (``rec_sq_error``),
+    the 2-D PCA projection (``rec_pca_items``) — plus the two production
+    serving paths: factor-export serving parity vs ``recommendForUserSubset``
+    (``_factor_serve_parity``) and the fold-in trained-vs-solved cosine
+    floor + unseen-user contract (``_fold_in_parity``). Each sub-op emits
+    an oracle-checkable digest: counts that are SQL-derivable from the
+    deterministic hash split (eval users = test ∩ train users via coldStart
+    drop; scored pairs = test pairs whose user AND item have factors; PCA
+    rows = train items; subset users = every-50th trained user; folded
+    users = trained users + 1 synthetic unseen) plus range/validity/parity
+    flags computed from the genuine values — a regression in either serving
+    path flips this driver row red. The raw metric values stay
+    algorithm-specific by construction (ALS vs the reference's SGD —
+    parity is metric-level, SURVEY §7 phase 3)."""
     prepare(spark, sf_dir)
     m = rec_eval_metrics(spark, sf_dir).collect()[0]
     metrics_ok = (
@@ -719,6 +850,8 @@ def rec_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("bad"),
     ).collect()[0]
+    fs_users, fs_rows, fs_match = _factor_serve_parity(spark, sf_dir)
+    fi_n, fi_cos_ok, fi_unseen_ok = _fold_in_parity(spark, sf_dir)
     rows = [
         ("eval", "n_eval_users", float(m.n_eval_users)),
         ("eval", "metrics_in_01", 1.0 if metrics_ok else 0.0),
@@ -728,6 +861,12 @@ def rec_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("sq_error", "nonneg", 1.0 if sq_ok else 0.0),
         ("pca", "n_items", float(pca_stats.n)),
         ("pca", "coords_finite", 1.0 if (pca_stats.bad or 0) == 0 else 0.0),
+        ("factor_serve", "n_subset_users", float(fs_users)),
+        ("factor_serve", "n_rows", float(fs_rows)),
+        ("factor_serve", "matches_mllib", 1.0 if fs_match else 0.0),
+        ("fold_in", "n_folded", float(fi_n)),
+        ("fold_in", "cosine_floor_ok", 1.0 if fi_cos_ok else 0.0),
+        ("fold_in", "unseen_user_served", 1.0 if fi_unseen_ok else 0.0),
     ]
     return spark.createDataFrame(
         rows, schema="op string, metric string, value_num double"
@@ -797,7 +936,17 @@ def rec_factor_serve_topk(
     higher-order fns, no Python), then the per-user top-k window. At 100 TB
     the user side partitions freely; the item side stays the bounded
     catalog — the same asymmetry recommendForAllUsers' blocked cross
-    product exploits."""
+    product exploits.
+
+    Accumulation-precision caveat (part of the parity contract): this path
+    accumulates the dot product in float64 and casts the result to float32,
+    while MLlib's ``recommendForUserSubset`` accumulates in float32
+    (BLAS sdot). Scores can differ by ~1 ulp of float32, so near-tie
+    candidates may RANK differently at larger scale factors; the contract
+    therefore compares served item SETS per user plus score agreement
+    (1e-4), and only pins order where scores strictly descend — see
+    tests/test_rec_serving_parity.py and the factor_serve rows of
+    ``rec_eval_suite``."""
     prepare(spark, sf_dir)
     art = _artifacts(spark, sf_dir)
     uf = art["model"].userFactors.select(
@@ -888,8 +1037,15 @@ def rec_fold_in_user_factors(
     rank, alpha, lam = model.rank, ALPHA, REG
     if interactions_df is None:
         interactions_df = art["train"].select("user_idx", "item_idx")
-    obs = interactions_df.join(F.broadcast(itf), "item_idx").select(
-        "user_idx", "ifeat"
+    # Training used DISTINCT pairs with r=1 (c = 1 + alpha); duplicate
+    # (user, item) rows in a caller-supplied feed would each add alpha to
+    # that item's confidence, silently inflating it relative to the trained
+    # model — dedup so fold-in always solves the same system training did.
+    obs = (
+        interactions_df.select("user_idx", "item_idx")
+        .dropDuplicates(["user_idx", "item_idx"])
+        .join(F.broadcast(itf), "item_idx")
+        .select("user_idx", "ifeat")
     )
 
     def solve(key, pdf):
