@@ -20,10 +20,31 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+#: Slot genealogy across rounds (old composite slot -> the slots that now
+#: cover the same work). Emitted into the bench JSON so round-over-round
+#: comparison is mechanical: to compare BENCH_r{N} against a round that
+#: predates a split, sum the listed successor slots.
+SLOT_HISTORY: dict[str, dict] = {
+    "rec_als_topk": {
+        "replaced_by": ["rec_als_fit", "rec_als_serve_all", "rec_als_serve_subset"],
+        "since_round": 5,
+        "note": "r3's slot timed fit + both serving paths + contract "
+        "verification in one number; the successors time one workload each "
+        "(fit cold; serving on a warmed model).",
+    },
+    "sim_ann_digest": {
+        "replaced_by": ["sim_ann_lsh", "sim_ann_ivf"],
+        "since_round": 5,
+        "note": "r3's slot timed both ANN variants + index builds; the "
+        "successors time each query path with the index build off-clock.",
+    },
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    loadavg_start = round(os.getloadavg()[0], 2)
 
     from e_commerce_data_warehouse_recommendation_system_spark import registry
     from e_commerce_data_warehouse_recommendation_system_spark.session import get_spark
@@ -59,25 +80,36 @@ def main() -> None:
     # real regressions (a worse plan is worse in every iteration).
     ITERS = 2
 
-    def timed(fn) -> tuple[float, int]:
-        best, n = float("inf"), 0
+    def timed(fn) -> tuple[list[float], int]:
+        runs, n = [], 0
         for _ in range(ITERS):
             t0 = time.perf_counter()
             n = fn().count()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3), n
+            runs.append(round(time.perf_counter() - t0, 3))
+        return runs, n
 
     # One query raising must NOT zero the whole artifact (round 4's bench
     # crashed on a single AnalysisException and the round had no number at
     # all): record the error per-slot, keep timing the rest, and exit
     # non-zero only if NOTHING ran.
     timings: dict[str, float] = {}
+    #: per-slot evidence for round-over-round adjudication: all raw runs +
+    #: max/min spread, so a regression in BENCH_r{N} is attributable (tight
+    #: spread = real plan change; wide spread = box contention) without
+    #: re-running the round.
+    stats: dict[str, dict] = {}
     errors: dict[str, str] = {}
 
     def run_slot(name: str, fn) -> None:
         try:
-            timings[name], n = timed(fn)
-            print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+            runs, n = timed(fn)
+            timings[name] = min(runs)
+            stats[name] = {
+                "runs": runs,
+                "max": max(runs),
+                "spread": round(max(runs) / max(min(runs), 1e-9), 2),
+            }
+            print(f"# {name}: {timings[name]:.2f}s ({n} rows; runs={runs})", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — per-slot fault isolation
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
@@ -90,7 +122,10 @@ def main() -> None:
     # its query path) so every number measures ONE workload, not a
     # composite of setup + serving + verification.
     for name, wl in registry.bench_workloads().items():
-        def one(wl=wl):
+        # bind BOTH loop variables as defaults: run_slot/errors close over
+        # them, and default-binding keeps the labels correct even if a
+        # refactor ever defers these invocations
+        def one(name=name, wl=wl):
             if wl.warmup is not None:
                 wl.warmup(spark, sf_dir)
             return run_slot(name, lambda: wl.fn(spark, sf_dir))
@@ -117,9 +152,20 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_stats": stats,
                 "sf": sf_val,
                 "iterations": ITERS,
                 "estimator": "min",
+                # contention evidence: 1-min loadavg before/after the sweep.
+                # An idle box sits near 0 at start; a loaded one explains a
+                # wide per-slot spread without a code change.
+                "loadavg_start": loadavg_start,
+                "loadavg_end": round(os.getloadavg()[0], 2),
+                # slot genealogy: renamed/split slots by round, so
+                # round-over-round diffs are mechanical. r4 split the r3
+                # composite slots into per-workload numbers; comparing a
+                # new slot against an old name means summing the new group.
+                "slot_history": SLOT_HISTORY,
                 # a partial total sums only the slots that ran — flag it
                 # STRUCTURALLY so a round with a failed slot can never read
                 # as a speedup in round-over-round comparison
