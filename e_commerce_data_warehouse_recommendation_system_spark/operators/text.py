@@ -351,6 +351,60 @@ def text_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: per-domain document cap (C4/RefinedWeb-style "limit docs per domain").
 DOMAIN_CAP = 15
 
+#: domains with more docs than this route through the salted two-phase cap
+#: instead of one per-domain window. Semantics: "bigger than one task
+#: should sort in a single window buffer". Tuned low for the testdata SFs
+#: (25 docs/domain at sf0.01 -> windowed path; 250 at sf0.1 -> two-phase
+#: path, so BOTH paths run against the oracle locally); production at
+#: 100 TB sets this to the window-buffer scale (~1e6 rows).
+MEGA_DOMAIN_THRESHOLD = 100
+
+#: fan-out of the salted first phase for mega-domains: each mega-domain is
+#: split into this many independent sub-windows before the exact rank.
+DOMAIN_CAP_SALTS = 8
+
+
+def _domain_cap_windowed(docs: DataFrame) -> DataFrame:
+    """Single-window cap (small domains): one shuffle on the domain key +
+    bounded per-group rank; Catalyst's rank-limit pushdown plans a map-side
+    ``WindowGroupLimit`` before the exchange (plan-pinned)."""
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= DOMAIN_CAP)
+    )
+
+
+def _domain_cap_two_phase(docs: DataFrame) -> DataFrame:
+    """Salted two-phase cap (mega domains): phase 1 ranks each (domain,
+    salt) sub-group independently — the mega-domain's rows spread over
+    DOMAIN_CAP_SALTS partitions, so no single task ever sorts the whole
+    domain — and keeps each sub-group's top K. Phase 2 ranks the surviving
+    candidates (≤ K·SALTS rows per domain — bounded however large the
+    domain) with the exact per-domain window. Exactness: the global top-K
+    of a domain is contained in the union of its per-salt top-Ks, so the
+    result is row-identical to the single-window form."""
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("_k"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(DOMAIN_CAP_SALTS)).alias("_salt"),
+    )
+    w1 = Window.partitionBy("source", "_salt").orderBy("_k", "doc_id")
+    cand = (
+        keyed.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= DOMAIN_CAP)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy("source").orderBy("_k", "doc_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= DOMAIN_CAP)
+        .select("doc_id", "source", "rnk")
+    )
+
 
 @component(
     "text_domain_cap",
@@ -366,30 +420,42 @@ DOMAIN_CAP = 15
     FROM ranked WHERE rnk <= {DOMAIN_CAP}
     """,
 )
-def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_domain_cap(
+    spark: SparkSession, sf_dir: str, mega_threshold: int = MEGA_DOMAIN_THRESHOLD
+) -> DataFrame:
     """Per-domain document cap — the C4/RefinedWeb anti-bias step that stops
     a handful of giant domains dominating the training mixture. Priority
     within a domain is the md5 order key (= "shuffle the domain, keep the
     first K"): deterministic, topology-independent, and uncorrelated with
     crawl order, so replays keep byte-identical docs.
 
-    One shuffle on the domain key, then a bounded per-group rank (the W3
-    top-k-per-group shape). The physical plan (verified via
-    ``explain("formatted")``) already runs the two-phase cap: Catalyst's
-    rank-limit pushdown inserts a map-side ``WindowGroupLimit`` BEFORE the
-    exchange, so each task pre-truncates every domain to K rows and the
-    shuffle moves at most K * n_domains * n_tasks rows, never the full
-    corpus — a mega-domain costs K rows per upstream task, not its whole
-    row count, with no unbounded window state on any executor."""
+    COUNT-THEN-CAP routing: a cheap per-domain count (map-side combine, one
+    shuffle of domain-cardinality rows) splits the corpus into small
+    domains — capped by ONE per-domain window, where Catalyst's rank-limit
+    pushdown plans a map-side ``WindowGroupLimit`` before the exchange — and
+    mega domains (> mega_threshold docs), capped by the salted two-phase
+    plan (``_domain_cap_two_phase``): per-(domain, salt) partial top-K, then
+    the exact rank over ≤ K·SALTS candidates. The mega-domain ID list is a
+    heavy-hitter set (few by definition) and broadcasts into semi/anti
+    routing joins, so routing never shuffles the corpus. Both paths produce
+    row-identical output (same oracle); at 100 TB the two-phase path is what
+    keeps a one-host-equals-10%-of-corpus domain from pinning a single task:
+    its rows sort in SALTS independent sub-windows, and no executor ever
+    holds window state larger than K·SALTS rows per domain. Plan-pinned in
+    tests/test_plans.py (WindowGroupLimit on the small path; salted window
+    + bounded exact window, and no full-domain single window, on the mega
+    path)."""
     prepare(spark, sf_dir)
     d = spark.table("documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    mega_ids = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > mega_threshold)
+        .select("source")
     )
-    return (
-        d.select("doc_id", "source", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= DOMAIN_CAP)
-    )
+    small = d.join(F.broadcast(mega_ids), "source", "left_anti")
+    mega = d.join(F.broadcast(mega_ids), "source", "left_semi")
+    return _domain_cap_windowed(small).unionByName(_domain_cap_two_phase(mega))
 
 
 @component(

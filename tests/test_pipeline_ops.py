@@ -92,3 +92,30 @@ def test_quantize_int8_codes(spark):
     )
     assert ends == 0
     q.unpersist()
+
+
+def test_domain_cap_two_phase_equals_windowed(spark):
+    """The salted two-phase mega-domain cap must be row-identical to the
+    single-window form on ANY input (the top-K of a domain is contained in
+    the union of its per-salt top-Ks), and the routed operator must equal
+    both regardless of which side of the threshold each domain lands on."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        _domain_cap_two_phase,
+        _domain_cap_windowed,
+        prepare,
+        text_domain_cap,
+    )
+
+    prepare(spark, SF0001)
+    docs = spark.table("documents")
+    windowed = {tuple(r) for r in _domain_cap_windowed(docs).collect()}
+    two_phase = {tuple(r) for r in _domain_cap_two_phase(docs).collect()}
+    assert windowed == two_phase
+    # route EVERY domain through the mega path (threshold 0) and through the
+    # windowed path (huge threshold): all three must agree
+    all_mega = {tuple(r) for r in text_domain_cap(spark, SF0001, mega_threshold=0).collect()}
+    all_small = {
+        tuple(r) for r in text_domain_cap(spark, SF0001, mega_threshold=1 << 40).collect()
+    }
+    assert all_mega == windowed
+    assert all_small == windowed

@@ -216,14 +216,19 @@ def test_mixture_upsample_explodes_map_side(spark):
 
 
 def test_domain_cap_pretruncates_before_shuffle(spark):
-    """The per-domain cap must move at most K rows per domain per upstream
-    task through the shuffle: Catalyst's rank-limit pushdown plans a
-    map-side WindowGroupLimit BEFORE the exchange (the automatic two-phase
-    cap). If a refactor loses the pushdown (e.g. by adding a filter the
-    optimizer can't see through), the full corpus crosses the wire."""
-    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import text_domain_cap
+    """The small-domain path must move at most K rows per domain per
+    upstream task through the shuffle: Catalyst's rank-limit pushdown plans
+    a map-side WindowGroupLimit BEFORE the exchange (the automatic
+    two-phase cap). If a refactor loses the pushdown (e.g. by adding a
+    filter the optimizer can't see through), the full corpus crosses the
+    wire."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        _domain_cap_windowed,
+        prepare,
+    )
 
-    plan = _plan(text_domain_cap(spark, SF0001))
+    prepare(spark, SF0001)
+    plan = _plan(_domain_cap_windowed(spark.table("documents")))
     # plan text is printed ROOT-FIRST: the map-side (upstream) partial
     # WindowGroupLimit appears BELOW the exchange line, i.e. in `post`
     pre, _, post = plan.partition("Exchange hashpartitioning")
@@ -231,6 +236,49 @@ def test_domain_cap_pretruncates_before_shuffle(spark):
     assert "WindowGroupLimit" in post, (
         f"no map-side WindowGroupLimit upstream of the exchange — the domain "
         f"cap is shuffling the full corpus:\n{plan}"
+    )
+
+
+def test_domain_cap_mega_path_never_windows_full_domain(spark):
+    """The mega-domain path must never run a per-domain window over the raw
+    corpus: phase 1 windows partition on (source, _salt) — the mega domain
+    spreads across DOMAIN_CAP_SALTS sub-windows — and the only
+    source-partitioned window sits ABOVE the salted one, consuming its
+    ≤ K·SALTS-per-domain candidate output."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        _domain_cap_two_phase,
+        prepare,
+    )
+
+    prepare(spark, SF0001)
+    plan = _plan(_domain_cap_two_phase(spark.table("documents")))
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    salted = [i for i, ln in enumerate(win_lines) if "_salt" in ln]
+    assert salted, f"no salted phase-1 window in the mega path:\n{plan}"
+    # root-first plan text: the exact (source-only) window prints first and
+    # consumes phase-1 candidates; every Window operator at or below the
+    # first salted one must itself be salted — i.e. the raw corpus only
+    # ever feeds (source, _salt)-partitioned window state
+    assert salted[0] > 0, (
+        f"expected the exact window ABOVE the salted window (root-first):\n{plan}"
+    )
+    assert all("_salt" in win_lines[i] for i in range(salted[0], len(win_lines))), (
+        f"a source-only window runs upstream of the salted phase — "
+        f"full-domain window state:\n{plan}"
+    )
+
+
+def test_domain_cap_routing_is_broadcast(spark):
+    """The count-then-cap routing joins must broadcast the (tiny)
+    mega-domain ID list — never shuffle the corpus for routing."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        text_domain_cap,
+    )
+
+    plan = _plan(text_domain_cap(spark, SF0001))
+    assert "BroadcastHashJoin" in plan, f"routing joins must broadcast:\n{plan}"
+    assert "SortMergeJoin" not in plan, (
+        f"routing regressed to a shuffled join of the corpus:\n{plan}"
     )
 
 
