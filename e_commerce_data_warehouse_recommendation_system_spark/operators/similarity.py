@@ -35,11 +35,22 @@ from e_commerce_data_warehouse_recommendation_system_spark.sources.readers impor
 
 TOPK = 5
 QUERY_MODULUS = 100  # vec_id % 100 == 0 -> deterministic query subset
-LSH_TABLES = 4  # multi-table LSH: independent tables OR-ed together
-LSH_PLANES_PER_TABLE = 4  # 16 buckets per table
+#: Multi-table LSH: independent tables OR-ed together. 12 tables x 3 bits
+#: measured recall@5 = 1.00/0.84/0.94 at sf0.001/0.01/0.1 (vs 0.44-0.48 for
+#: the r5 4x4-bit config) — serving quality, not just "finds something".
+#: At production corpus sizes bits-per-table scales up (bucket occupancy ~
+#: n/2^bits must fit a task) and the table count buys recall back.
+LSH_TABLES = 12
+LSH_PLANES_PER_TABLE = 3  # 8 buckets per table
 LSH_PLANES = LSH_TABLES * LSH_PLANES_PER_TABLE
 IVF_CELLS = 16
-IVF_PROBES = 3  # query probes its 3 nearest centroids
+#: Multi-probe IVF: each query probes its 8 nearest centroids. On these
+#: synthetic near-isotropic embeddings the cell structure is weak, so a
+#: wide probe is what buys recall (8/16 cells measured recall@5 =
+#: 0.88/0.96/0.92 across SFs vs 0.54-0.72 at 3 probes); real embedding
+#: corpora cluster, so production runs more cells (~sqrt(n)) at a smaller
+#: probe fraction for the same recall.
+IVF_PROBES = 8
 
 
 def _dec(c: Column) -> Column:
@@ -247,8 +258,10 @@ def _warm_ivf(spark: SparkSession, sf_dir: str) -> None:
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF (inverted-file) cells — the trained-partitioning scale
     path next to the LSH variant: KMeans(seed=42) centroids, every vector
-    assigned to its nearest cell, queries probe their ``IVF_PROBES``
-    nearest cells, exact cosine re-ranks within the probed cells.
+    assigned to its nearest cell, queries MULTI-PROBE their ``IVF_PROBES``
+    nearest cells (ranked by centroid distance), exact cosine re-ranks
+    within the probed cells (recall floor 0.8 pinned in
+    tests/test_ann_recall.py).
 
     At 100 TB: centroids are KBs (broadcast), cell assignment is one
     map-side pass, and the candidate join shuffles on cell id — recall is
@@ -453,8 +466,9 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest vec_ids — no driver-side randomness). Each of ``LSH_TABLES``
     independent tables hashes on ``LSH_PLANES_PER_TABLE`` sign bits;
     candidates are same-bucket collisions in ANY table (OR-amplification —
-    a single 8-bit table measured 4% recall@5; 4×4-bit tables measure ~50%,
-    pinned in tests/test_ann_recall.py). Exact cosine re-ranks candidates.
+    a single 8-bit table measured 4% recall@5; 4×4-bit tables ~50%; the
+    current 12×3-bit config measures 0.84-1.00 across SFs, floor pinned at
+    ≥0.6 in tests/test_ann_recall.py). Exact cosine re-ranks candidates.
 
     Approximate by construction, hence no SQL oracle: the driver records a
     rows-only check and ``sim_cosine_topk`` carries exact correctness. At
@@ -495,8 +509,12 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN recall digest: the driver-visible contract for both approximate paths
 # --------------------------------------------------------------------------
 
-LSH_RECALL_FLOOR = 0.3  # pinned in tests/test_ann_recall.py
-IVF_RECALL_FLOOR = 0.5
+#: Floors pinned in tests/test_ann_recall.py; measured minima across
+#: sf0.001/0.01/0.1 are 0.84 (LSH, 12x3-bit tables) and 0.88 (IVF,
+#: 8-probe) — the floors sit a full step below the worst measurement so
+#: only a real bucketing/probing regression trips them, not SF noise.
+LSH_RECALL_FLOOR = 0.6
+IVF_RECALL_FLOOR = 0.8
 
 
 def _recall_vs_exact(exact: DataFrame, approx: DataFrame) -> Column:

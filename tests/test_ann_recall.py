@@ -1,15 +1,24 @@
 """ANN quality floors: approximate paths must actually find neighbors.
 
 "Runs without error" is not a useful bar for an ANN operator — these pin
-recall@5 against the exact brute-force top-k (measured ~0.44 LSH / ~0.64
-IVF at sf0.001; floors set with margin). A regression that silently
-degrades bucketing (e.g. back to one over-fine table, which measured 0.04)
-fails here."""
+recall@5 against the exact brute-force top-k at SERVING-QUALITY floors
+(round-6 configs measured across sf0.001/0.01/0.1: LSH 12x3-bit tables
+0.84-1.00, multi-probe IVF 8-of-16 cells 0.88-0.96; floors one full step
+below the worst measurement). A regression that silently degrades
+bucketing or probing (e.g. back to one over-fine table, which measured
+0.04, or r5's 3-probe IVF at 0.54) fails here. The same floors gate the
+driver-visible sim_ann_digest row (operators/similarity.py
+LSH_RECALL_FLOOR / IVF_RECALL_FLOOR — imported, so they cannot drift from
+what this test asserts)."""
 
 from __future__ import annotations
 
 import pytest
 
+from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
+    IVF_RECALL_FLOOR,
+    LSH_RECALL_FLOOR,
+)
 from tests.conftest import SF0001
 
 
@@ -32,7 +41,8 @@ def test_lsh_recall_floor(spark, exact_pairs):
         sim_ann_lsh_topk,
     )
 
-    assert _recall(spark, sim_ann_lsh_topk, exact_pairs) >= 0.3
+    assert LSH_RECALL_FLOOR >= 0.6  # serving-quality bar, not "ran at all"
+    assert _recall(spark, sim_ann_lsh_topk, exact_pairs) >= LSH_RECALL_FLOOR
 
 
 def test_ivf_recall_floor(spark, exact_pairs):
@@ -40,4 +50,5 @@ def test_ivf_recall_floor(spark, exact_pairs):
         sim_ann_ivf_topk,
     )
 
-    assert _recall(spark, sim_ann_ivf_topk, exact_pairs) >= 0.5
+    assert IVF_RECALL_FLOOR >= 0.8
+    assert _recall(spark, sim_ann_ivf_topk, exact_pairs) >= IVF_RECALL_FLOOR
