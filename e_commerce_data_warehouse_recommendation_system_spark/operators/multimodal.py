@@ -4,12 +4,17 @@ Beyond-reference extension (task brief): treat image/audio/video as opaque
 ``binary`` columns with typed metadata, with decode / feature-extract /
 resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
 
-No image/audio libraries exist in this container, so the actual codec step
-is STUBBED: ``decode_image_batch`` raises ``NotImplementedError`` when asked
-for a real decode and otherwise produces a deterministic fake derived from
-the payload bytes. Everything Spark-side — schema, batch shape, partition
-behavior, UDF signature — is real and tested; swapping in Pillow/librosa
-later only changes the inside of the pandas function.
+The codec seam has two modes. ``real_decode=True`` runs a REAL pure-stdlib
+decoder for the uncompressed raster formats whose byte layout is fully
+public — binary PPM (P6) and 24-bpp uncompressed BMP: header parse, pixel
+geometry, and a pixel-data length check against the declared dimensions
+(``NotImplementedError`` is reserved for genuinely compressed codecs —
+JPEG/PNG/RLE-BMP — which need entropy decoders this container lacks). The
+default mode produces a deterministic fake derived from payload length so
+the whole Arrow pipeline stays oracle-checkable in SQL over the text-bytes
+testdata. Everything Spark-side — schema, batch shape, partition behavior,
+UDF signature — is identical in both modes; swapping Pillow/librosa in
+later only widens the set of formats the real branch accepts.
 
 Scale posture: binary payloads ride in parquet (dictionary-encoded metadata
 columns, payload pages compressed); ``mapInPandas`` streams Arrow batches so
@@ -19,6 +24,8 @@ shuffle at all in the decode/feature path.
 
 from __future__ import annotations
 
+import re
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -30,11 +37,78 @@ from e_commerce_data_warehouse_recommendation_system_spark.registry import compo
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
 
 #: Output schema of the decode/feature stage — the typed-metadata contract.
-DECODE_SCHEMA = (
-    "doc_id long, byte_len long, fake_width int, fake_height int, n_patches long"
-)
+#: width/height are parsed from the payload in real mode and derived
+#: deterministically from byte_len in fake mode (same schema either way).
+DECODE_SCHEMA = "doc_id long, byte_len long, width int, height int, n_patches long"
 
-PATCH = 16  # fake ViT-style patch size used by the deterministic stub
+PATCH = 16  # ViT-style patch size for the n_patches feature
+
+
+def _parse_ppm(buf: bytes) -> tuple[int, int]:
+    """Binary PPM (P6): ASCII header (magic, width, height, maxval, with
+    ``#`` comments allowed between tokens), one whitespace byte, then raw
+    RGB samples. Returns (width, height) after validating the pixel payload
+    length against the declared geometry."""
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            nl = buf.find(b"\n", pos)
+            pos = len(buf) if nl == -1 else nl + 1
+            continue
+        m = re.match(rb"\d+", buf[pos:])
+        if not m:
+            raise ValueError("malformed PPM header")
+        vals.append(int(m.group()))
+        pos += m.end()
+    width, height, maxval = vals
+    pos += 1  # exactly one whitespace byte separates maxval from pixels
+    bytes_per_sample = 2 if maxval > 255 else 1
+    if len(buf) - pos < width * height * 3 * bytes_per_sample:
+        raise ValueError("truncated PPM pixel data")
+    return width, height
+
+
+def _parse_bmp(buf: bytes) -> tuple[int, int]:
+    """24-bpp uncompressed BMP: little-endian header fields at fixed
+    offsets (pixel-array offset @10, width/height @18 as signed int32 —
+    negative height = top-down row order), rows padded to 4 bytes. Returns
+    (width, |height|) after validating the padded pixel-array length.
+    Compressed BMP variants (RLE/bitfields) raise NotImplementedError —
+    the same class as JPEG/PNG."""
+    if len(buf) < 54:
+        raise ValueError("truncated BMP header")
+    (data_off,) = struct.unpack_from("<I", buf, 10)
+    width, height = struct.unpack_from("<ii", buf, 18)
+    (bpp,) = struct.unpack_from("<H", buf, 28)
+    (compression,) = struct.unpack_from("<I", buf, 30)
+    if compression != 0:
+        raise NotImplementedError(
+            "compressed BMP (RLE/bitfields) needs a real codec — only "
+            "uncompressed 24-bpp BMP decodes in-container"
+        )
+    if bpp != 24 or width <= 0 or height == 0:
+        raise ValueError(f"unsupported BMP geometry (bpp={bpp}, {width}x{height})")
+    row_bytes = (width * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    if len(buf) - data_off < row_bytes * abs(height):
+        raise ValueError("truncated BMP pixel data")
+    return width, abs(height)
+
+
+def _decode_payload(buf: bytes) -> tuple[int, int]:
+    """Dispatch on magic bytes. Uncompressed rasters decode for real;
+    compressed codecs raise NotImplementedError (they need entropy
+    decoders); anything else is a data error."""
+    if buf[:2] == b"P6":
+        return _parse_ppm(buf)
+    if buf[:2] == b"BM":
+        return _parse_bmp(buf)
+    if buf[:2] == b"\xff\xd8" or buf[:8] == b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            "JPEG/PNG are compressed codecs — not decodable with stdlib only"
+        )
+    raise ValueError(f"unrecognized payload magic {buf[:2]!r}")
 
 
 def media_frame(spark: SparkSession) -> DataFrame:
@@ -49,32 +123,37 @@ def media_frame(spark: SparkSession) -> DataFrame:
     )
 
 
-def decode_image_batch(batches: Iterator[pd.DataFrame], real_decode: bool = False) -> Iterator[pd.DataFrame]:
+def decode_image_batch(
+    batches: Iterator[pd.DataFrame], real_decode: bool = False
+) -> Iterator[pd.DataFrame]:
     """The mapInPandas decode/feature stage (Arrow-batched).
 
-    ``real_decode=True`` is the seam for an actual codec (Pillow etc.) —
-    unavailable in this container, so it raises. The deterministic fake
-    derives plausible dimensions from payload length: width/height are a
-    stable function of byte_len, patches = ceil(w/P)*ceil(h/P).
+    ``real_decode=True`` parses the payload bytes for real (PPM P6 /
+    uncompressed 24-bpp BMP via :func:`_decode_payload`; compressed codecs
+    raise NotImplementedError). The default fake derives plausible
+    dimensions from payload length — a stable arithmetic both engines can
+    compute, which keeps the whole Arrow pipeline oracle-checkable over the
+    text-bytes testdata. Both modes emit the same schema; n_patches =
+    ceil(w/P)*ceil(h/P) either way.
     """
     for pdf in batches:
-        if real_decode:
-            raise NotImplementedError(
-                "real image decode requires an imaging library not present in "
-                "this environment; the deterministic fake covers the plumbing"
-            )
         byte_len = pdf["payload"].map(len)
-        fake_width = (byte_len % 640 + 32).astype("int32")
-        fake_height = ((byte_len * 7) % 480 + 32).astype("int32")
+        if real_decode:
+            dims = pdf["payload"].map(_decode_payload)
+            width = dims.map(lambda d: d[0]).astype("int32")
+            height = dims.map(lambda d: d[1]).astype("int32")
+        else:
+            width = (byte_len % 640 + 32).astype("int32")
+            height = ((byte_len * 7) % 480 + 32).astype("int32")
         n_patches = (
-            ((fake_width + PATCH - 1) // PATCH) * ((fake_height + PATCH - 1) // PATCH)
+            ((width + PATCH - 1) // PATCH) * ((height + PATCH - 1) // PATCH)
         ).astype("int64")
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "byte_len": byte_len.astype("int64"),
-                "fake_width": fake_width,
-                "fake_height": fake_height,
+                "width": width,
+                "height": height,
                 "n_patches": n_patches,
             }
         )
@@ -85,8 +164,8 @@ def decode_image_batch(batches: Iterator[pd.DataFrame], real_decode: bool = Fals
     oracle=f"""
     SELECT doc_id,
            octet_length(encode(text)) AS byte_len,
-           CAST(octet_length(encode(text)) % 640 + 32 AS INT) AS fake_width,
-           CAST((octet_length(encode(text)) * 7) % 480 + 32 AS INT) AS fake_height,
+           CAST(octet_length(encode(text)) % 640 + 32 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 32 AS INT) AS height,
            CAST(((octet_length(encode(text)) % 640 + 32 + {PATCH - 1}) // {PATCH})
               * (((octet_length(encode(text)) * 7) % 480 + 32 + {PATCH - 1}) // {PATCH}) AS BIGINT) AS n_patches
     FROM documents
@@ -175,10 +254,10 @@ def mm_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            scale = float(RESIZE_TARGET) / pdf[["fake_width", "fake_height"]].max(axis=1)
+            scale = float(RESIZE_TARGET) / pdf[["width", "height"]].max(axis=1)
             out = pdf[["doc_id", "byte_len"]].copy()
-            out["resized_width"] = (pdf["fake_width"] * scale).astype("int32")
-            out["resized_height"] = (pdf["fake_height"] * scale).astype("int32")
+            out["resized_width"] = (pdf["width"] * scale).astype("int32")
+            out["resized_height"] = (pdf["height"] * scale).astype("int32")
             out["sampled_patches"] = (pdf["n_patches"] // 4 + 1).astype("int64")
             yield out
 
