@@ -85,9 +85,9 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ],
     oracle=f"""
     SELECT doc_id, n_tokens, mean_token_len, stopword_ratio,
-           CASE WHEN n_tokens >= 20 AND stopword_ratio BETWEEN 0.01 AND 0.6
-                     AND mean_token_len BETWEEN 2.0 AND 12.0
-                THEN 1.0 ELSE 0.0 END AS quality_score
+           CAST(CASE WHEN n_tokens >= 20 AND stopword_ratio BETWEEN 0.01 AND 0.6
+                          AND mean_token_len BETWEEN 2.0 AND 12.0
+                THEN 1.0 ELSE 0.0 END AS DOUBLE) AS quality_score
     FROM (
       SELECT doc_id,
              CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,

@@ -1,0 +1,102 @@
+"""DuckDB-side oracle schema canary.
+
+Two rounds of correctness reds were engine-vs-oracle TYPE drifts, not value
+bugs: r3's DuckDB ``SUM(BIGINT)`` silently widening to HUGEINT (int128 —
+needs ``CAST(... AS BIGINT)``), and r4's events.ts physical-layout change
+(ns vs µs instants). tests/test_schema_canary.py pins the Spark-facing
+side; this file pins the ORACLE side: every registered oracle and every
+component oracle is DESCRIBEd in DuckDB and its result columns must stay
+inside the portable type set the cross-engine comparator actually
+normalizes correctly. An added oracle with a missing cast (SUM int,
+DECIMAL literal arithmetic, ns timestamps) fails HERE, in seconds and
+without Spark, before the driver ever sees it.
+
+The canary also asserts the drift MECHANISMS still exist (SUM(int) ->
+HUGEINT, bare 1.0 literal -> DECIMAL) so a DuckDB behavior change that
+silently retires a rule is itself visible.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from e_commerce_data_warehouse_recommendation_system_spark import registry
+from tests.conftest import SF0001
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+#: Result types the driver's comparator round-trips losslessly: exact ints
+#: that fit int64, IEEE floats, strings, booleans, dates, and µs
+#: timestamps. Everything else (HUGEINT, DECIMAL, TIMESTAMP_NS,
+#: TIMESTAMP WITH TIME ZONE, INTERVAL, nested types) has engine-specific
+#: normalization and MUST be cast inside the oracle SQL.
+ALLOWED = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "FLOAT", "DOUBLE",
+           "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP"}
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF0001}/{t}.parquet'")
+    return c
+
+
+def _all_oracles():
+    items = list(registry.oracles().items())
+    items += [
+        (f"component:{n}", comp.oracle)
+        for n, comp in registry.components().items()
+        if comp.oracle is not None
+    ]
+    return items
+
+
+def test_every_oracle_returns_portable_types(con):
+    offenders = []
+    for name, sql in _all_oracles():
+        for col, typ, *_ in con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall():
+            if typ not in ALLOWED:
+                offenders.append((name, col, typ))
+    assert not offenders, (
+        "oracle columns with non-portable DuckDB types (add a CAST in the "
+        f"oracle SQL): {offenders}"
+    )
+
+
+def test_drift_mechanisms_still_real(con):
+    """One representative per drift family, asserted on raw DuckDB — if an
+    engine upgrade changes these, the ALLOWED set needs re-review."""
+    # r3 family: SUM over integers widens to HUGEINT without a cast
+    (t_sum,) = [
+        r[1] for r in con.execute("DESCRIBE SELECT SUM(r_regionkey) AS s FROM region").fetchall()
+    ]
+    assert t_sum == "HUGEINT"
+    (t_cast,) = [
+        r[1]
+        for r in con.execute(
+            "DESCRIBE SELECT CAST(SUM(r_regionkey) AS BIGINT) AS s FROM region"
+        ).fetchall()
+    ]
+    assert t_cast == "BIGINT"
+    # decimal-literal family: bare numeric literals are DECIMAL, not DOUBLE
+    (t_lit,) = [r[1] for r in con.execute("DESCRIBE SELECT 1.0 AS x").fetchall()]
+    assert t_lit.startswith("DECIMAL")
+    # r4 family: the events.ts view must read as a µs TIMESTAMP (any ns or
+    # tz-typed regeneration of the testdata shows up here)
+    (t_ts,) = [
+        r[1] for r in con.execute("DESCRIBE SELECT ts FROM events LIMIT 0").fetchall()
+    ]
+    assert t_ts in ("TIMESTAMP", "TIMESTAMP_NS"), t_ts
+    if t_ts == "TIMESTAMP_NS":
+        # ns physical layout is fine ONLY because every ts-digest goes
+        # through epoch_us(); a bare `SELECT ts` oracle would drift. Assert
+        # the normalizing expression stays µs-typed.
+        (t_us,) = [
+            r[1]
+            for r in con.execute("DESCRIBE SELECT epoch_us(ts) AS u FROM events LIMIT 0").fetchall()
+        ]
+        assert t_us == "BIGINT"
