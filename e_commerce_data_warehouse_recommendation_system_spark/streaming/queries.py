@@ -84,20 +84,20 @@ def _events_ts_layout(spark: SparkSession, landing_path: str):
 
     try:
         dt = dict(spark.read.parquet(landing_path).dtypes).get("ts")
-    except AnalysisException:
-        # Empty landing directory (files arrive later): no footer to probe.
-        # Declare the CURRENT testdata era's layout (us TIMESTAMP_NTZ); a
-        # legacy nanos-as-long producer must populate before stream setup —
-        # surfaced loudly so a later mid-stream read failure has a pointer.
-        import warnings
-
-        warnings.warn(
-            f"events landing dir {landing_path!r} is empty at stream setup; "
-            "defaulting ts layout to TIMESTAMP_NTZ (us). A nanos-as-long "
-            "producer must drop at least one file before the stream starts.",
-            stacklevel=2,
-        )
-        dt = "timestamp_ntz"
+    except AnalysisException as exc:
+        # Empty landing directory: no footer to probe. GUESSING a layout
+        # here is the failure mode the probe exists to prevent — a
+        # nanos-as-long producer that drops files after setup would fail
+        # mid-stream, far from the cause (or worse, silently misread
+        # instants). Fail fast at setup instead: every engine path links
+        # at least one file into the landing dir before probing, and an
+        # external caller must do the same.
+        raise ValueError(
+            f"events landing dir {landing_path!r} has no readable parquet to "
+            "probe the ts layout from; drop at least one file before stream "
+            "setup (the declared stream schema must match the files' "
+            "physical ts type — it cannot be guessed safely)"
+        ) from exc
     if dt == "bigint":
         ts_type: T.DataType = T.LongType()
     elif dt == "timestamp_ntz":

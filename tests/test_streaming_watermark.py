@@ -103,3 +103,15 @@ def test_late_event_beyond_watermark_is_dropped(spark):
         assert max(final.values()) == 1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ts_layout_probe_fails_fast_on_empty_landing_dir(spark, tmp_path):
+    """An empty landing dir must raise at setup — declaring a guessed
+    stream schema would fail mid-stream (or silently misread instants) far
+    from the cause."""
+    import pytest
+
+    empty = tmp_path / "landing_empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no readable parquet"):
+        _events_ts_layout(spark, str(empty))
