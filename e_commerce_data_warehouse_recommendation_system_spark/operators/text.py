@@ -348,6 +348,79 @@ def text_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: context-window chunking: tokens per chunk / tokens shared between
+#: consecutive chunks (stride = size - overlap).
+CHUNK_SIZE = 40
+CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+@component(
+    "text_chunk_windows",
+    cols=[
+        ("doc_id", "num"),
+        ("chunk_idx", "num"),
+        ("start_tok", "num"),
+        ("chunk_len", "num"),
+        ("first_tok", "str"),
+        ("last_tok", "str"),
+    ],
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t, len({_SQL_TOKENS}) AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(s // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(LEAST({CHUNK_SIZE}, n - s) AS BIGINT) AS chunk_len,
+           t[CAST(s + 1 AS INT)] AS first_tok,
+           t[CAST(s + LEAST({CHUNK_SIZE}, n - s) AS INT)] AS last_tok
+    FROM toks, UNNEST(range(0, n, {_CHUNK_STRIDE})) AS u(s)
+    WHERE n > 0
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap — the long-document fan-out
+    every pre-training pipeline runs between cleaning and packing: a doc
+    longer than the model context becomes overlapping token windows
+    (stride = CHUNK_SIZE − CHUNK_OVERLAP, so each boundary keeps
+    CHUNK_OVERLAP tokens of continuity), each window one training row.
+    The complement of ``text_pack_sequences`` (which fills windows with
+    SHORT docs; this splits LONG ones).
+
+    The verification view emits per-chunk geometry plus the first/last
+    token (pins the exact token slicing — any off-by-one in the window
+    arithmetic moves a string). A production sink would carry the sliced
+    token array itself.
+
+    Scale posture: tokenize + ``sequence``/``posexplode`` are map-side
+    narrow ops — the fan-out pipelines over the documents scan with NO
+    shuffle anywhere; a 10^6-token doc becomes rows without any executor
+    holding more than its Arrow batch."""
+    prepare(spark, sf_dir)
+    d = (
+        spark.table("documents")
+        .select("doc_id", tokens("text").alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+    )
+    exploded = d.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_STRIDE))).alias("s"),
+    )
+    chunk_len = F.least(F.lit(CHUNK_SIZE), F.col("n") - F.col("s"))
+    return exploded.select(
+        "doc_id",
+        (F.col("s") / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("s").cast("long").alias("start_tok"),
+        chunk_len.cast("long").alias("chunk_len"),
+        F.element_at("t", F.col("s").cast("int") + 1).alias("first_tok"),
+        F.element_at("t", (F.col("s") + chunk_len).cast("int")).alias("last_tok"),
+    )
+
+
 #: per-domain document cap (C4/RefinedWeb-style "limit docs per domain").
 DOMAIN_CAP = 15
 

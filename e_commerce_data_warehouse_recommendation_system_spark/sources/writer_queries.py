@@ -458,3 +458,95 @@ def wr_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         old, new, keys=["o_orderkey"], compare=["o_orderstatus", "o_totalprice"]
     )
     return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction (table maintenance / OPTIMIZE)
+# --------------------------------------------------------------------------
+
+#: compaction target: files below this size are "small"; the compactor
+#: plans output partitions as ceil(total_bytes / target). Tuned tiny for
+#: the testdata; production uses 128-512 MB (HDFS-block / parquet
+#: row-group scale).
+COMPACT_TARGET_BYTES = 256 * 1024
+_FRAGMENT_PARTS = 64
+
+
+@component(
+    "wr_compact_small_files",
+    cols=[
+        ("n_rows", "num"),
+        ("sum_doc_id", "num"),
+        ("sum_n_chars", "num"),
+        ("files_reduced", "bool"),
+        ("meets_target_count", "bool"),
+    ],
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           TRUE AS files_reduced,
+           TRUE AS meets_target_count
+    FROM documents
+    """,
+)
+def wr_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the OPTIMIZE/maintenance pass every
+    long-running ingest needs: streaming sinks and per-batch appends leave
+    thousands of KB-scale files whose open/footer costs eventually dominate
+    scans. This fragments the documents table into 64 files, then
+    compacts by planning ceil(total_bytes / target) output files from the
+    directory listing (driver-side file METADATA — bounded by file count,
+    never data) and rewriting with ``coalesce`` (narrow, shuffle-free: at
+    100 TB compaction is IO-bound and the one thing to avoid is adding a
+    full shuffle on top of the rewrite; range-clustered layouts would use
+    ``repartitionByRange`` instead and buy data-skipping with the extra
+    shuffle).
+
+    Contract: row count and content digests (SQL-derivable — compaction
+    must be a byte-level no-op on the DATA) plus flags computed from the
+    real before/after listings: file count strictly reduced, and the
+    compacted count within one file of the byte-planned target.
+    """
+    prepare(spark, sf_dir)
+    import math
+    import os
+
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="ecomdw_compact_")
+    try:
+        frag_dir, out_dir = f"{tmp}/frag", f"{tmp}/compact"
+        docs.repartition(_FRAGMENT_PARTS).write.mode("overwrite").parquet(frag_dir)
+
+        def parquet_files(d: str) -> list[str]:
+            return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+        frag_files = parquet_files(frag_dir)
+        total_bytes = sum(os.path.getsize(f"{frag_dir}/{f}") for f in frag_files)
+        n_target = max(1, math.ceil(total_bytes / COMPACT_TARGET_BYTES))
+        fragmented = spark.read.parquet(frag_dir)
+        fragmented.coalesce(n_target).write.mode("overwrite").parquet(out_dir)
+        out_files = parquet_files(out_dir)
+        compacted = spark.read.parquet(out_dir)
+        stats = compacted.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("n_chars").alias("sum_n_chars"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    stats.n_rows,
+                    stats.sum_doc_id,
+                    stats.sum_n_chars,
+                    len(out_files) < len(frag_files),
+                    len(out_files) <= n_target + 1,
+                )
+            ],
+            schema=(
+                "n_rows bigint, sum_doc_id bigint, sum_n_chars bigint, "
+                "files_reduced boolean, meets_target_count boolean"
+            ),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

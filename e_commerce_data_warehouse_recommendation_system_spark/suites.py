@@ -146,6 +146,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_shuffle_shards",
         # per-domain doc cap (anti domain-dominance)
         "text_domain_cap",
+        # long-doc -> overlapping context-window fan-out
+        "text_chunk_windows",
     ],
     # multimodal: frame sampling + decode->resize->sample chain + the
     # embedding-representation compression step (int8 quantization)
@@ -182,6 +184,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "wr_orc_roundtrip",
         # CDC: snapshot diff -> insert/update/delete/unchanged classes
         "wr_snapshot_cdc",
+        # table maintenance: small-file compaction (OPTIMIZE pattern)
+        "wr_compact_small_files",
     ],
 }
 
