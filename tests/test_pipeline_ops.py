@@ -119,3 +119,41 @@ def test_domain_cap_two_phase_equals_windowed(spark):
     }
     assert all_mega == windowed
     assert all_small == windowed
+
+
+def test_chunk_windows_invariants(spark):
+    """Chunking contract on exact synthetic token counts, checked against a
+    pure-Python reference: chunk count = ceil(n/stride), full coverage of
+    every token, CHUNK_OVERLAP tokens of continuity at every full-window
+    boundary, and exact first/last token slicing."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        chunk_token_windows,
+    )
+
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    lengths = [1, stride - 1, stride, stride + 1, CHUNK_SIZE - 1, CHUNK_SIZE,
+               CHUNK_SIZE + 1, 2 * stride, 100, 3 * CHUNK_SIZE + 7]
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"t{n}_{i}" for i in range(n))) for n in lengths],
+        "doc_id long, text string",
+    )
+    rows = chunk_token_windows(docs).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n in lengths:
+        chunks = sorted(by_doc[n], key=lambda r: r.chunk_idx)
+        assert len(chunks) == -(-n // stride)  # ceil
+        covered = set()
+        for r in chunks:
+            assert r.start_tok == r.chunk_idx * stride
+            assert r.chunk_len == min(CHUNK_SIZE, n - r.start_tok) >= 1
+            assert r.first_tok == f"t{n}_{r.start_tok}"
+            assert r.last_tok == f"t{n}_{r.start_tok + r.chunk_len - 1}"
+            covered.update(range(r.start_tok, r.start_tok + r.chunk_len))
+        assert covered == set(range(n)), f"doc of {n} tokens not fully covered"
+        for a, b in zip(chunks, chunks[1:]):
+            if a.chunk_len == CHUNK_SIZE:  # full window -> exact overlap
+                assert a.start_tok + a.chunk_len - b.start_tok == CHUNK_OVERLAP

@@ -293,3 +293,15 @@ def test_shuffle_shards_single_exchange(spark):
     )
     assert n_shuffles == 1, f"expected exactly one shuffle, got {n_shuffles}:\n{plan}"
     assert "partial" in plan.lower(), f"no map-side partial aggregation:\n{plan}"
+
+
+def test_chunk_windows_is_shuffle_free(spark):
+    """The long-doc fan-out must pipeline over the scan: tokenize +
+    sequence/explode are narrow, so the plan has ZERO exchanges."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        text_chunk_windows,
+    )
+
+    plan = _plan(text_chunk_windows(spark, SF0001))
+    assert "Exchange" not in plan, f"chunking acquired a shuffle:\n{plan}"
+    assert "Generate explode" in plan
