@@ -379,6 +379,28 @@ _CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
     WHERE n > 0
     """,
 )
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap — the long-document fan-out
+    every pre-training pipeline runs between cleaning and packing: a doc
+    longer than the model context becomes overlapping token windows
+    (stride = CHUNK_SIZE − CHUNK_OVERLAP, so each boundary keeps
+    CHUNK_OVERLAP tokens of continuity), each window one training row.
+    The complement of ``text_pack_sequences`` (which fills windows with
+    SHORT docs; this splits LONG ones).
+
+    The verification view emits per-chunk geometry plus the first/last
+    token (pins the exact token slicing — any off-by-one in the window
+    arithmetic moves a string). A production sink would carry the sliced
+    token array itself.
+
+    Scale posture: tokenize + ``sequence``/``posexplode`` are map-side
+    narrow ops — the fan-out pipelines over the documents scan with NO
+    shuffle anywhere (plan-pinned: zero Exchange); a 10^6-token doc
+    becomes rows without any executor holding more than its Arrow batch."""
+    prepare(spark, sf_dir)
+    return chunk_token_windows(spark.table("documents"))
+
+
 def chunk_token_windows(docs: DataFrame) -> DataFrame:
     """Core chunker over any (doc_id, text) frame — see
     :func:`text_chunk_windows` for semantics. Split out so invariant tests
@@ -403,28 +425,6 @@ def chunk_token_windows(docs: DataFrame) -> DataFrame:
         F.element_at("t", F.col("s").cast("int") + 1).alias("first_tok"),
         F.element_at("t", (F.col("s") + chunk_len).cast("int")).alias("last_tok"),
     )
-
-
-def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window chunking with overlap — the long-document fan-out
-    every pre-training pipeline runs between cleaning and packing: a doc
-    longer than the model context becomes overlapping token windows
-    (stride = CHUNK_SIZE − CHUNK_OVERLAP, so each boundary keeps
-    CHUNK_OVERLAP tokens of continuity), each window one training row.
-    The complement of ``text_pack_sequences`` (which fills windows with
-    SHORT docs; this splits LONG ones).
-
-    The verification view emits per-chunk geometry plus the first/last
-    token (pins the exact token slicing — any off-by-one in the window
-    arithmetic moves a string). A production sink would carry the sliced
-    token array itself.
-
-    Scale posture: tokenize + ``sequence``/``posexplode`` are map-side
-    narrow ops — the fan-out pipelines over the documents scan with NO
-    shuffle anywhere (plan-pinned: zero Exchange); a 10^6-token doc
-    becomes rows without any executor holding more than its Arrow batch."""
-    prepare(spark, sf_dir)
-    return chunk_token_windows(spark.table("documents"))
 
 
 #: per-domain document cap (C4/RefinedWeb-style "limit docs per domain").

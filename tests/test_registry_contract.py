@@ -82,3 +82,30 @@ def test_components_have_full_oracles_and_cols():
         if c.oracle is None or not c.cols
     ]
     assert not bad, f"components need a full-result oracle and a digest col spec: {bad}"
+
+
+def test_component_fns_take_spark_and_sfdir():
+    """Every registered component/query fn must accept (spark, sf_dir) —
+    a decorator landing on the wrong def (e.g. a helper extracted above a
+    @component) registers an uncallable fn that only fails at driver
+    runtime. Caught in round 6 by a driver-scale re-run; pinned here so it
+    fails in pytest instead."""
+    import inspect
+
+    def required_positional(fn) -> int:
+        return len(
+            [
+                p
+                for p in inspect.signature(fn).parameters.values()
+                if p.default is inspect.Parameter.empty
+                and p.kind
+                in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            ]
+        )
+
+    bad = [
+        n
+        for n, c in registry.components().items()
+        if required_positional(c.fn) != 2
+    ] + [n for n, fn in registry.queries().items() if required_positional(fn) != 2]
+    assert not bad, f"registered fns not shaped (spark, sf_dir): {bad}"
