@@ -265,3 +265,121 @@ def mm_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize,
         schema="doc_id long, byte_len long, resized_width int, resized_height int, sampled_patches long",
     )
+
+
+# --------------------------------------------------------------------------
+# Audio: WAV/RIFF probe (the audio leg of the binary-column plumbing)
+# --------------------------------------------------------------------------
+
+#: Output schema of the audio probe stage.
+AUDIO_SCHEMA = (
+    "doc_id long, byte_len long, channels int, sample_rate int, "
+    "n_samples long, ms_duration long"
+)
+
+#: fake sample rates cycled by payload length (fake mode only)
+_FAKE_RATES = (8000, 16000, 44100)
+
+
+def _parse_wav(buf: bytes) -> tuple[int, int, int]:
+    """Uncompressed PCM WAV: RIFF container walk — 'RIFF'<size>'WAVE', then
+    aligned (id, size) chunks; 'fmt ' carries format/channels/rate/bits,
+    'data' carries the sample bytes. Returns (channels, sample_rate,
+    n_samples). Non-PCM encodings (IEEE float is fine; ADPCM/MP3-in-WAV
+    are compressed) raise NotImplementedError — the JPEG/PNG class."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", buf, pos + 4)
+        body = pos + 8
+        if cid == b"fmt " and csize >= 16:
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", buf, body)
+            (bits,) = struct.unpack_from("<H", buf, body + 14)
+            if audio_fmt not in (1, 3):  # PCM / IEEE-float only
+                raise NotImplementedError(
+                    f"compressed WAV encoding {audio_fmt} needs a real codec"
+                )
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            data_size = csize
+            if len(buf) - body < csize:
+                raise ValueError("truncated WAV data chunk")
+        pos = body + csize + (csize & 1)  # chunks are 2-byte aligned
+    if fmt is None or data_size is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    channels, rate, bits = fmt
+    if channels == 0 or rate == 0 or bits == 0:
+        raise ValueError(f"degenerate WAV format ({channels}ch, {rate}Hz, {bits}bit)")
+    n_samples = data_size // (channels * (bits // 8))
+    return channels, rate, n_samples
+
+
+def probe_audio_batch(
+    batches: Iterator[pd.DataFrame], real_decode: bool = False
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas audio probe (Arrow-batched): channels / sample rate /
+    sample count / duration as typed metadata. ``real_decode=True`` walks
+    the RIFF chunks for real (:func:`_parse_wav`); the default fake derives
+    deterministic values from payload length so the Spark-side plumbing is
+    oracle-checkable over the text-bytes testdata — the exact pattern of
+    :func:`decode_image_batch`."""
+    for pdf in batches:
+        byte_len = pdf["payload"].map(len)
+        if real_decode:
+            parsed = pdf["payload"].map(_parse_wav)
+            channels = parsed.map(lambda p: p[0]).astype("int32")
+            rate = parsed.map(lambda p: p[1]).astype("int32")
+            n_samples = parsed.map(lambda p: p[2]).astype("int64")
+        else:
+            channels = (byte_len % 2 + 1).astype("int32")
+            rate = byte_len.map(lambda n: _FAKE_RATES[n % 3]).astype("int32")
+            n_samples = (byte_len * 4).astype("int64")
+        ms = (n_samples * 1000 // rate).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": byte_len.astype("int64"),
+                "channels": channels,
+                "sample_rate": rate,
+                "n_samples": n_samples,
+                "ms_duration": ms,
+            }
+        )
+
+
+@component(
+    "mm_audio_probe",
+    cols=[
+        ("doc_id", "num"),
+        ("byte_len", "num"),
+        ("channels", "num"),
+        ("sample_rate", "num"),
+        ("n_samples", "num"),
+        ("ms_duration", "num"),
+    ],
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents)
+    SELECT doc_id, byte_len,
+           CAST(byte_len % 2 + 1 AS INT) AS channels,
+           CAST(CASE byte_len % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS INT) AS sample_rate,
+           CAST(byte_len * 4 AS BIGINT) AS n_samples,
+           CAST((byte_len * 4 * 1000) // (CASE byte_len % 3 WHEN 0 THEN 8000
+                WHEN 1 THEN 16000 ELSE 44100 END) AS BIGINT) AS ms_duration
+    FROM b
+    """,
+)
+def mm_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata probe through mapInPandas — the audio leg of the
+    opaque-binary plumbing (image: mm_decode_features; video:
+    mm_frame_sample). Deterministic fake arithmetic keeps the Arrow
+    boundary oracle-checked end-to-end; ``real_decode=True`` parses real
+    RIFF/WAVE headers (PCM/IEEE-float; compressed encodings raise), unit-
+    tested on synthesized WAVs in tests/test_multimodal_decode.py.
+
+    Scale posture: identical to the image stage — no shuffle, payloads
+    stream through Arrow batches, output is narrow typed metadata."""
+    prepare(spark, sf_dir)
+    return media_frame(spark).mapInPandas(probe_audio_batch, schema=AUDIO_SCHEMA)

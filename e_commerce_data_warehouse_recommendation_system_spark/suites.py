@@ -154,6 +154,8 @@ SUITE_SPECS: dict[str, list[str]] = {
     "mm_media_suite": [
         "mm_frame_sample",
         "mm_resize_sample",
+        # audio leg of the binary plumbing (WAV probe; real RIFF parse gated)
+        "mm_audio_probe",
         # embedding-representation ops sharing the embeddings scan
         "sim_l2_normalize",
         "sim_quantize_int8",

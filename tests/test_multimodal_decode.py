@@ -89,3 +89,54 @@ def test_compressed_payload_fails_loudly_in_stage(spark):
         df.mapInPandas(
             lambda it: decode_image_batch(it, real_decode=True), schema=DECODE_SCHEMA
         ).collect()
+
+
+def _wav(channels: int, rate: int, n_samples: int, bits: int = 16, fmt: int = 1,
+         pad_chunk: bool = False) -> bytes:
+    data = bytes((x * 5) % 256 for x in range(n_samples * channels * (bits // 8)))
+    fmt_body = struct.pack(
+        "<HHIIHH", fmt, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    chunks = b""
+    if pad_chunk:  # odd-sized chunk before fmt: exercises 2-byte alignment
+        chunks += b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    chunks += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_parse_and_errors():
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.multimodal import (
+        _parse_wav,
+    )
+
+    assert _parse_wav(_wav(1, 8000, 100)) == (1, 8000, 100)
+    assert _parse_wav(_wav(2, 44100, 57)) == (2, 44100, 57)
+    assert _parse_wav(_wav(2, 16000, 31, pad_chunk=True)) == (2, 16000, 31)
+    with pytest.raises(NotImplementedError):  # ADPCM = compressed class
+        _parse_wav(_wav(1, 8000, 10, fmt=2))
+    with pytest.raises(ValueError):
+        _parse_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):  # truncated data chunk
+        _parse_wav(_wav(1, 8000, 100)[:-20])
+
+
+def test_real_audio_probe_through_mapinpandas(spark):
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.multimodal import (
+        AUDIO_SCHEMA,
+        probe_audio_batch,
+    )
+
+    rows = [(1, _wav(1, 8000, 4000)), (2, _wav(2, 44100, 44100))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.doc_id: r
+        for r in df.mapInPandas(
+            lambda it: probe_audio_batch(it, real_decode=True), schema=AUDIO_SCHEMA
+        ).collect()
+    }
+    assert (out[1].channels, out[1].sample_rate, out[1].n_samples) == (1, 8000, 4000)
+    assert out[1].ms_duration == 500
+    assert (out[2].channels, out[2].sample_rate, out[2].n_samples) == (2, 44100, 44100)
+    assert out[2].ms_duration == 1000
