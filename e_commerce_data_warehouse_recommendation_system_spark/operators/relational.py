@@ -283,6 +283,71 @@ def j5_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select("o_orderkey")
 
 
+#: Catalyst runtime-filter knobs for ``j_bloom_reduce``. At 100 TB the
+#: defaults already fire (application side >10 GB); locally the thresholds
+#: must drop to zero or the tiny test scan never qualifies. Broadcast is
+#: disabled so the join actually shuffles — the regime where a bloom
+#: pre-filter pays (a broadcast-able dim needs no runtime filter).
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@component(
+    "j_bloom_reduce",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+           TRUE AS bloom_injected
+    FROM lineitem
+    JOIN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') o
+      ON l_orderkey = o.o_orderkey
+    """,
+    cols=[("n_items", "num"), ("revenue", "dbl"), ("bloom_injected", "bool")],
+)
+def j_bloom_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction — Catalyst's runtime filter
+    (``InjectRuntimeFilter``), the scale lever for selective fact⋈dim
+    joins that are too big to broadcast: the optimizer aggregates a bloom
+    filter over the filtered dim keys (``bloom_filter_agg``, KB-scale
+    however large the dim) and pushes a ``might_contain`` pre-filter into
+    the fact scan, so non-matching fact rows drop BEFORE the shuffle
+    instead of after it. At 100 TB that turns a full-fact shuffle into a
+    shuffle of only the ~matching fraction. Declared, not hand-built: the
+    query is a plain join + aggregate; the configs above put the optimizer
+    in the regime where it injects the filter, and the digest asserts from
+    the executed plan that it actually did (``bloom_injected``) — results
+    stay exact because the bloom admits false positives only, which the
+    exact join then removes (oracle: the plain SQL join).
+    """
+    prepare(spark, sf_dir)
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        o, li = spark.table("orders"), spark.table("lineitem")
+        urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        agg = li.join(urgent, li.l_orderkey == urgent.o_orderkey).agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum("l_extendedprice").alias("revenue"),
+        )
+        row = agg.collect()[0]
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        injected = "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [(row.n_items, row.revenue, injected)],
+        schema="n_items bigint, revenue double, bloom_injected boolean",
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

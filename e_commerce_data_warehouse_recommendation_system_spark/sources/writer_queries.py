@@ -550,3 +550,194 @@ def wr_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Z-order clustered layout (multi-dimensional data skipping)
+# --------------------------------------------------------------------------
+
+#: bits per dimension for the Morton interleave: 1024 bins per dim, 20-bit
+#: z-values. Enough resolution that file-level min/max stats separate a
+#: 2-D box predicate from the bulk of the table; coarse enough that the
+#: bin arithmetic stays exact in 64-bit integers at any realistic domain.
+_Z_BITS = 10
+_Z_BINS = 1 << _Z_BITS
+_Z_FILES = 8
+#: the demo skipping predicate: lowest quartile of both binned dims —
+#: exactly the z-range [0, 2^(2*(_Z_BITS-2))) by the interleave structure.
+_Z_BOX = _Z_BINS // 4
+
+
+def zorder_value(xb, yb):
+    """Morton/Z-order interleave of two ``_Z_BITS``-bit bin columns.
+
+    Pure Column bit arithmetic (shift/and/or) — JVM-side, codegen'd, no
+    UDF. Bit i of x lands at position 2i, bit i of y at 2i+1, so sorting
+    by the result places rows close in BOTH dims into the same parquet
+    files and their footer min/max stats become selective for
+    multi-dimensional predicates — the layout trick behind
+    OPTIMIZE ZORDER BY in lakehouse engines, here as a plain write plan:
+    compute z, ``repartitionByRange(z)``, ``sortWithinPartitions(z)``."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xb, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(yb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _zvalue_sql(xb: str, yb: str) -> str:
+    """The identical interleave as DuckDB SQL (oracle side)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({xb} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({yb} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+_SQL_ZORDER = f"""
+    WITH b AS (
+      SELECT CAST(o_custkey AS BIGINT) AS x,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS y
+      FROM orders
+    ),
+    mm AS (
+      SELECT MIN(x) AS minx, MAX(x) AS maxx, MIN(y) AS miny, MAX(y) AS maxy
+      FROM b
+    ),
+    binned AS (
+      SELECT ((x - minx) * {_Z_BINS}) // (maxx - minx + 1) AS xb,
+             ((y - miny) * {_Z_BINS}) // (maxy - miny + 1) AS yb
+      FROM b, mm
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({_zvalue_sql('xb', 'yb')}) AS BIGINT) AS sum_zval,
+           CAST(SUM(CASE WHEN xb < {_Z_BOX} AND yb < {_Z_BOX} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_box_rows,
+           TRUE AS files_ok,
+           TRUE AS zorder_prunes,
+           TRUE AS skip_scan_exact
+    FROM binned
+"""
+
+
+@component(
+    "wr_zorder_layout",
+    oracle=_SQL_ZORDER,
+    cols=[
+        ("n_rows", "num"),
+        ("sum_zval", "num"),
+        ("n_box_rows", "num"),
+        ("files_ok", "bool"),
+        ("zorder_prunes", "bool"),
+        ("skip_scan_exact", "bool"),
+    ],
+)
+def wr_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write — the multi-dimensional data-skipping layout
+    (Delta/Iceberg ``OPTIMIZE ZORDER BY``, re-expressed as a plain Spark
+    write plan). Partition-pruning handles ONE dimension (the fact table
+    partitions by order year, plans/etl.run_pipeline); a 100 TB scan
+    filtered on TWO dimensions (customer AND date) still reads every file
+    under the matching partitions unless the layout itself clusters both.
+    Morton-interleaving the range-binned dims and range-partitioning +
+    sorting by the z-value makes each parquet file cover a small box in
+    (customer, date) space, so footer min/max stats exclude most files for
+    any 2-D box predicate.
+
+    Digest: n_rows / sum_zval / n_box_rows are layout-independent and
+    SQL-derivable (the oracle reproduces the identical bin + interleave
+    bit math); the flags come from the real written layouts — file count
+    within target, the z-ordered layout needs at most as many files as a
+    hash layout for the box predicate and strictly fewer than all of them,
+    and a min/max-pruned scan over only the intersecting files returns
+    exactly the full box row count (skipping loses nothing). Bin edges via
+    floor-of-double division: exact for spans below ~2^40 since the true
+    quotient sits at least 1/span from an integer while double error is
+    ~1e-13 of it.
+    """
+    prepare(spark, sf_dir)
+    import os
+
+    base = spark.table("orders").select(
+        F.col("o_custkey").cast("long").alias("x"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("y"),
+    )
+    mm = base.agg(
+        F.min("x").alias("minx"),
+        F.max("x").alias("maxx"),
+        F.min("y").alias("miny"),
+        F.max("y").alias("maxy"),
+    ).collect()[0]
+    spanx = mm.maxx - mm.minx + 1
+    spany = mm.maxy - mm.miny + 1
+    binned = base.select(
+        F.floor((F.col("x") - F.lit(mm.minx)) * _Z_BINS / F.lit(spanx)).alias("xb"),
+        F.floor((F.col("y") - F.lit(mm.miny)) * _Z_BINS / F.lit(spany)).alias("yb"),
+    )
+    zdf = binned.withColumn("zval", zorder_value(F.col("xb"), F.col("yb")))
+    in_box = (F.col("xb") < _Z_BOX) & (F.col("yb") < _Z_BOX)
+    totals = zdf.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("zval").alias("sum_zval"),
+        F.sum(in_box.cast("long")).alias("n_box_rows"),
+    ).collect()[0]
+
+    tmp = tempfile.mkdtemp(prefix="ecomdw_zorder_")
+    try:
+        z_dir, naive_dir = f"{tmp}/zorder", f"{tmp}/naive"
+        (
+            zdf.repartitionByRange(_Z_FILES, "zval")
+            .sortWithinPartitions("zval")
+            .write.mode("overwrite")
+            .parquet(z_dir)
+        )
+        zdf.repartition(_Z_FILES, "xb", "yb").write.mode("overwrite").parquet(naive_dir)
+
+        def file_boxes(d: str) -> list[tuple[str, int, int]]:
+            """(path, min_xb, min_yb) per file — the footer-stat proxy.
+
+            Driver loop bounded by the file count (= _Z_FILES), reading
+            only 1-row min aggregates; box intersection with
+            [0, _Z_BOX) x [0, _Z_BOX) needs only the minima."""
+            out = []
+            for f in sorted(os.listdir(d)):
+                if not f.endswith(".parquet"):
+                    continue
+                p = f"{d}/{f}"
+                r = spark.read.parquet(p).agg(
+                    F.min("xb").alias("mnx"), F.min("yb").alias("mny")
+                ).collect()[0]
+                out.append((p, r.mnx, r.mny))
+            return out
+
+        def hits(boxes: list[tuple[str, int, int]]) -> list[str]:
+            return [p for p, mnx, mny in boxes if mnx < _Z_BOX and mny < _Z_BOX]
+
+        z_boxes, naive_boxes = file_boxes(z_dir), file_boxes(naive_dir)
+        z_hits, naive_hits = hits(z_boxes), hits(naive_boxes)
+        pruned_count = (
+            spark.read.parquet(*z_hits).filter(in_box).count() if z_hits else 0
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    totals.n_rows,
+                    totals.sum_zval,
+                    totals.n_box_rows,
+                    1 <= len(z_boxes) <= _Z_FILES,
+                    len(z_hits) <= len(naive_hits) and len(z_hits) < len(z_boxes),
+                    pruned_count == totals.n_box_rows,
+                )
+            ],
+            schema=(
+                "n_rows bigint, sum_zval bigint, n_box_rows bigint, "
+                "files_ok boolean, zorder_prunes boolean, skip_scan_exact boolean"
+            ),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

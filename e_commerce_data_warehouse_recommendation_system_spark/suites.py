@@ -53,8 +53,13 @@ SUITE_SPECS: dict[str, list[str]] = {
         "j3_inner_agg",
         "stream_enrich_segments",
     ],
-    # §2.3 semi/anti/integrity joins
-    "rel_semi_anti_suite": ["j4_semi", "j5_anti", "j6_fk_integrity"],
+    # §2.3 semi/anti/integrity joins + the runtime bloom-filter reduction
+    "rel_semi_anti_suite": [
+        "j4_semi",
+        "j5_anti",
+        "j6_fk_integrity",
+        "j_bloom_reduce",
+    ],
     # custom joins: range-binned interval join + salted skew join + the
     # stream-stream time-bound twin of the interval join
     "rel_range_salted_suite": [
@@ -188,6 +193,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "wr_snapshot_cdc",
         # table maintenance: small-file compaction (OPTIMIZE pattern)
         "wr_compact_small_files",
+        # multi-dimensional clustering: z-order write + skipping evidence
+        "wr_zorder_layout",
     ],
 }
 
