@@ -563,3 +563,71 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio > CONTAM_THRESHOLD).alias("contaminated"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity matching (blocked edit-distance join)
+# --------------------------------------------------------------------------
+
+#: candidate pairs must share this blocking key (last name token) — the
+#: classic entity-resolution blocking step that keeps the pair space
+#: per-block instead of all-pairs.
+_FUZZY_MAX_DIST = 2
+
+
+@component(
+    "dedup_fuzzy_names",
+    oracle="""
+    WITH names AS (
+      SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n,
+             string_split(p_name, ' ')[-1] AS blk
+      FROM part GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
+    """,
+    cols=[
+        ("name_a", "str"),
+        ("name_b", "str"),
+        ("dist", "num"),
+        ("n_a", "num"),
+        ("n_b", "num"),
+    ],
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching — the short-string complement of the shingle
+    ladder: MinHash/Jaccard need enough shingles to be stable, so catalog
+    names, brands, and addresses ("cold anvil" vs "old anvil") resolve via
+    blocked edit distance instead. Shape: collapse to DISTINCT names with
+    support counts first (the name DOMAIN is bounded — it does not grow
+    with the 100 TB row count, so the pair space is fixed however large
+    the fact tables get), block on the last name token, pair names within
+    a block (a < b), keep Levenshtein 1..2 (0 = exact dup, already owned
+    by dedup_exact). Levenshtein runs JVM-side (``F.levenshtein``); the
+    distinct-name frame is dim-sized so Spark broadcasts the self-join.
+    A mega-block (everything sharing one token) caps at distinct-name
+    count, not row count — the same reason the two-phase domain cap exists
+    for rows (text.py) is why this op blocks on NAMES."""
+    prepare(spark, sf_dir)
+    names = (
+        spark.table("part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("blk", F.element_at(F.split("name", " "), -1))
+    )
+    a = names.select(
+        F.col("name").alias("name_a"), F.col("n").alias("n_a"), F.col("blk")
+    )
+    b = names.select(
+        F.col("name").alias("name_b"), F.col("n").alias("n_b"), F.col("blk")
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist.between(1, _FUZZY_MAX_DIST))
+        .select("name_a", "name_b", dist.alias("dist"), "n_a", "n_b")
+    )

@@ -741,3 +741,82 @@ def wr_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Schema evolution (mergeSchema read over mixed-generation files)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "wr_schema_evolution",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_legacy_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total_price,
+           CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END)
+                AS BIGINT) AS n_status_classes,
+           TRUE AS schema_merged
+    FROM orders
+    """,
+    cols=[
+        ("n_rows", "num"),
+        ("n_legacy_rows", "num"),
+        ("total_price", "dbl"),
+        ("n_status_classes", "num"),
+        ("schema_merged", "bool"),
+    ],
+)
+def wr_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a landing table — the long-lived-pipeline
+    reality the reference's fixed CREATE TABLEs can't absorb: a producer
+    adds a column mid-stream and the table directory now mixes
+    generations. Writes a legacy generation (orderkey, totalprice) and an
+    evolved one (+ orderstatus) into ONE parquet directory, reads back
+    with ``mergeSchema`` (footer-union at planning time — a metadata
+    operation over file schemas, not a data pass, so it costs file-count
+    not bytes at 100 TB), and digests the merged view: legacy rows
+    surface the new column as NULL, evolved rows keep their values, and
+    nothing is dropped or double-counted. The oracle rebuilds the same
+    numbers from the source table and the generation split (even keys =
+    legacy)."""
+    prepare(spark, sf_dir)
+    orders = spark.table("orders")
+    legacy = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    evolved = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    tmp = tempfile.mkdtemp(prefix="ecomdw_schevo_")
+    try:
+        target = f"{tmp}/landing"
+        legacy.write.mode("overwrite").parquet(target)
+        evolved.write.mode("append").parquet(target)
+        merged = spark.read.option("mergeSchema", "true").parquet(target)
+        row = merged.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_orderstatus").isNull().cast("long")).alias("n_legacy_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+            .cast("double")
+            .alias("total_price"),
+            F.count_distinct("o_orderstatus").alias("n_status_classes"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    row.n_rows,
+                    row.n_legacy_rows,
+                    row.total_price,
+                    row.n_status_classes,
+                    "o_orderstatus" in merged.columns,
+                )
+            ],
+            schema=(
+                "n_rows bigint, n_legacy_rows bigint, total_price double, "
+                "n_status_classes bigint, schema_merged boolean"
+            ),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -94,6 +94,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "d3_distinct",
         "dedup_clusters",
         "dedup_embedding_exact",
+        # short-string entity resolution: blocked edit-distance join
+        "dedup_fuzzy_names",
         "w1_surrogate_key",
         "w1b_surrogate_key_two_phase",
         "w2_category_codes",
@@ -195,6 +197,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "wr_compact_small_files",
         # multi-dimensional clustering: z-order write + skipping evidence
         "wr_zorder_layout",
+        # mixed-generation landing dir read back through mergeSchema
+        "wr_schema_evolution",
     ],
 }
 
