@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from e_commerce_data_warehouse_recommendation_system_spark.registry import register
+from e_commerce_data_warehouse_recommendation_system_spark.registry import component, register
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
 
 
@@ -94,3 +94,58 @@ def dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         matches_regex("o_orderpriority", "^[0-9]-"),
     ]
     return validate(o, rules)
+
+
+#: per-segment outlier threshold: values above this quantile of their own
+#: event_type are flagged. 0.995 on the synthetic data keeps every segment
+#: with a non-empty outlier set while staying in the tail.
+OUTLIER_QUANTILE = 0.995
+
+
+@component(
+    "dq_value_outliers",
+    oracle=f"""
+    WITH thresholds AS (
+      SELECT event_type, quantile_cont(value, {OUTLIER_QUANTILE}) AS threshold
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN e.value > t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           t.threshold
+    FROM events e JOIN thresholds t ON e.event_type = t.event_type
+    GROUP BY e.event_type, t.threshold
+    """,
+    cols=[
+        ("event_type", "str"),
+        ("n_events", "num"),
+        ("n_outliers", "num"),
+        ("threshold", "dbl"),
+    ],
+)
+def dq_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment tail-outlier detection — the data-quality twin of the
+    fixed-bound ``in_range`` rule: instead of a hand-set limit, each
+    segment's own exact 99.5th percentile becomes its threshold, so a
+    segment whose value distribution shifts flags itself. Shape: one
+    aggregation computes the per-type quantile (exact ``percentile`` —
+    proven identical to DuckDB's ``quantile_cont`` by a11_percentiles; at
+    100 TB swap for ``approx_percentile``, a mergeable sketch with the
+    same plan), the tiny threshold table broadcasts back, and the flag
+    count is a map-side CASE inside the same scan — two passes over
+    events, no window, no sort."""
+    prepare(spark, sf_dir)
+    ev = spark.table("events")
+    thresholds = ev.groupBy("event_type").agg(
+        F.percentile("value", OUTLIER_QUANTILE).alias("threshold")
+    )
+    return (
+        ev.join(F.broadcast(thresholds), "event_type")
+        .groupBy("event_type", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") > F.col("threshold")).cast("long")).alias("n_outliers"),
+        )
+        .select("event_type", "n_events", "n_outliers", "threshold")
+    )

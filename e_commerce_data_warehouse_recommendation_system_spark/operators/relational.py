@@ -1733,3 +1733,88 @@ def a14_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series resampling (gap fill + forward fill)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "ts_resample_ffill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS day_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1),
+    grid AS (
+      SELECT user_id, CAST(gs.d AS DATE) AS day
+      FROM bounds, LATERAL (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d) gs
+    )
+    SELECT g.user_id, g.day,
+           CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+           LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           d.day_value IS NULL AS is_gap
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+    cols=[
+        ("user_id", "num"),
+        ("day", "date"),
+        ("n_events", "num"),
+        ("filled_value", "dbl"),
+        ("is_gap", "bool"),
+    ],
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward fill — the feature-engineering
+    primitive between raw events and any model that expects one row per
+    (entity, period): per user, a complete daily grid over the user's own
+    active span, daily totals where events exist, last-observation-carried-
+    forward where they don't, and an explicit gap marker.
+
+    Shape: one aggregation to daily rows (the only full-data shuffle),
+    per-user bounds off that aggregate, the grid fanned out MAP-SIDE with
+    ``sequence``/``explode`` (rows materialize at days-per-user, never via
+    a calendar cross-join), a co-partitioned left join back, and the fill
+    as a bounded running window per user. At 100 TB the grid size is
+    sum(user spans) — output-sized, not |users| x |calendar| — and every
+    stage keys on user_id, so the agg, join, and window reuse one
+    partitioning. Decimal accumulation keeps the daily sums exact and the
+    forward-filled value engine-portable."""
+    prepare(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,8)")).cast("double").alias("day_value"),
+        )
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("day_value").isNull().alias("is_gap"),
+        )
+    )

@@ -26,6 +26,7 @@ import e_commerce_data_warehouse_recommendation_system_spark.plans.queries  # no
 import e_commerce_data_warehouse_recommendation_system_spark.operators.similarity  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.operators.text  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.operators.multimodal  # noqa: F401
+import e_commerce_data_warehouse_recommendation_system_spark.operators.quality  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.recommend.queries  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.sources.writer_queries  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.streaming.queries  # noqa: F401
@@ -86,6 +87,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "a14_heavy_hitters",
         # growth analytics: cohort retention triangle over events
         "cohort_retention",
+        # DQ: per-segment exact-percentile tail-outlier detection
+        "dq_value_outliers",
     ],
     # §2.5 dedup + §2.6 windows (+ near-dup cluster assignment)
     "rel_window_dedup_suite": [
@@ -96,6 +99,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "dedup_embedding_exact",
         # short-string entity resolution: blocked edit-distance join
         "dedup_fuzzy_names",
+        # regular-grid resampling: gap fill + forward fill per user
+        "ts_resample_ffill",
         "w1_surrogate_key",
         "w1b_surrogate_key_two_phase",
         "w2_category_codes",

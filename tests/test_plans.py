@@ -305,3 +305,27 @@ def test_chunk_windows_is_shuffle_free(spark):
     plan = _plan(text_chunk_windows(spark, SF0001))
     assert "Exchange" not in plan, f"chunking acquired a shuffle:\n{plan}"
     assert "Generate explode" in plan
+
+
+def test_zorder_interleave_is_jvm_side_and_narrow(spark):
+    """The z-value must stay pure Column bit arithmetic: no Python UDF
+    boundary (BatchEvalPython/ArrowEvalPython), and computing it adds no
+    shuffle — the only Exchange in the clustered-write plan is the single
+    rangepartitioning on zval itself."""
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.writer_queries import (
+        zorder_value,
+    )
+
+    df = (
+        spark.range(0, 1000)
+        .select((F.col("id") % 97).alias("xb"), (F.col("id") % 89).alias("yb"))
+        .withColumn("zval", zorder_value(F.col("xb"), F.col("yb")))
+        .repartitionByRange(4, "zval")
+        .sortWithinPartitions("zval")
+    )
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+    # the sort must be within partitions, not a global ordering: in the
+    # executedPlan toString, Sort renders as "Sort [keys], <global>, 0"
+    assert "Sort [zval" in plan and "], false, 0" in plan
