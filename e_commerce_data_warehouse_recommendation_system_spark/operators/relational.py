@@ -1818,3 +1818,89 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day_value").isNull().alias("is_gap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable-sketch rollup (HLL union across grain levels)
+# --------------------------------------------------------------------------
+
+#: acceptance band for the merged estimate vs the exact distinct. The
+#: default Datasketches lgConfigK=12 gives ~1.6% standard error; 5% is a
+#: regression tripwire, not a precision claim.
+_SKETCH_REL_ERR = 0.05
+
+
+@component(
+    "a15_sketch_rollup",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
+    ),
+    daily AS (SELECT day, COUNT(DISTINCT user_id) AS du FROM d GROUP BY day),
+    monthly AS (
+      SELECT strftime(day, '%Y-%m') AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(MAX(du) AS BIGINT) AS max_daily_distinct
+      FROM daily GROUP BY 1
+    ),
+    exact AS (
+      SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m') AS month,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT m.month, e.exact_distinct, m.n_days, m.max_daily_distinct,
+           TRUE AS merge_within_bound, TRUE AS merge_monotone
+    FROM monthly m JOIN exact e ON m.month = e.month
+    """,
+    cols=[
+        ("month", "str"),
+        ("exact_distinct", "num"),
+        ("n_days", "num"),
+        ("max_daily_distinct", "num"),
+        ("merge_within_bound", "bool"),
+        ("merge_monotone", "bool"),
+    ],
+)
+def a15_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the incremental-distinct pattern that makes
+    "monthly unique users" computable WITHOUT re-touching the raw events:
+    each day aggregates once into a Datasketches HLL sketch
+    (``hll_sketch_agg``, KB-scale state, map-side partial like any agg);
+    coarser grains come from ``hll_union_agg`` over the stored daily
+    sketches — bytes-per-day input, so a 100 TB backfill month costs a
+    union over ≤31 sketches instead of a distinct over a month of raw
+    rows, and a late-arriving day only replaces its own sketch. The
+    digest compares the merged estimate against the exact per-month
+    distinct (re-derived from raw events here purely as verification):
+    within the error band, and never materially below the largest single
+    day (union monotonicity). Exact counts and day/month structure are
+    SQL-derivable; the estimate itself is flag-checked because DuckDB has
+    no Datasketches HLL."""
+    prepare(spark, sf_dir)
+    ev = spark.table("events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("du"),
+    )
+    monthly = daily.groupBy(F.date_format("day", "yyyy-MM").alias("month")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("du").alias("max_daily_distinct"),
+    )
+    exact = ev.groupBy(F.date_format("day", "yyyy-MM").alias("month")).agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    rel_err = F.abs(F.col("est") - F.col("exact_distinct")) / F.col("exact_distinct")
+    return (
+        monthly.join(exact, "month")
+        .select(
+            "month",
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("max_daily_distinct").cast("bigint").alias("max_daily_distinct"),
+            (rel_err <= _SKETCH_REL_ERR).alias("merge_within_bound"),
+            (F.col("est") >= F.col("max_daily_distinct") * 0.95).alias("merge_monotone"),
+        )
+    )

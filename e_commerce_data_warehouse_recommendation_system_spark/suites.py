@@ -89,6 +89,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "cohort_retention",
         # DQ: per-segment exact-percentile tail-outlier detection
         "dq_value_outliers",
+        # mergeable HLL sketches: daily -> monthly distinct via union
+        "a15_sketch_rollup",
     ],
     # §2.5 dedup + §2.6 windows (+ near-dup cluster assignment)
     "rel_window_dedup_suite": [
