@@ -1904,3 +1904,154 @@ def a15_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est") >= F.col("max_daily_distinct") * 0.95).alias("merge_monotone"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Clickstream Markov transitions (next-event model input)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "session_transitions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+    ),
+    steps AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id) AS to_type
+      FROM e
+    ),
+    trans AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS from_total
+      FROM trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type, t.n_transitions,
+           CAST(FLOOR(t.n_transitions * 1000000.0 / tt.from_total) AS BIGINT)
+             AS prob_micro
+    FROM trans t JOIN totals tt ON t.from_type = tt.from_type
+    """,
+    cols=[
+        ("from_type", "str"),
+        ("to_type", "str"),
+        ("n_transitions", "num"),
+        ("prob_micro", "num"),
+    ],
+)
+def session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream —
+    the next-event model input (and the "where do users go after X"
+    dashboard) every clickstream warehouse derives from the same lag/lead
+    machinery as sessionization. Per user, events ordered by (epoch_us(ts),
+    event_id) pair each event with its successor; transition counts roll up
+    per (from, to) with the row-conditional probability in integer micro
+    units (floor(n*1e6/total) — the a14 trick, so the ratio hashes
+    identically across engines).
+
+    Shape: ONE shuffle on user_id for the lead window (same partitioning as
+    q_sessionize — at 100 TB these share a stage when composed), then a
+    partial-agg shuffle on the (from, to) pair space, which is
+    |event_type|² — bounded by the type vocabulary, not the event count.
+    The totals join is vocabulary-sized -> broadcast; no window runs over
+    an unbounded domain. Orders on microsecond-truncated instants, so
+    sub-µs layout drift can't flip successor ties (the r4 NTZ lesson)."""
+    prepare(spark, sf_dir)
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n_transitions").alias("from_total"))
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.floor(F.col("n_transitions") * 1000000.0 / F.col("from_total"))
+        .cast("bigint")
+        .alias("prob_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Last-touch channel attribution (marketing analytics)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "attribution_last_touch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tus FROM events
+    ),
+    attributed AS (
+      SELECT event_type, value,
+             COALESCE(
+               LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY tus, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               'none') AS channel
+      FROM e
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS attributed_value
+    FROM attributed WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+    cols=[("channel", "str"), ("n_purchases", "num"), ("attributed_value", "dbl")],
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch channel attribution: every purchase is credited to the
+    nearest PRECEDING non-purchase event type in the same user's stream
+    ('none' for purchases with no prior touch) — the marketing-analytics
+    rollup (purchases + attributed revenue per channel) a commerce
+    warehouse serves next to the conversion funnel (plans/queries.q_funnel
+    answers "how many converted"; this answers "credited to what").
+
+    Shape: the carry-forward runs as an ignore-nulls ``last`` over a
+    preceding-rows frame — ONE shuffle on user_id, linear per-user sweep,
+    state = one string per user however long the history (same partitioning
+    family as q_sessionize/session_transitions). The purchase filter can't
+    precede the window (non-purchase rows define the carried channel), so
+    it runs after — then a partial-agg shuffle over the channel vocabulary.
+    Decimal accumulation keeps the revenue sum exact across engines; event
+    order is pinned to (epoch_us, event_id) like every events window."""
+    prepare(spark, sf_dir)
+    ev = spark.table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.coalesce(
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+        F.lit("none"),
+    )
+    return (
+        ev.withColumn("channel", channel)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(28,8)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )

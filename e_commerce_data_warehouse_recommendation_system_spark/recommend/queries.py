@@ -1204,3 +1204,148 @@ def rec_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
         "part_a", "part_b", "pair_count", "cnt_a", "cnt_b", "lift", "rnk"
     )
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering (user-level cosine neighbors)
+# --------------------------------------------------------------------------
+
+ITEMCF_K = 10
+#: pair generation is a self-join per user, O(basket²) rows each; a whale
+#: account (bot, wholesale buyer) with a 100k-item basket would alone emit
+#: 5e9 pairs, so users above this basket size are excluded from the
+#: CO-COUNTS (standard itemCF practice — their signal is near-zero anyway:
+#: a user who buys everything discriminates nothing). Deterministic and
+#: SQL-expressible, so the oracle applies the identical cap.
+ITEMCF_MAX_BASKET = 500
+
+
+@component(
+    "rec_itemcf_neighbors",
+    cols=[
+        ("item_id", "num"),
+        ("neighbor_id", "num"),
+        ("co", "num"),
+        ("cos2_micro", "num"),
+        ("cosine", "dbl"),
+        ("rnk", "num"),
+    ],
+    oracle=f"""
+    WITH inter AS ({_SQL_INTERACTIONS}),
+    sizes AS (SELECT user_id, COUNT(*) AS basket FROM inter GROUP BY 1),
+    capped AS (
+      SELECT i.user_id, i.item_id
+      FROM inter i JOIN sizes s ON i.user_id = s.user_id
+      WHERE s.basket <= {ITEMCF_MAX_BASKET}
+    ),
+    cnt AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_users FROM capped GROUP BY 1),
+    pairs AS (
+      SELECT a.item_id AS item_a, b.item_id AS item_b, CAST(COUNT(*) AS BIGINT) AS co
+      FROM capped a JOIN capped b
+        ON a.user_id = b.user_id AND a.item_id < b.item_id
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT item_a AS item_id, item_b AS neighbor_id, co FROM pairs
+      UNION ALL
+      SELECT item_b, item_a, co FROM pairs
+    ),
+    scored AS (
+      SELECT s.item_id, s.neighbor_id, s.co,
+             CAST(FLOOR(s.co * s.co * 1000000.0 / (ci.n_users * cn.n_users)) AS BIGINT)
+               AS cos2_micro,
+             s.co / sqrt(CAST(ci.n_users * cn.n_users AS DOUBLE)) AS cosine
+      FROM sym s
+      JOIN cnt ci ON s.item_id = ci.item_id
+      JOIN cnt cn ON s.neighbor_id = cn.item_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY item_id
+               ORDER BY cos2_micro DESC, co DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT item_id, neighbor_id, co, cos2_micro, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {ITEMCF_K}
+    """,
+)
+def rec_itemcf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: per-item top-K neighbor lists by
+    cosine over binary USER vectors — cos(i,j) = co(i,j)/√(nᵢ·nⱼ). The
+    memory-based complement to the model-based ALS path (reference:
+    mf_knn_recommender.py brands itself "KNN" but never materializes item
+    neighbors; this is the actual KNN table, and the serving shape behind
+    "similar items" shelves: a bounded K-row lookup per item, no model).
+
+    Ranking is engine-deterministic without float ordering: cos² in integer
+    micro units (monotone in cosine for positive counts; floor of one IEEE
+    divide — both engines round-to-nearest identically) with (co, neighbor)
+    tie-breaks. The float cosine column is informational.
+
+    Scale: pair space is Σ basket² per user — bounded by ITEMCF_MAX_BASKET
+    (whale users excluded from co-counts before the self-join, exactly like
+    rec_copurchase_pairs bounds per ORDER). One shuffle each for baskets,
+    pair counts, and the per-item window; the n_users side is
+    catalog-sized -> broadcast."""
+    prepare(spark, sf_dir)
+    inter = interactions(spark)
+    sizes = inter.groupBy("user_id").agg(F.count(F.lit(1)).alias("basket"))
+    capped = inter.join(
+        sizes.filter(F.col("basket") <= ITEMCF_MAX_BASKET).select("user_id"), "user_id"
+    )
+    cnt = capped.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_users"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .groupBy(F.col("a.item_id").alias("item_a"), F.col("b.item_id").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("item_id"), F.col("item_b").alias("neighbor_id"), "co"
+    ).unionAll(
+        pairs.select(
+            F.col("item_b").alias("item_id"), F.col("item_a").alias("neighbor_id"), "co"
+        )
+    )
+    scored = (
+        sym.join(
+            F.broadcast(cnt.select(F.col("item_id"), F.col("n_users").alias("n_item"))),
+            "item_id",
+        )
+        .join(
+            F.broadcast(
+                cnt.select(
+                    F.col("item_id").alias("neighbor_id"),
+                    F.col("n_users").alias("n_neighbor"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "item_id",
+            "neighbor_id",
+            "co",
+            F.floor(
+                F.col("co") * F.col("co") * 1000000.0
+                / (F.col("n_item") * F.col("n_neighbor"))
+            )
+            .cast("bigint")
+            .alias("cos2_micro"),
+            (
+                F.col("co")
+                / F.sqrt((F.col("n_item") * F.col("n_neighbor")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item_id").orderBy(
+        F.desc("cos2_micro"), F.desc("co"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= ITEMCF_K)
+        .select("item_id", "neighbor_id", "co", "cos2_micro", "cosine", "rnk")
+    )

@@ -91,6 +91,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "dq_value_outliers",
         # mergeable HLL sketches: daily -> monthly distinct via union
         "a15_sketch_rollup",
+        # marketing analytics: last-touch channel credit for purchases
+        "attribution_last_touch",
     ],
     # §2.5 dedup + §2.6 windows (+ near-dup cluster assignment)
     "rel_window_dedup_suite": [
@@ -103,6 +105,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "dedup_fuzzy_names",
         # regular-grid resampling: gap fill + forward fill per user
         "ts_resample_ffill",
+        # first-order Markov next-event transition matrix (lead window)
+        "session_transitions",
         "w1_surrogate_key",
         "w1b_surrogate_key_two_phase",
         "w2_category_codes",
@@ -187,6 +191,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "rec_copurchase_pairs",
         # cold-start popularity shelf (reference refuses unknown users)
         "rec_popular_fallback",
+        # memory-based KNN: per-item cosine neighbor lists (user vectors)
+        "rec_itemcf_neighbors",
     ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [
