@@ -329,3 +329,45 @@ def test_zorder_interleave_is_jvm_side_and_narrow(spark):
     # the sort must be within partitions, not a global ordering: in the
     # executedPlan toString, Sort renders as "Sort [keys], <global>, 0"
     assert "Sort [zval" in plan and "], false, 0" in plan
+
+
+def test_session_transitions_vocab_join_broadcasts(spark):
+    """session_transitions: one user_id shuffle feeds the lead window; the
+    per-from-type totals join is vocabulary-sized and must broadcast —
+    a shuffled join there would re-key the bounded transition matrix."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.relational import (
+        session_transitions,
+    )
+
+    plan = _plan(session_transitions(spark, SF0001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_attribution_window_partitions_by_user(spark):
+    """attribution_last_touch: the carry-forward window must partition on
+    user_id (never a single global window) and the channel rollup must
+    keep a map-side partial phase."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.relational import (
+        attribution_last_touch,
+    )
+
+    plan = _plan(attribution_last_touch(spark, SF0001))
+    assert "Exchange SinglePartition" not in plan or "partial" in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_itemcf_count_joins_broadcast(spark):
+    """rec_itemcf_neighbors: both catalog-sized n_users joins must
+    broadcast; only the basket self-join and the per-item window may
+    shuffle. A SortMergeJoin against the counts table would mean the
+    bounded catalog got shuffled with the pair space."""
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+        rec_itemcf_neighbors,
+    )
+
+    plan = _plan(rec_itemcf_neighbors(spark, SF0001))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the per-item ranking must be a partitioned window, not a global sort
+    assert "hashpartitioning(item_id" in plan
