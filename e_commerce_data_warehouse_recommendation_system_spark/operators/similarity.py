@@ -837,3 +837,157 @@ def sim_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cap_respected",
         "sample_is_subset",
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ codebooks: the memory layout behind IVF-PQ ANN)
+# --------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces: 64-dim vectors -> 4 x 16-dim subvectors
+PQ_K = 16  # centroids per subspace codebook -> 4-bit codes
+#: reconstruction must beat the trivial 1-centroid codebook (encoding every
+#: subvector as its subspace mean) by a wide margin — the regression
+#: tripwire that a broken codebook fit can't pass.
+PQ_MSE_RATIO_MAX = 0.9
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> "list[list[list[float]]]":
+    """Fit one k-means codebook per subspace (memoized per sf_dir alongside
+    the IVF/LSH indexes). Codebooks are M x K x (D/M) floats — bounded KBs
+    regardless of corpus size, the broadcastable asset PQ is built around."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    key = ("pq", sf_dir)
+    if key in _ANN_INDEX_CACHE:
+        return _ANN_INDEX_CACHE[key]
+    prepare(spark, sf_dir)
+    e = spark.table("embeddings")
+    dim = len(e.select("embedding").first().embedding)
+    dsub = dim // PQ_M
+    books = []
+    for m in range(PQ_M):
+        sub = e.select(
+            array_to_vector(
+                F.transform(
+                    F.slice("embedding", m * dsub + 1, dsub), lambda x: x.cast("double")
+                )
+            ).alias("features")
+        )
+        model = KMeans(k=PQ_K, seed=KMEANS_SEED + m, featuresCol="features").fit(sub)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    _ANN_INDEX_CACHE[key] = books
+    return books
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every embedding as PQ codes: per subspace, the index of the
+    nearest codebook centroid, plus that subspace's squared reconstruction
+    error. Returns (vec_id, codes array<int>, sq_err double).
+
+    Plan shape: the codebooks enter as a LITERAL nested array (KBs), so
+    encoding is a pure map-side projection over the embeddings scan — JVM
+    higher-order functions (zip_with/aggregate/array_position), zero
+    shuffle, zero Python. This is the 100 TB property that makes PQ the
+    standard vector-corpus memory layout: a 64-dim float32 vector (256 B)
+    becomes M={PQ_M} 4-bit codes, and distance tables against the bounded
+    codebook replace full-precision scans."""
+    books = _pq_codebooks(spark, sf_dir)
+    e = spark.table("embeddings")
+    dsub = len(books[0][0])
+    code_cols, err_cols = [], []
+    for m, book in enumerate(books):
+        sub = F.transform(
+            F.slice("embedding", m * dsub + 1, dsub), lambda x: x.cast("double")
+        )
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(c) for c in cent]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for cent in book
+            ]
+        )
+        best = F.array_min(dists)
+        code_cols.append((F.array_position(dists, best) - 1).cast("int"))
+        err_cols.append(best)
+    sq_err = err_cols[0]
+    for c in err_cols[1:]:
+        sq_err = sq_err + c
+    return e.select(
+        "vec_id", F.array(*code_cols).alias("codes"), sq_err.alias("sq_err")
+    )
+
+
+@component(
+    "sim_pq_codes",
+    cols=[("metric", "str"), ("value_num", "dbl")],
+    oracle=f"""
+    SELECT 'n_vectors' AS metric,
+           CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE) AS value_num
+    UNION ALL SELECT 'm_subspaces', CAST({PQ_M} AS DOUBLE)
+    UNION ALL SELECT 'codebook_k', CAST({PQ_K} AS DOUBLE)
+    UNION ALL SELECT 'compression_x',
+           (SELECT CAST(MAX(len(embedding)) * 4.0 / {PQ_M} AS DOUBLE) FROM embeddings)
+    UNION ALL SELECT 'codes_in_range', CAST(1.0 AS DOUBLE)
+    UNION ALL SELECT 'mse_beats_mean_code', CAST(1.0 AS DOUBLE)
+    """,
+)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization over the embedding corpus — the compression
+    layout production ANN serving (IVF-PQ) stores vectors in: M={PQ_M}
+    per-subspace k-means codebooks of K={PQ_K} centroids, each vector
+    encoded as M nearest-centroid indexes (64x smaller than float32 at
+    these parameters; the int8 scalar twin is sim_quantize_int8).
+
+    Digest contract: corpus size and compression ratio are SQL-derivable;
+    the fit quality is flag-checked from genuine values — every code in
+    [0, K), and total reconstruction MSE under {PQ_MSE_RATIO_MAX} of the
+    1-centroid-codebook baseline (encoding each subvector as its subspace
+    mean — the variance of the data), which a degenerate codebook cannot
+    pass. Centroids themselves are algorithm-specific (same digest class
+    as ALS factors / k-means cells).
+
+    Scale: fit cost is M bounded k-means runs (broadcast centroids,
+    map-side partials); encoding is shuffle-free map-side projection
+    (pq_encode); the baseline variance pass is one partial-agg over
+    (dim-bounded) exploded positions."""
+    prepare(spark, sf_dir)
+    encoded = pq_encode(spark, sf_dir)
+    st = encoded.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                F.exists("codes", lambda c: (c < 0) | (c >= PQ_K))
+            ).cast("long")
+        ).alias("bad"),
+        F.sum("sq_err").alias("tot_err"),
+    ).collect()[0]
+    e = spark.table("embeddings")
+    dim = len(e.select("embedding").first().embedding)
+    # 1-centroid baseline = total variance around per-dim means
+    pos = e.select(F.posexplode("embedding").alias("i", "x")).select(
+        "i", F.col("x").cast("double").alias("x")
+    )
+    var = (
+        pos.groupBy("i")
+        .agg((F.sum(F.col("x") * F.col("x")) - F.pow(F.sum("x"), 2) / F.count("x")).alias("ss"))
+        .agg(F.sum("ss").alias("tot_ss"))
+        .collect()[0]
+    )
+    ratio = float(st.tot_err) / max(float(var.tot_ss), 1e-12)
+    rows = [
+        ("n_vectors", float(st.n)),
+        ("m_subspaces", float(PQ_M)),
+        ("codebook_k", float(PQ_K)),
+        ("compression_x", dim * 4.0 / PQ_M),
+        ("codes_in_range", 1.0 if (st.bad or 0) == 0 else 0.0),
+        ("mse_beats_mean_code", 1.0 if ratio <= PQ_MSE_RATIO_MAX else 0.0),
+    ]
+    return spark.createDataFrame(rows, schema="metric string, value_num double")

@@ -179,6 +179,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "sim_quantize_int8",
         # trained-centroid clustering (contract digest, ALS-factor class)
         "sim_kmeans_clusters",
+        # product-quantization codebooks (IVF-PQ memory layout)
+        "sim_pq_codes",
         # topic-balanced sampling over the trained cells (shares the fit)
         "sim_cluster_balanced_sample",
     ],

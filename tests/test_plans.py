@@ -371,3 +371,17 @@ def test_itemcf_count_joins_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     # the per-item ranking must be a partitioned window, not a global sort
     assert "hashpartitioning(item_id" in plan
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    """pq_encode: codebooks are literals, so encoding must be a pure
+    map-side projection over the embeddings scan — any Exchange means the
+    codebook entered as a join instead of a broadcastable constant."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
+        pq_encode,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
+
+    prepare(spark, SF0001)
+    plan = _plan(pq_encode(spark, SF0001))
+    assert "Exchange" not in plan, "PQ encoding must not shuffle"
