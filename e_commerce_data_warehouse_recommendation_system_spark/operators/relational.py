@@ -2055,3 +2055,126 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("attributed_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ANALYZE-style column statistics (the CBO/stats-collection surface)
+# --------------------------------------------------------------------------
+
+#: approx NDV acceptance band: approx_count_distinct's default rsd is 5%,
+#: so 15% is a 3σ tripwire, not a precision claim.
+_NDV_REL_ERR = 0.15
+
+
+@component(
+    "s17_analyze_stats",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+           TRUE AS approx_ndv_in_band
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE), TRUE
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), TRUE
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE), TRUE
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE),
+           CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE), TRUE
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), TRUE
+    FROM orders
+    """,
+    cols=[
+        ("column_name", "str"),
+        ("n_nulls", "num"),
+        ("ndv", "num"),
+        ("min_num", "dbl"),
+        ("max_num", "dbl"),
+        ("approx_ndv_in_band", "bool"),
+    ],
+)
+def s17_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... FOR COLUMNS analog: per-column null counts,
+    distinct cardinalities, and numeric/temporal min-max — the statistics
+    table a cost-based optimizer (and every "is this column a key?"
+    profiling notebook, reference: notebooks/eda.ipynb nunique/isnull
+    sweeps) is built from. Timestamps surface as epoch microseconds so the
+    min/max hash identically whatever the physical parquet layout (r4
+    lesson); string columns carry NULL bounds (engine collations differ —
+    bounds are only meaningful for ordered numerics).
+
+    The exact NDV doubles as the oracle check for the APPROX path: each
+    column also runs approx_count_distinct (the HLL++ estimate a 100 TB
+    ANALYZE would actually persist) and flags it within ±15% of exact —
+    so the production estimator is exercised, not just the verification
+    one. Everything computes in ONE aggregation pass (Catalyst expands
+    the multi-distinct into one Expand + partial-agg pipeline — a single
+    scan, no per-column jobs); the long format comes from a stack() over
+    the 1-row wide aggregate, driver cost O(columns)."""
+    prepare(spark, sf_dir)
+    o = spark.table("orders")
+    numeric = {
+        "o_orderkey": F.col("o_orderkey").cast("double"),
+        "o_custkey": F.col("o_custkey").cast("double"),
+        "o_totalprice": F.col("o_totalprice").cast("double"),
+        "o_orderdate": F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast(
+            "double"
+        ),
+    }
+    cols = [f.name for f in o.schema.fields]
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__ndv"))
+        aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__andv"))
+        num = numeric.get(c)
+        aggs.append((F.min(num) if num is not None else F.lit(None).cast("double")).alias(f"{c}__min"))
+        aggs.append((F.max(num) if num is not None else F.lit(None).cast("double")).alias(f"{c}__max"))
+    wide = o.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"{c}__nulls"),
+            F.col(f"{c}__ndv"),
+            F.col(f"{c}__andv"),
+            F.col(f"{c}__min"),
+            F.col(f"{c}__max"),
+        ]
+    long = wide.select(
+        F.stack(
+            F.lit(len(cols)),
+            *stack_args,
+        ).alias("column_name", "n_nulls", "ndv", "andv", "min_num", "max_num")
+    )
+    in_band = (
+        F.abs(F.col("andv") - F.col("ndv")) / F.greatest(F.col("ndv"), F.lit(1))
+        <= _NDV_REL_ERR
+    )
+    return long.select(
+        "column_name",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("ndv").cast("bigint").alias("ndv"),
+        "min_num",
+        "max_num",
+        in_band.alias("approx_ndv_in_band"),
+    )

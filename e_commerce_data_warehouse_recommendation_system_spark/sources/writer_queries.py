@@ -820,3 +820,74 @@ def wr_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Write-audit-publish round-trip (quality-gated atomic publication)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "wr_wap_publish",
+    cols=[("phase", "str"), ("n_rows", "num"), ("published", "bool")],
+    oracle="""
+    WITH good AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'v1_good' AS phase, CAST(n AS BIGINT) AS n_rows, TRUE AS published FROM good
+    UNION ALL
+    SELECT 'v2_corrupt', CAST(n + 2 AS BIGINT), FALSE FROM good
+    UNION ALL
+    SELECT 'reader_after_v2', CAST(n AS BIGINT), TRUE FROM good
+    """,
+)
+def wr_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish round-trip (writers.wap_publish/wap_read): v1
+    (the 'F'-status orders) passes the audit — non-empty, no NULL keys —
+    and publishes; v2 (v1 plus two corrupt NULL-key rows) fails the audit
+    and is NEVER published; a reader resolving the manifest AFTER the
+    failed v2 attempt still sees exactly v1's rows. That last row is the
+    point of the pattern: a bad load attempt leaves zero reader-visible
+    damage — the guarantee the reference's replace-then-append load
+    (reference: dags/extract_data.py:55-71) lacks (a failed replace leaves
+    the table empty).
+
+    The audit runs on the STAGED files read back, not the in-memory frame
+    — it validates what readers would actually see, catching write-path
+    corruption too. Counts are SQL-derivable; the manifest flip is
+    os.replace-atomic (object-storage analog: conditional PUT)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
+        wap_publish,
+        wap_read,
+    )
+
+    prepare(spark, sf_dir)
+
+    def audit(staged: DataFrame) -> bool:
+        row = staged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_orderkey").isNull().cast("long")).alias("null_keys"),
+        ).collect()[0]
+        return row.n > 0 and (row.null_keys or 0) == 0
+
+    good = spark.table("orders").filter(F.col("o_orderstatus") == "F")
+    corrupt = good.limit(2).select(
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        *[F.col(c) for c in good.columns if c != "o_orderkey"],
+    ).select(*good.columns)
+    tmp = tempfile.mkdtemp(prefix="ecomdw_wap_")
+    try:
+        v1_ok = wap_publish(spark, tmp, good, "1", audit)
+        v1_rows = wap_read(spark, tmp).count()
+        v2 = good.unionByName(corrupt)
+        v2_ok = wap_publish(spark, tmp, v2, "2", audit)
+        reader_rows = wap_read(spark, tmp).count()
+        n_good = good.count()
+        return spark.createDataFrame(
+            [
+                ("v1_good", v1_rows if v1_ok else -1, v1_ok),
+                ("v2_corrupt", n_good + 2, v2_ok),
+                ("reader_after_v2", reader_rows, True),
+            ],
+            schema="phase string, n_rows bigint, published boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

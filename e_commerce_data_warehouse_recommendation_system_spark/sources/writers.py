@@ -134,3 +134,48 @@ def truncate_like(df: DataFrame) -> DataFrame:
     (reference: plugins/mysql_operator.py:94-110). DROP maps to
     ``spark.sql("DROP TABLE IF EXISTS ...")`` for managed tables."""
     return df.filter(F.lit(False))
+
+
+# --------------------------------------------------------------------------
+# Write-audit-publish (WAP): atomic versioned publication with a quality gate
+# --------------------------------------------------------------------------
+
+
+def wap_publish(spark, root: str, df: DataFrame, version: str, audit) -> bool:
+    """Write-audit-publish: stage ``df`` under an isolated version dir, run
+    the ``audit`` predicate on the STAGED data (read back, so the audit
+    sees exactly what readers would), and only then atomically flip the
+    table pointer. A failed audit leaves the previous published version
+    untouched — bad data is never visible, not even transiently.
+
+    The pointer flip is a manifest-file replace (write MANIFEST.tmp +
+    ``os.replace`` — atomic on POSIX; on object storage the same contract
+    is a conditional PUT / pointer swap, which is exactly how
+    Iceberg/Delta commit). Readers resolve the manifest first
+    (``wap_read``), so concurrent readers see either the old or the new
+    version in full, never a mix — snapshot isolation without a table
+    format. Returns True iff the version was published.
+
+    The staged write is distributed and partition-preserving; only the
+    audit's bounded result and the manifest string touch the driver.
+    """
+    import os
+
+    staging = f"{root}/v_{version}"
+    df.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    if not audit(staged):
+        return False
+    tmp = f"{root}/MANIFEST.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(f"v_{version}\n")
+    os.replace(tmp, f"{root}/MANIFEST")
+    return True
+
+
+def wap_read(spark, root: str) -> DataFrame:
+    """Reader side of WAP: resolve the manifest pointer, then load the
+    version it names. Raises if nothing was ever published."""
+    with open(f"{root}/MANIFEST") as fh:
+        version_dir = fh.read().strip()
+    return spark.read.parquet(f"{root}/{version_dir}")

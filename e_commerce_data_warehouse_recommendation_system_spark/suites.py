@@ -132,7 +132,13 @@ SUITE_SPECS: dict[str, list[str]] = {
         "f_advanced_strings",
     ],
     # catalog introspection + the raw-SQL surface
-    "rel_catalog_sql_suite": ["s4_adhoc_sql", "s14_list_tables", "s15_describe_table"],
+    "rel_catalog_sql_suite": [
+        "s4_adhoc_sql",
+        "s14_list_tables",
+        "s15_describe_table",
+        # ANALYZE-style per-column stats (nulls/NDV/bounds + approx band)
+        "s17_analyze_stats",
+    ],
     # the Kimball dims + end-to-end pipeline counts
     "etl_dims_suite": [
         "etl_dim_customer",
@@ -214,6 +220,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "wr_zorder_layout",
         # mixed-generation landing dir read back through mergeSchema
         "wr_schema_evolution",
+        # quality-gated atomic publication (write-audit-publish manifest)
+        "wr_wap_publish",
     ],
 }
 
