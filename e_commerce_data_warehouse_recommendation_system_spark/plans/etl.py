@@ -596,3 +596,93 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, in
     write_table(fact, f"{out_dir}/fact_sales", partition_by=["order_year"])
     counts["fact_sales"] = spark.read.parquet(f"{out_dir}/fact_sales").count()
     return counts
+
+
+# --------------------------------------------------------------------------
+# Point-in-time fact resolution against the SCD2 dimension
+# --------------------------------------------------------------------------
+
+
+@component(
+    "j_pit_scd2",
+    cols=[
+        ("o_orderkey", "num"),
+        ("customer_id", "num"),
+        ("version", "num"),
+        ("priority", "str"),
+    ],
+    oracle="""
+    WITH feed AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderpriority) AS attr
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    marked AS (
+      SELECT o_custkey, o_orderdate, attr,
+             CASE WHEN LAG(attr) OVER w IS NULL OR LAG(attr) OVER w <> attr
+                  THEN 1 ELSE 0 END AS chg
+      FROM feed
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    ),
+    versions AS (
+      SELECT o_custkey, o_orderdate, attr,
+             SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM marked
+    ),
+    collapsed AS (
+      SELECT o_custkey AS customer_id, attr AS priority,
+             CAST(version AS INT) AS version,
+             MIN(o_orderdate) AS effective_from
+      FROM versions GROUP BY o_custkey, attr, version
+    ),
+    scd AS (
+      SELECT customer_id, version, priority,
+             CAST(effective_from AS DATE) AS effective_from,
+             CAST(LEAD(effective_from) OVER (PARTITION BY customer_id
+                                             ORDER BY version) AS DATE) AS effective_to
+      FROM collapsed
+    )
+    SELECT o.o_orderkey, s.customer_id, s.version, s.priority
+    FROM orders o JOIN scd s
+      ON o.o_custkey = s.customer_id
+     AND CAST(o.o_orderdate AS DATE) >= s.effective_from
+     AND (s.effective_to IS NULL OR CAST(o.o_orderdate AS DATE) < s.effective_to)
+    """,
+)
+def j_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) resolution: every order joined to the SCD2
+    dimension version that was VALID ON ITS ORDER DATE — the lookup that
+    makes a Type-2 dimension worth building (historical facts reported
+    under historical attributes, not today's). The naive form is a
+    BETWEEN-range join (fact x all versions, filter to the containing
+    interval — exactly what the oracle runs); the engine instead reuses
+    ``relational.asof_join``: versions and facts interleave on one
+    customer-key shuffle and each fact picks up the latest
+    ``effective_from <= order_date`` via the carried-struct sweep. Interval
+    containment is implied — versions tile each customer's timeline, so
+    "latest open" IS "containing" — and the cost stays one shuffle + a
+    linear per-key pass, with no interval blow-up and no range-bin tuning
+    however many versions a customer accumulates.
+
+    Oracle-wise this doubles as an end-to-end SCD2 consistency proof:
+    every order resolves to exactly ONE version (the BETWEEN join would
+    duplicate or drop rows if intervals overlapped or gapped)."""
+    prepare(spark, sf_dir)
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.relational import (
+        asof_join,
+    )
+
+    scd = scd2_customer_priority(spark, sf_dir)
+    orders = spark.table("orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    return asof_join(
+        orders,
+        scd.select("customer_id", "effective_from", "version", "priority"),
+        key="customer_id",
+        left_time="odate",
+        right_time="effective_from",
+        value_cols=["version", "priority"],
+    ).select("o_orderkey", "customer_id", "version", "priority")

@@ -150,6 +150,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "etl_pipeline_counts",
         # customer-dim enrichment: RFM quintile-threshold segmentation
         "rfm_segments",
+        # point-in-time fact resolution against the SCD2 dim (as-of reuse)
+        "j_pit_scd2",
     ],
     # text analysis: counting / quality / fingerprint / sampling / tf-idf
     "text_profile_suite": [
