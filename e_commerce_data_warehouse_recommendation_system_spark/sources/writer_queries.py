@@ -891,3 +891,110 @@ def wr_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Right-to-be-forgotten: cascading multi-table erasure
+# --------------------------------------------------------------------------
+
+#: deterministic erasure cohort: every 97th customer key. Prime modulus so
+#: the cohort cuts across all order/lineitem distributions.
+_ERASE_MOD = 97
+
+
+@component(
+    "wr_gdpr_erasure",
+    cols=[
+        ("table_name", "str"),
+        ("rows_before", "num"),
+        ("rows_after", "num"),
+        ("no_refs_left", "bool"),
+    ],
+    oracle=f"""
+    WITH erased AS (SELECT c_custkey FROM customer WHERE c_custkey % {_ERASE_MOD} = 0),
+    erased_orders AS (
+      SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM erased)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT COUNT(*) FROM customer) AS rows_before,
+           (SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM erased)) AS rows_after,
+           TRUE AS no_refs_left
+    UNION ALL
+    SELECT 'orders', (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM erased)), TRUE
+    UNION ALL
+    SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM erased_orders)), TRUE
+    UNION ALL
+    SELECT 'events', (SELECT COUNT(*) FROM events),
+           (SELECT COUNT(*) FROM events
+            WHERE user_id NOT IN (SELECT c_custkey FROM erased)), TRUE
+    """,
+)
+def wr_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten: erase a customer cohort EVERYWHERE it
+    appears, respecting referential order — customer rows, their orders,
+    the lineitems of those orders (two FK hops from the erased key), and
+    their event stream. The flag column re-checks each table AFTER erasure
+    for surviving references (anti-join back to the erased key set /
+    erased orders), so the digest proves the cascade left no orphaned or
+    residual personal data — the auditable part of a GDPR/CCPA deletion
+    job, and a multi-table workout of the S7 delete operator
+    (writers.delete_by_keys, reference: plugins/mysql_operator.py:61-80,
+    which deletes from one table with no cascade notion).
+
+    Scale: the erased-key set is a tiny fraction of the key domain ->
+    broadcast anti-joins for customer/orders/events; the erased-ORDERS set
+    scales with the cohort's order count, so the lineitem hop uses a plain
+    key-shuffle anti-join (AQE-skew-safe) rather than assuming it
+    broadcasts. Each table is one anti-join pass; nothing collects beyond
+    the audit scalars."""
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
+        delete_by_keys,
+    )
+
+    prepare(spark, sf_dir)
+    cust = spark.table("customer")
+    orders = spark.table("orders")
+    li = spark.table("lineitem")
+    events = spark.table("events")
+    erased = cust.filter(F.col("c_custkey") % _ERASE_MOD == 0).select("c_custkey")
+    erased_orders = orders.join(
+        F.broadcast(erased), orders.o_custkey == erased.c_custkey
+    ).select("o_orderkey")
+
+    cust_after = delete_by_keys(cust, erased, ["c_custkey"])
+    orders_after = delete_by_keys(
+        orders, erased.select(F.col("c_custkey").alias("o_custkey")), ["o_custkey"]
+    )
+    li_after = delete_by_keys(
+        li, erased_orders.select(F.col("o_orderkey").alias("l_orderkey")), ["l_orderkey"]
+    )
+    events_after = delete_by_keys(
+        events, erased.select(F.col("c_custkey").alias("user_id")), ["user_id"]
+    )
+
+    def residual(df: DataFrame, col: str, keys: DataFrame, key_col: str) -> F.Column:
+        n = df.join(
+            F.broadcast(keys.select(F.col(key_col).alias(col))), col, "left_semi"
+        ).count()
+        return n == 0
+
+    rows = [
+        ("customer", cust.count(), cust_after.count(),
+         residual(cust_after, "c_custkey", erased, "c_custkey")),
+        ("orders", orders.count(), orders_after.count(),
+         residual(orders_after, "o_custkey", erased, "c_custkey")),
+        ("lineitem", li.count(), li_after.count(),
+         li_after.join(erased_orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                       "l_orderkey", "left_semi").count() == 0),
+        ("events", events.count(), events_after.count(),
+         residual(events_after, "user_id", erased, "c_custkey")),
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="table_name string, rows_before bigint, rows_after bigint, no_refs_left boolean",
+    )

@@ -224,6 +224,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "wr_schema_evolution",
         # quality-gated atomic publication (write-audit-publish manifest)
         "wr_wap_publish",
+        # right-to-be-forgotten: cascading multi-table erasure + audit
+        "wr_gdpr_erasure",
     ],
 }
 
