@@ -991,3 +991,16 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("mse_beats_mean_code", 1.0 if ratio <= PQ_MSE_RATIO_MAX else 0.0),
     ]
     return spark.createDataFrame(rows, schema="metric string, value_num double")
+
+
+def _warm_pq(spark: SparkSession, sf_dir: str) -> None:
+    """Fit/memoize the PQ codebooks OFF the clock, so the bench slot times
+    the encode path (the per-ingest recurring cost), not the one-time fit."""
+    _pq_codebooks(spark, sf_dir)
+
+
+@bench_workload("sim_pq_encode", warmup=_warm_pq)
+def _bench_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench the shuffle-free PQ encode over the full embedding corpus."""
+    prepare(spark, sf_dir)
+    return pq_encode(spark, sf_dir)

@@ -1218,6 +1218,13 @@ ITEMCF_K = 10
 #: a user who buys everything discriminates nothing). Deterministic and
 #: SQL-expressible, so the oracle applies the identical cap.
 ITEMCF_MAX_BASKET = 500
+#: minimum co-occurrence support: singleton pairs (co=1) are noise — they
+#: rank by popularity-penalty alone and at corpus scale they dominate the
+#: pair space (most random pairs co-occur once). Filtering them BEFORE the
+#: symmetric fan-out and the per-item ranking window cuts the ranked row
+#: space by the singleton fraction (~10x at sf0.1) without changing any
+#: neighbor a serving system would keep.
+ITEMCF_MIN_CO = 2
 
 
 @component(
@@ -1244,6 +1251,7 @@ ITEMCF_MAX_BASKET = 500
       FROM capped a JOIN capped b
         ON a.user_id = b.user_id AND a.item_id < b.item_id
       GROUP BY 1, 2
+      HAVING COUNT(*) >= {ITEMCF_MIN_CO}
     ),
     sym AS (
       SELECT item_a AS item_id, item_b AS neighbor_id, co FROM pairs
@@ -1288,6 +1296,10 @@ def rec_itemcf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair counts, and the per-item window; the n_users side is
     catalog-sized -> broadcast."""
     prepare(spark, sf_dir)
+    # the distinct-pair frame has four consumers (sizes, both self-join
+    # sides, item counts) but is NOT cached: measured at sf0.1, caching the
+    # 2.4M-row frame cost more (materialize + memory-scan per consumer)
+    # than recomputing the cheap orders ⋈ lineitem distinct per consumer
     inter = interactions(spark)
     sizes = inter.groupBy("user_id").agg(F.count(F.lit(1)).alias("basket"))
     capped = inter.join(
@@ -1303,6 +1315,7 @@ def rec_itemcf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.item_id").alias("item_a"), F.col("b.item_id").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= ITEMCF_MIN_CO)
     )
     sym = pairs.select(
         F.col("item_a").alias("item_id"), F.col("item_b").alias("neighbor_id"), "co"
@@ -1349,3 +1362,10 @@ def rec_itemcf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= ITEMCF_K)
         .select("item_id", "neighbor_id", "co", "cos2_micro", "cosine", "rnk")
     )
+
+
+@bench_workload("rec_itemcf_neighbors")
+def _bench_itemcf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench the itemCF neighbor build end-to-end (pair self-join + window
+    top-K) — the heaviest non-MLlib join the recommender family runs."""
+    return rec_itemcf_neighbors(spark, sf_dir)
