@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
     append_rows,
     delete_by_keys,
@@ -124,3 +127,43 @@ def test_delta_merge_branch_when_available(spark, tmp_path):
     upsert_path(spark, target, delta_new, ["k"])
     got = {(r.k, r.v) for r in spark.read.format("delta").load(target).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+# --------------------------------------------------------------------------
+# Write-audit-publish edge cases (the component covers the happy cascade;
+# these pin the failure-ordering contract)
+# --------------------------------------------------------------------------
+
+
+def test_wap_failed_first_publish_leaves_no_manifest(spark, tmp_path):
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
+        wap_publish,
+        wap_read,
+    )
+
+    root = str(tmp_path / "wap")
+    (tmp_path / "wap").mkdir()
+    df = spark.range(5).select(F.col("id").alias("k"))
+    # audit rejects everything -> nothing must ever become readable
+    assert wap_publish(spark, root, df, "1", lambda staged: False) is False
+    with pytest.raises(FileNotFoundError):
+        wap_read(spark, root)
+
+
+def test_wap_recovers_after_failed_attempt(spark, tmp_path):
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
+        wap_publish,
+        wap_read,
+    )
+
+    root = str(tmp_path / "wap")
+    (tmp_path / "wap").mkdir()
+    ok = lambda staged: staged.count() > 0  # noqa: E731
+    v1 = spark.range(3).select(F.col("id").alias("k"))
+    assert wap_publish(spark, root, v1, "1", ok)
+    # v2 fails its audit; v3 then publishes cleanly over the v1 pointer
+    assert wap_publish(spark, root, spark.range(9), "2", lambda s: False) is False
+    assert wap_read(spark, root).count() == 3
+    v3 = spark.range(7).select(F.col("id").alias("k"))
+    assert wap_publish(spark, root, v3, "3", ok)
+    assert wap_read(spark, root).count() == 7
