@@ -2178,3 +2178,105 @@ def s17_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_num",
         in_band.alias("approx_ndv_in_band"),
     )
+
+
+# --------------------------------------------------------------------------
+# Top session paths (user-journey analytics)
+# --------------------------------------------------------------------------
+
+#: same 30-min inactivity gap as plans/queries.q_sessionize (kept literal
+#: here — importing it would cycle plans.queries -> relational)
+_PATHS_GAP_US = 30 * 60 * 1_000_000
+PATH_LEN = 3  # journey prefix length
+PATH_K = 15
+
+
+@component(
+    "session_paths_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, event_type, tus,
+             CASE WHEN LAG(tus) OVER w IS NULL
+                    OR tus - LAG(tus) OVER w > {_PATHS_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, tus,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    ),
+    stepped AS (
+      SELECT user_id, sess_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sess_id
+                                ORDER BY tus, event_id) AS step
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, sess_id,
+             string_agg(event_type, '>' ORDER BY step) AS path
+      FROM stepped WHERE step <= {PATH_LEN}
+      GROUP BY user_id, sess_id
+    ),
+    counts AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS INT) AS rnk
+    FROM counts
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_K}
+    """,
+    cols=[("path", "str"), ("n_sessions", "num"), ("rnk", "num")],
+)
+def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the most common first-{PATH_LEN}-event paths per
+    session ("view>click>purchase", ...) — the funnel-discovery companion
+    to session_transitions (transitions say where users go NEXT; paths say
+    how whole sessions START). Sessions use q_sessionize's exact gap
+    semantics (30-min inactivity, strict >).
+
+    Shape: the session-boundary window shuffles once on user_id; the
+    step-rank window and the per-session path assembly share one
+    (user_id, sess_id) partitioning (one more shuffle); path counts
+    aggregate over a space bounded by |event_type|^{PATH_LEN} (125 here,
+    vocabulary-bounded at any corpus size); top-K is a sort-limit
+    (TakeOrderedAndProject) plus a K-row rank window — no global sort.
+    The path string assembles from an array_sort over (step, type)
+    structs, deterministic because step is unique within a session."""
+    prepare(spark, sf_dir)
+    ev = spark.table("events")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select("user_id", "event_id", "event_type", tus.alias("tus"))
+    w_u = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    prev = F.lag("tus").over(w_u)
+    marked = e.withColumn(
+        "new_sess",
+        F.when(prev.isNull() | ((F.col("tus") - prev) > _PATHS_GAP_US), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w_u.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    w_s = Window.partitionBy("user_id", "sess_id").orderBy("tus", "event_id")
+    stepped = sess.withColumn("step", F.row_number().over(w_s)).filter(
+        F.col("step") <= PATH_LEN
+    )
+    paths = stepped.groupBy("user_id", "sess_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("step", "event_type"))),
+                lambda s: s.event_type,
+            ),
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    top = counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(PATH_K)
+    w_rank = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return top.withColumn("rnk", F.row_number().over(w_rank).cast("int"))

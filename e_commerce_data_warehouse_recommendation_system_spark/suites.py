@@ -107,6 +107,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "ts_resample_ffill",
         # first-order Markov next-event transition matrix (lead window)
         "session_transitions",
+        # top user journeys: first-3-event session paths, vocabulary-bounded
+        "session_paths_topk",
         "w1_surrogate_key",
         "w1b_surrogate_key_two_phase",
         "w2_category_codes",
