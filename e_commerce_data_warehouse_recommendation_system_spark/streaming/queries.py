@@ -40,6 +40,8 @@ from e_commerce_data_warehouse_recommendation_system_spark.sources.readers impor
 from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
     parquet_target_exists,
     upsert,
+    wap_publish,
+    wap_read,
 )
 
 def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
@@ -604,5 +606,116 @@ def stream_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = f"{tmp}/enriched"
         stream_enrich_events(spark, sf_dir, stage, out, f"{tmp}/ckpt")
         return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Streaming write-audit-publish: quality-gated micro-batch snapshots
+# --------------------------------------------------------------------------
+
+
+@component(
+    "stream_wap_publish",
+    cols=[("metric", "str"), ("value_num", "num")],
+    oracle="""
+    SELECT 'n_batches' AS metric, CAST(3 AS BIGINT) AS value_num
+    UNION ALL SELECT 'n_published', CAST(2 AS BIGINT)
+    UNION ALL SELECT 'n_rejected', CAST(1 AS BIGINT)
+    UNION ALL SELECT 'reader_rows',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE user_id % 3 <> 1)
+    """,
+)
+def stream_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming write-audit-publish: every micro-batch stages a NEW table
+    snapshot (previous published rows + the batch), audits the staged
+    files, and atomically flips the manifest only on a pass — continuous
+    ingestion where readers can only ever see audited snapshots
+    (writers.wap_publish under a foreachBatch sink; the streaming analog
+    of wr_wap_publish).
+
+    The landing dir is staged as three files keyed by user_id % 3
+    (deterministic per-file content; maxFilesPerTrigger=1 -> exactly three
+    micro-batches in some order). Shard 1 simulates a broken upstream
+    producer — its event_ids arrive NULL — so its batch FAILS the
+    null-key audit and is never published, while the other two shards
+    flow through. Terminal state: 2 published versions, 1 rejected, and
+    the reader sees exactly the clean shards' events — whatever order the
+    three batches ran in (the digest is order-independent by
+    construction, which is what makes a streaming WAP oracle-checkable).
+
+    Scale: each snapshot stage is a distributed write; the audit is one
+    bounded aggregate over the staged files; the manifest flip is O(1).
+    Snapshot-per-batch rewrites the table each trigger — the pattern fits
+    slowly-growing reference tables (the partition-scoped upsert sink
+    covers high-volume facts); on a table format the same gate becomes
+    stage-to-branch + audit + fast-forward (Iceberg WAP)."""
+    import os
+
+    prepare(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ecomdw_swap_")
+    stage = f"{tmp}/landing"
+    os.makedirs(stage)
+    ev = spark.table("events").withColumn(
+        "shard", (F.col("user_id") % 3).cast("int")
+    )
+    # stage three deterministic shard files; shard 1's keys are nulled at
+    # the SOURCE (the corruption arrives with the data, not in the engine)
+    corrupted = ev.withColumn(
+        "event_id",
+        F.when(F.col("shard") == 1, F.lit(None).cast("long")).otherwise(
+            F.col("event_id")
+        ),
+    )
+    for b in range(3):
+        shard_dir = f"{tmp}/shard{b}"
+        corrupted.filter(F.col("shard") == b).coalesce(1).write.parquet(shard_dir)
+        part = [f for f in os.listdir(shard_dir) if f.endswith(".parquet")][0]
+        os.symlink(f"{shard_dir}/{part}", f"{stage}/shard{b}.parquet")
+
+    root = f"{tmp}/table"
+    os.makedirs(root)
+    stats = {"published": 0, "rejected": 0, "batches": 0}
+
+    def audit(staged: DataFrame) -> bool:
+        row = staged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("event_id").isNull().cast("long")).alias("null_keys"),
+        ).collect()[0]
+        return row.n > 0 and (row.null_keys or 0) == 0
+
+    def publish_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        stats["batches"] += 1
+        try:
+            current = wap_read(sp, root)
+            snapshot = current.unionByName(batch_df).localCheckpoint(eager=True)
+        except FileNotFoundError:
+            snapshot = batch_df
+        if wap_publish(sp, root, snapshot, str(batch_id), audit):
+            stats["published"] += 1
+        else:
+            stats["rejected"] += 1
+
+    schema = spark.read.parquet(stage).schema
+    try:
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(publish_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        reader_rows = wap_read(spark, root).count()
+        rows = [
+            ("n_batches", stats["batches"]),
+            ("n_published", stats["published"]),
+            ("n_rejected", stats["rejected"]),
+            ("reader_rows", reader_rows),
+        ]
+        return spark.createDataFrame(rows, schema="metric string, value_num bigint")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

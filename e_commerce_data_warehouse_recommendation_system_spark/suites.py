@@ -228,6 +228,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "wr_wap_publish",
         # right-to-be-forgotten: cascading multi-table erasure + audit
         "wr_gdpr_erasure",
+        # streaming WAP: per-micro-batch audited snapshot publication
+        "stream_wap_publish",
     ],
 }
 
