@@ -385,3 +385,58 @@ def test_pq_encode_is_shuffle_free(spark):
     prepare(spark, SF0001)
     plan = _plan(pq_encode(spark, SF0001))
     assert "Exchange" not in plan, "PQ encoding must not shuffle"
+
+
+#: Shuffle budget per lazy headline query (Exchange hash/range/single
+#: counts in the executed plan at sf0.001, AQE on). These are CEILINGS
+#: pinning the current plan shapes: a refactor that silently adds an
+#: Exchange to any of these queries fails here before it costs anything
+#: at scale. Counts are plan-shape facts, not tuning targets — if a
+#: deliberate change raises one, update the budget in the same commit
+#: and say why in the message.
+SHUFFLE_BUDGET = {
+    "q1_pricing_summary": 1,
+    "q3_revenue_by_region": 1,
+    "q_top_customers": 1,
+    "q_revenue_rollup": 1,
+    "q_json_event_agg": 1,
+    "q_dashboard_yoy": 2,
+    "q_grouping_sets": 1,
+    "q_pivot_segment": 2,
+    "q_funnel": 8,
+    "q_sessionize": 1,
+    "session_window_native": 1,
+    "q_event_daily_window": 1,
+    "j_asof_event_order": 2,
+    "etl_fact_sales": 0,
+    "etl_fact_double_fanout": 0,
+    "etl_star_revenue_by_date": 1,
+    "etl_scd2_customer_priority": 2,
+    "sim_cosine_topk": 1,
+    "text_lang_id": 3,
+    "text_pack_sequences": 1,
+    "dedup_exact": 1,
+    "dedup_ngram_jaccard": 7,
+    "dedup_simhash": 2,
+}
+
+
+def test_headline_queries_stay_inside_shuffle_budget(spark):
+    """Every LAZY registered query (pure plan, no eager collect inside)
+    must not exceed its pinned Exchange count — the cheapest regression
+    guard for '100 TB posture' claims: at scale an extra shuffle is the
+    difference between a linear stage and a re-keyed terabyte move."""
+    from e_commerce_data_warehouse_recommendation_system_spark import registry
+
+    qs = registry.queries()
+    over = {}
+    for name, budget in SHUFFLE_BUDGET.items():
+        plan = _plan(qs[name](spark, SF0001))
+        n = (
+            plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange SinglePartition")
+        )
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"queries over shuffle budget (got, budget): {over}"
