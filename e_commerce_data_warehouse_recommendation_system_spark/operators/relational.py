@@ -2280,3 +2280,94 @@ def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(PATH_K)
     w_rank = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
     return top.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+
+
+# --------------------------------------------------------------------------
+# Incremental ANALYZE: partition-level partial stats, merged without rescan
+# --------------------------------------------------------------------------
+
+
+@component(
+    "s18_incremental_stats",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_exact
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(y AS VARCHAR) AS scope, n_rows, min_price, max_price,
+           ndv_exact, TRUE AS approx_in_band
+    FROM yearly
+    UNION ALL
+    SELECT 'merged',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT MIN(o_totalprice) FROM orders) AS DOUBLE),
+           CAST((SELECT MAX(o_totalprice) FROM orders) AS DOUBLE),
+           CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT),
+           TRUE
+    """,
+    cols=[
+        ("scope", "str"),
+        ("n_rows", "num"),
+        ("min_price", "dbl"),
+        ("max_price", "dbl"),
+        ("ndv_exact", "num"),
+        ("approx_in_band", "bool"),
+    ],
+)
+def s18_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANALYZE: per-partition (order-year) stats partials —
+    row count, min/max bounds, an HLL distinct sketch — MERGED into
+    table-level stats from the partials alone, never rescanning the data:
+    counts add, bounds take min/max, sketches union (`hll_union_agg`).
+    This is how statistics stay fresh on a 100 TB table — a newly loaded
+    partition computes its own partial and the table row updates in
+    O(partitions), the same maintenance shape as a15_sketch_rollup but for
+    the optimizer-stats surface (s17 is the full-scan form).
+
+    The merged row's NDV estimate (sketch union) is flag-checked within
+    ±15% of the exact global distinct (re-derived here for verification
+    only); every other merged value is exactly derivable from the partials
+    and carries a full oracle. Per-partition exact NDVs anchor the
+    partial rows themselves."""
+    prepare(spark, sf_dir)
+    o = spark.table("orders")
+    partials = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("y")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.col("o_totalprice").cast("double")).alias("min_price"),
+        F.max(F.col("o_totalprice").cast("double")).alias("max_price"),
+        F.count_distinct("o_custkey").alias("ndv_exact"),
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+    )
+    merged = partials.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_price").alias("min_price"),
+        F.max("max_price").alias("max_price"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("ndv_est"),
+    )
+    exact_global = o.agg(F.count_distinct("o_custkey").alias("g")).collect()[0].g
+    yearly_rows = partials.select(
+        F.col("y").cast("string").alias("scope"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "min_price",
+        "max_price",
+        F.col("ndv_exact").cast("bigint").alias("ndv_exact"),
+        F.lit(True).alias("approx_in_band"),
+    )
+    merged_rows = merged.select(
+        F.lit("merged").alias("scope"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "min_price",
+        "max_price",
+        F.lit(exact_global).cast("bigint").alias("ndv_exact"),
+        (
+            F.abs(F.col("ndv_est") - exact_global) / F.lit(float(max(exact_global, 1)))
+            <= _NDV_REL_ERR
+        ).alias("approx_in_band"),
+    )
+    return yearly_rows.unionByName(merged_rows)

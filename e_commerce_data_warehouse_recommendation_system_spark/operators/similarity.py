@@ -1004,3 +1004,81 @@ def _bench_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench the shuffle-free PQ encode over the full embedding corpus."""
     prepare(spark, sf_dir)
     return pq_encode(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Embedding drift monitor (per-dimension cohort mean shift)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "sim_embedding_drift",
+    cols=[
+        ("i", "num"),
+        ("mean_ref", "dbl"),
+        ("mean_cand", "dbl"),
+        ("abs_shift", "dbl"),
+    ],
+    oracle="""
+    WITH elems AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    g AS (
+      SELECT CAST(i AS INT) AS i,
+             CAST(SUM(CASE WHEN vec_id % 2 = 0
+                           THEN CAST(x AS DECIMAL(30,12)) END) AS DOUBLE)
+               / COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS mean_ref,
+             CAST(SUM(CASE WHEN vec_id % 2 = 1
+                           THEN CAST(x AS DECIMAL(30,12)) END) AS DOUBLE)
+               / COUNT(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS mean_cand
+      FROM elems GROUP BY i
+    )
+    SELECT i, mean_ref, mean_cand, ABS(mean_ref - mean_cand) AS abs_shift
+    FROM g
+    """,
+)
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per-dimension mean shift between a
+    reference cohort and a candidate cohort (deterministic vec_id parity
+    split here; in production: last week's corpus vs this week's, or
+    training-time vs serving-time embeddings). A silent encoder change,
+    normalization bug, or upstream distribution shift shows up as
+    per-dimension mean displacement long before ANN recall visibly decays
+    — this is the embedding-pipeline analog of the tabular DQ checks
+    (dq_value_outliers for values, this for representations).
+
+    Exactness: per-dim means accumulate through DECIMAL(30,12) (the same
+    order-independent trick as the cosine oracles) and divide once in
+    double, so both engines agree bit-for-bit and the check is a FULL
+    oracle, not a digest. Shape: one posexplode (dim-bounded fan-out,
+    map-side) + one partial-agg shuffle on the 64-value dim key; both
+    cohort aggregates compute in the SAME pass via conditional
+    aggregation — one scan however many cohorts."""
+    prepare(spark, sf_dir)
+    e = spark.table("embeddings")
+    elems = e.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x_f")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).cast("int").alias("i"),
+        F.col("x_f").cast("double").alias("x"),
+    )
+    ref = F.col("vec_id") % 2 == 0
+    dec = F.col("x").cast("decimal(30,12)")
+    g = elems.groupBy("i").agg(
+        (
+            F.sum(F.when(ref, dec)).cast("double")
+            / F.count(F.when(ref, F.lit(1)))
+        ).alias("mean_ref"),
+        (
+            F.sum(F.when(~ref, dec)).cast("double")
+            / F.count(F.when(~ref, F.lit(1)))
+        ).alias("mean_cand"),
+    )
+    return g.select(
+        "i",
+        "mean_ref",
+        "mean_cand",
+        F.abs(F.col("mean_ref") - F.col("mean_cand")).alias("abs_shift"),
+    )

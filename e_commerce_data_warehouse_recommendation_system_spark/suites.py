@@ -140,6 +140,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "s15_describe_table",
         # ANALYZE-style per-column stats (nulls/NDV/bounds + approx band)
         "s17_analyze_stats",
+        # incremental ANALYZE: partition partials merged without rescan
+        "s18_incremental_stats",
     ],
     # the Kimball dims + end-to-end pipeline counts
     "etl_dims_suite": [
@@ -191,6 +193,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "sim_kmeans_clusters",
         # product-quantization codebooks (IVF-PQ memory layout)
         "sim_pq_codes",
+        # per-dimension cohort mean-shift drift monitor (full oracle)
+        "sim_embedding_drift",
         # topic-balanced sampling over the trained cells (shares the fit)
         "sim_cluster_balanced_sample",
     ],
