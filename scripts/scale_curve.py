@@ -1,0 +1,131 @@
+"""Empirical scaling curve for shuffle-bound operator families.
+
+Plan pins (tests/test_plans.py) prove the SHAPES are right; this probe
+measures how wall time actually grows when the data grows: it synthesizes
+Nx copies of the sf0.1 events table (ids offset so the key domain scales
+with the data — same per-key row counts, more keys), times a
+representative operator per family at 1x and Nx, and prints one JSON line
+with the time ratios. A shuffle-bound linear operator should land near
+t(Nx)/t(1x) ~ N (modulo fixed overheads, which push the ratio BELOW N);
+a super-linear ratio flags an operator whose cost curve would not survive
+a 100 TB table.
+
+The base copy count is 16x sf0.1 events (~1.6M rows): big enough that
+per-stage fixed overheads (task scheduling, codegen) stop dominating the
+sub-second timings a 100k-row input produces.
+
+Usage: python scripts/scale_curve.py [N]      (default N=4 -> 16x vs 64x)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def scaled_events(spark, n: int):
+    """n offset copies of events: event_id/user_id shifted per copy so
+    distinct keys scale with rows (per-key skew unchanged)."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if n == 1:
+        return base
+    copies = []
+    for k in range(n):
+        copies.append(
+            base.select(
+                (F.col("event_id") + F.lit(k * 10_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(k * 10_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def workloads(spark, ev):
+    """(name, thunk) per operator family; each thunk fully drains its plan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def sessionize():
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        prev = F.lag(ts_us).over(w)
+        new_sess = F.when(
+            prev.isNull() | ((ts_us - prev) > SESSION_GAP_US), 1
+        ).otherwise(0)
+        return (
+            ev.withColumn("new_sess", new_sess)
+            .groupBy("user_id")
+            .agg(F.sum("new_sess").alias("n_sessions"))
+            .count()
+        )
+
+    def daily_agg():
+        return (
+            ev.groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(28,8)")).alias("tv"),
+            )
+            .count()
+        )
+
+    def dedup_keys():
+        return ev.select("user_id", "event_type").distinct().count()
+
+    def self_join_agg():
+        daily = ev.groupBy(
+            F.col("user_id"), F.date_trunc("day", "ts").alias("d")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        return daily.groupBy("user_id").agg(F.max("n").alias("mx")).count()
+
+    return [
+        ("window_sessionize", sessionize),
+        ("hash_agg_daily", daily_agg),
+        ("distinct_dedup", dedup_keys),
+        ("two_level_agg", self_join_agg),
+    ]
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    from e_commerce_data_warehouse_recommendation_system_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    BASE = 16
+    results: dict[str, dict] = {}
+    for scale in (BASE, BASE * n):
+        ev = scaled_events(spark, scale).localCheckpoint(eager=True)  # exclude synth cost
+        for name, fn in workloads(spark, ev):
+            fn()  # warm (page cache, codegen)
+            t0 = time.perf_counter()
+            fn()
+            dt = round(time.perf_counter() - t0, 3)
+            results.setdefault(name, {})[f"x{scale}"] = dt
+        ev.unpersist()
+    for name, r in results.items():
+        r["ratio"] = round(r[f"x{BASE * n}"] / max(r[f"x{BASE}"], 1e-9), 2)
+    print(
+        json.dumps(
+            {"metric": "scale_curve", "n": n, "sf_dir": SF_DIR, "workloads": results}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
