@@ -1,0 +1,154 @@
+"""Property tests for the round-6 analytics operators: last-touch
+attribution and itemCF neighbor ranking against pure-Python references on
+random inputs — the fixed-dataset oracles prove value parity, these hunt
+edge cases the real data rarely hits (timestamp ties, no-prior-touch
+purchases, whale-capped users, cos² ranking ties)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# (user, t, type) with tiny domains so same-instant ties and type runs
+# are common; type 2 plays the role of 'purchase'
+events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 10), st.integers(0, 3)),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events)
+@pytest.mark.usefixtures("spark")
+def test_last_touch_attribution_matches_python(spark, rows):
+    """Re-run the attribution WINDOW (carry last non-purchase type over a
+    strictly-preceding frame, ordered by (t, event_id)) against a linear
+    Python sweep per user."""
+    rows = [(i, u, t, ty) for i, (u, t, ty) in enumerate(rows)]
+    df = spark.createDataFrame(rows or [(0, 0, 0, 0)], "eid int, u int, t int, ty int")
+    if not rows:
+        df = df.filter("eid < 0")
+    w = (
+        Window.partitionBy("u")
+        .orderBy("t", "eid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.coalesce(
+        F.last(F.when(F.col("ty") != 2, F.col("ty")), ignorenulls=True).over(w),
+        F.lit(-1),
+    )
+    got = {
+        r.eid: r.ch
+        for r in df.withColumn("ch", channel).filter(F.col("ty") == 2).collect()
+    }
+
+    want = {}
+    by_user: dict[int, list] = {}
+    for eid, u, t, ty in rows:
+        by_user.setdefault(u, []).append((t, eid, ty))
+    for u, evs in by_user.items():
+        last_touch = -1
+        for t, eid, ty in sorted(evs):
+            if ty == 2:
+                want[eid] = last_touch
+            else:
+                last_touch = ty
+    assert got == want
+
+
+# (user, item) baskets on tiny domains; duplicates common
+baskets = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 5)), min_size=0, max_size=25
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(baskets, st.integers(1, 4))
+@pytest.mark.usefixtures("spark")
+def test_itemcf_ranking_matches_python(spark, rows, max_basket):
+    """ItemCF pipeline (distinct pairs -> whale cap -> co-counts >= 2 ->
+    cos² micro ranking with (co, neighbor) tie-breaks) vs brute force."""
+    import e_commerce_data_warehouse_recommendation_system_spark.recommend.queries as rq
+
+    pairs = sorted(set(rows))
+    df = spark.createDataFrame(pairs or [(0, 0)], "user_id int, item_id int")
+    if not pairs:
+        df = df.filter("user_id < 0")
+
+    # engine path, parameterized small: inline the same plan as
+    # rec_itemcf_neighbors but over this frame and cap
+    sizes = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("basket"))
+    capped = df.join(
+        sizes.filter(F.col("basket") <= max_basket).select("user_id"), "user_id"
+    )
+    cnt = capped.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_users"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .groupBy(F.col("a.item_id").alias("ia"), F.col("b.item_id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= rq.ITEMCF_MIN_CO)
+    )
+    sym = pair_counts.select(
+        F.col("ia").alias("item_id"), F.col("ib").alias("nb"), "co"
+    ).unionAll(pair_counts.select(F.col("ib"), F.col("ia"), "co"))
+    scored = (
+        sym.join(cnt.select(F.col("item_id"), F.col("n_users").alias("ni")), "item_id")
+        .join(
+            cnt.select(F.col("item_id").alias("nb"), F.col("n_users").alias("nj")),
+            "nb",
+        )
+        .select(
+            "item_id",
+            "nb",
+            "co",
+            F.floor(F.col("co") * F.col("co") * 1000000.0 / (F.col("ni") * F.col("nj")))
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    w = Window.partitionBy("item_id").orderBy(F.desc("s"), F.desc("co"), F.asc("nb"))
+    got = {
+        (r.item_id, r.rnk): r.nb
+        for r in scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .collect()
+    }
+
+    # brute force
+    kept_users = {}
+    for u, i in pairs:
+        kept_users.setdefault(u, set()).add(i)
+    kept_users = {u: s for u, s in kept_users.items() if len(s) <= max_basket}
+    n_users: dict[int, int] = {}
+    co: dict[tuple, int] = {}
+    for u, items in kept_users.items():
+        for i in items:
+            n_users[i] = n_users.get(i, 0) + 1
+        items = sorted(items)
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                k = (items[x], items[y])
+                co[k] = co.get(k, 0) + 1
+    want = {}
+    neigh: dict[int, list] = {}
+    for (i, j), c in co.items():
+        if c < rq.ITEMCF_MIN_CO:
+            continue
+        for a_, b_ in ((i, j), (j, i)):
+            s = math.floor(c * c * 1000000.0 / (n_users[a_] * n_users[b_]))
+            neigh.setdefault(a_, []).append((-s, -c, b_))
+    for i, lst in neigh.items():
+        for rnk, (_, _, nb) in enumerate(sorted(lst)[:3], start=1):
+            want[(i, rnk)] = nb
+    assert got == want
