@@ -179,3 +179,23 @@ def wap_read(spark, root: str) -> DataFrame:
     with open(f"{root}/MANIFEST") as fh:
         version_dir = fh.read().strip()
     return spark.read.parquet(f"{root}/{version_dir}")
+
+
+def wap_versions(root: str) -> list[str]:
+    """All retained version ids under a WAP root, published or not, in
+    version order. Staged-but-rejected versions remain on disk (audit
+    forensics) until a retention sweep removes them — exactly like
+    unreferenced snapshots in a table format."""
+    import os
+
+    return sorted(
+        d[len("v_"):] for d in os.listdir(root) if d.startswith("v_")
+    )
+
+
+def wap_read_version(spark, root: str, version: str) -> DataFrame:
+    """Time travel: read a specific retained version regardless of the
+    manifest pointer — audits of a rejected staging, replays of an old
+    snapshot, A/B diffs between publications. The manifest stays the only
+    thing readers of *current* state ever resolve."""
+    return spark.read.parquet(f"{root}/v_{version}")

@@ -167,3 +167,21 @@ def test_wap_recovers_after_failed_attempt(spark, tmp_path):
     v3 = spark.range(7).select(F.col("id").alias("k"))
     assert wap_publish(spark, root, v3, "3", ok)
     assert wap_read(spark, root).count() == 7
+
+
+def test_wap_time_travel_reads_old_versions(spark, tmp_path):
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
+        wap_publish,
+        wap_read,
+        wap_read_version,
+        wap_versions,
+    )
+
+    root = str(tmp_path / "wap")
+    (tmp_path / "wap").mkdir()
+    ok = lambda staged: True  # noqa: E731
+    wap_publish(spark, root, spark.range(3).select(F.col("id").alias("k")), "1", ok)
+    wap_publish(spark, root, spark.range(8).select(F.col("id").alias("k")), "2", ok)
+    assert wap_versions(root) == ["1", "2"]
+    assert wap_read(spark, root).count() == 8          # manifest -> current
+    assert wap_read_version(spark, root, "1").count() == 3  # time travel
