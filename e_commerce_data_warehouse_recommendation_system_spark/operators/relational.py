@@ -2371,3 +2371,137 @@ def s18_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_in_band"),
     )
     return yearly_rows.unionByName(merged_rows)
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout (deterministic assignment + conversion lift)
+# --------------------------------------------------------------------------
+
+#: md5 first hex digit 0-7 -> variant A (8/16 = 50/50 split). Hash-based
+#: assignment is the production pattern: stable per user across sessions
+#: and cluster topologies, no assignment table to join.
+_AB_A_DIGITS = "01234567"
+
+
+@component(
+    "ab_experiment_metrics",
+    oracle="""
+    WITH assigned AS (
+      SELECT c.c_custkey,
+             CASE WHEN substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_orderpriority = '1-URGENT')
+                  THEN 1 ELSE 0 END AS converted
+      FROM customer c
+    ),
+    v AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM assigned GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        (SELECT n_users FROM v WHERE variant = 'A') AS na,
+        (SELECT n_converted FROM v WHERE variant = 'A') AS ca,
+        (SELECT n_users FROM v WHERE variant = 'B') AS nb,
+        (SELECT n_converted FROM v WHERE variant = 'B') AS cb
+    ),
+    pooled AS (
+      SELECT na, ca, nb, cb,
+             CAST(ca + cb AS DOUBLE) / (na + nb) AS p
+      FROM wide
+    )
+    SELECT variant AS scope, n_users, n_converted,
+           CAST(n_converted AS DOUBLE) / n_users AS metric
+    FROM v
+    UNION ALL
+    SELECT 'z_score', na + nb, ca + cb,
+           CASE WHEN p <= 0 OR p >= 1 THEN 0.0
+                ELSE (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                     / sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+           END
+    FROM pooled
+    """,
+    cols=[
+        ("scope", "str"),
+        ("n_users", "num"),
+        ("n_converted", "num"),
+        ("metric", "dbl"),
+    ],
+)
+def ab_experiment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: hash customers 50/50 into variants (md5
+    first hex digit — the same deterministic-assignment trick as the
+    train/test split M10), measure per-variant conversion (here: placed
+    at least one urgent-priority order — semi-join, non-degenerate rates
+    on this data), and emit the two-proportion z-score of the lift — the
+    query every experimentation platform materializes per metric per day.
+    On real traffic the variant comes from the exposure log; the md5
+    split here doubles as an A/A test (true lift 0, so the z also
+    regression-checks the formula: |z| stays small on unbiased data).
+    Degenerate pooled rates (0 or 1 — no variance) define z = 0
+    explicitly instead of dividing by zero; ANSI mode stays on.
+
+    Determinism: both engines hash the same md5 hex, aggregate the same
+    integer counts, and evaluate one identical IEEE expression tree for
+    rate and z (single divides, one correctly-rounded sqrt) — full
+    oracle. Shape: one semi-join on the customer key for the conversion
+    flag, one partial-agg shuffle to the 2-row variant counts, z on the
+    bounded pivot."""
+    prepare(spark, sf_dir)
+    cust = spark.table("customer")
+    urgent = (
+        spark.table("orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    converted_keys = cust.join(urgent, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit(1).alias("converted")
+    )
+    assigned = (
+        cust.select("c_custkey")
+        .join(converted_keys, "c_custkey", "left")
+        .select(
+            F.when(
+                F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1).isin(
+                    *_AB_A_DIGITS
+                ),
+                "A",
+            )
+            .otherwise("B")
+            .alias("variant"),
+            F.coalesce("converted", F.lit(0)).alias("converted"),
+        )
+    )
+    v = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    per_variant = v.select(
+        F.col("variant").alias("scope"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_converted").cast("bigint").alias("n_converted"),
+        (F.col("n_converted").cast("double") / F.col("n_users")).alias("metric"),
+    )
+    wide = (
+        v.groupBy()
+        .pivot("variant", ["A", "B"])
+        .agg(F.first("n_users").alias("n"), F.first("n_converted").alias("c"))
+    )
+    na, ca = F.col("A_n"), F.col("A_c")
+    nb, cb = F.col("B_n"), F.col("B_c")
+    pooled = (ca + cb).cast("double") / (na + nb)
+    z_raw = (ca.cast("double") / na - cb.cast("double") / nb) / F.sqrt(
+        pooled * (1 - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    z = F.when((pooled <= 0) | (pooled >= 1), F.lit(0.0)).otherwise(z_raw)
+    summary = wide.select(
+        F.lit("z_score").alias("scope"),
+        (na + nb).cast("bigint").alias("n_users"),
+        (ca + cb).cast("bigint").alias("n_converted"),
+        z.alias("metric"),
+    )
+    return per_variant.unionByName(summary)

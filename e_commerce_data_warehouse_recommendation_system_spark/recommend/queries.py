@@ -1369,3 +1369,84 @@ def _bench_itemcf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench the itemCF neighbor build end-to-end (pair self-join + window
     top-K) — the heaviest non-MLlib join the recommender family runs."""
     return rec_itemcf_neighbors(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Time-decayed popularity (recency-weighted trending items)
+# --------------------------------------------------------------------------
+
+DECAY_TOP_K = 20
+
+
+@component(
+    "rec_decayed_popularity",
+    cols=[
+        ("item_id", "num"),
+        ("n_lines", "num"),
+        ("score_micro", "num"),
+        ("rnk", "num"),
+    ],
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+    w AS (
+      SELECT l_partkey AS item_id,
+             CAST(1.0 AS DOUBLE)
+               / (1 + datediff('day', o_orderdate, mxd)) AS wt
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey CROSS JOIN mx
+    ),
+    s AS (
+      SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(FLOOR(SUM(CAST(wt AS DECIMAL(28,12))) * 1000000) AS BIGINT)
+               AS score_micro
+      FROM w GROUP BY item_id
+    )
+    SELECT item_id, n_lines, score_micro,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY score_micro DESC, n_lines DESC, item_id) AS INT) AS rnk
+    FROM s
+    ORDER BY score_micro DESC, n_lines DESC, item_id
+    LIMIT {DECAY_TOP_K}
+    """,
+)
+def rec_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted trending items: each order contributes a
+    hyperbolically decayed weight 1/(1 + days before the corpus's newest
+    order) to its parts; top-K by the decayed score. This is the
+    time-aware upgrade of the cold-start shelf (rec_popular_fallback
+    counts reach with no clock — last year's bestseller and this week's
+    hit score the same there; here freshness dominates), and the shelf
+    most storefronts actually serve as "trending now".
+
+    Determinism: the per-order weight is ONE IEEE divide of integers
+    (identical both engines), accumulated through DECIMAL(28,12) (exact,
+    order-independent), and ranked by the micro-unit floor — no float
+    ordering anywhere. The decay anchor is the data's own max date, so
+    the operator is reproducible without a wall clock. Shape: one bounded
+    max aggregate broadcast into the fact scan (weights compute map-side
+    in the same pass as the join), one partial-agg shuffle on item, then
+    TakeOrderedAndProject for the K rows."""
+    prepare(spark, sf_dir)
+    o, li = spark.table("orders"), spark.table("lineitem")
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    w = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("l_partkey").alias("item_id"),
+            (
+                F.lit(1.0)
+                / (1 + F.datediff(F.col("mxd"), F.col("o_orderdate")))
+            ).alias("wt"),
+        )
+    )
+    s = w.groupBy("item_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.floor(F.sum(F.col("wt").cast("decimal(28,12)")) * 1000000)
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+    top = s.orderBy(
+        F.desc("score_micro"), F.desc("n_lines"), F.asc("item_id")
+    ).limit(DECAY_TOP_K)
+    rank_w = Window.orderBy(F.desc("score_micro"), F.desc("n_lines"), F.asc("item_id"))
+    return top.withColumn("rnk", F.row_number().over(rank_w).cast("int"))

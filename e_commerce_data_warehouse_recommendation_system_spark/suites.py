@@ -93,6 +93,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "a15_sketch_rollup",
         # marketing analytics: last-touch channel credit for purchases
         "attribution_last_touch",
+        # experimentation: hash-assigned A/B readout + two-proportion z
+        "ab_experiment_metrics",
     ],
     # §2.5 dedup + §2.6 windows (+ near-dup cluster assignment)
     "rel_window_dedup_suite": [
@@ -209,6 +211,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "rec_popular_fallback",
         # memory-based KNN: per-item cosine neighbor lists (user vectors)
         "rec_itemcf_neighbors",
+        # recency-weighted trending shelf (decayed popularity)
+        "rec_decayed_popularity",
     ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [
