@@ -383,3 +383,127 @@ def mm_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream through Arrow batches, output is narrow typed metadata."""
     prepare(spark, sf_dir)
     return media_frame(spark).mapInPandas(probe_audio_batch, schema=AUDIO_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Video: AVI/RIFF container probe (the video leg of the binary plumbing)
+# --------------------------------------------------------------------------
+
+#: Output schema of the video probe stage.
+VIDEO_SCHEMA = (
+    "doc_id long, byte_len long, width int, height int, "
+    "n_frames long, fps_milli int, ms_duration long"
+)
+
+
+def _parse_avi(buf: bytes) -> tuple[int, int, int, int]:
+    """AVI container probe: 'RIFF'<size>'AVI ', then LIST chunks; the
+    'hdrl' list's 'avih' main header carries µs-per-frame, total frames,
+    and pixel dimensions — the ffprobe-class metadata a curation pipeline
+    filters on (resolution floors, duration caps) WITHOUT touching a
+    codec; actual frame decode is the compressed-payload class
+    (NotImplementedError territory, like JPEG/PNG). Returns (width,
+    height, n_frames, fps_milli). Same RIFF walk as :func:`_parse_wav`,
+    one level deeper."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", buf, pos + 4)
+        body = pos + 8
+        if cid == b"LIST" and buf[body : body + 4] == b"hdrl":
+            sub = body + 4
+            end = min(body + csize, len(buf))
+            while sub + 8 <= end:
+                scid = buf[sub : sub + 4]
+                (ssize,) = struct.unpack_from("<I", buf, sub + 4)
+                if scid == b"avih" and ssize >= 40:
+                    usec_per_frame, _, _, _, n_frames = struct.unpack_from(
+                        "<5I", buf, sub + 8
+                    )
+                    width, height = struct.unpack_from("<2I", buf, sub + 8 + 32)
+                    if usec_per_frame == 0 or width == 0 or height == 0:
+                        raise ValueError(
+                            f"degenerate AVI header ({width}x{height}, "
+                            f"{usec_per_frame}us/frame)"
+                        )
+                    fps_milli = 1_000_000_000 // usec_per_frame
+                    return width, height, n_frames, fps_milli
+                sub += 8 + ssize + (ssize & 1)
+        pos = body + csize + (csize & 1)
+    raise ValueError("AVI missing hdrl/avih header")
+
+
+def probe_video_batch(
+    batches: Iterator[pd.DataFrame], real_decode: bool = False
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas video probe (Arrow-batched): resolution / frame count /
+    frame rate / duration as typed metadata. ``real_decode=True`` walks
+    real AVI headers (:func:`_parse_avi`); the default fake derives
+    deterministic values from payload length so the Spark-side plumbing
+    stays oracle-checkable over the text-bytes testdata — the exact
+    pattern of the image and audio stages."""
+    for pdf in batches:
+        byte_len = pdf["payload"].map(len)
+        if real_decode:
+            parsed = pdf["payload"].map(_parse_avi)
+            width = parsed.map(lambda p: p[0]).astype("int32")
+            height = parsed.map(lambda p: p[1]).astype("int32")
+            n_frames = parsed.map(lambda p: p[2]).astype("int64")
+            fps_milli = parsed.map(lambda p: p[3]).astype("int32")
+        else:
+            width = ((byte_len % 32) * 16 + 16).astype("int32")
+            height = ((byte_len % 18) * 16 + 16).astype("int32")
+            n_frames = (byte_len % 240 + 1).astype("int64")
+            fps_milli = ((byte_len % 2) * 6000 + 24000).astype("int32")
+        ms = (n_frames * 1_000_000 // fps_milli).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": byte_len.astype("int64"),
+                "width": width,
+                "height": height,
+                "n_frames": n_frames,
+                "fps_milli": fps_milli,
+                "ms_duration": ms,
+            }
+        )
+
+
+@component(
+    "mm_video_probe",
+    cols=[
+        ("doc_id", "num"),
+        ("byte_len", "num"),
+        ("width", "num"),
+        ("height", "num"),
+        ("n_frames", "num"),
+        ("fps_milli", "num"),
+        ("ms_duration", "num"),
+    ],
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents)
+    SELECT doc_id, byte_len,
+           CAST((byte_len % 32) * 16 + 16 AS INT) AS width,
+           CAST((byte_len % 18) * 16 + 16 AS INT) AS height,
+           CAST(byte_len % 240 + 1 AS BIGINT) AS n_frames,
+           CAST((byte_len % 2) * 6000 + 24000 AS INT) AS fps_milli,
+           CAST((byte_len % 240 + 1) * 1000000
+                // ((byte_len % 2) * 6000 + 24000) AS BIGINT) AS ms_duration
+    FROM b
+    """,
+)
+def mm_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video metadata probe through mapInPandas — completes the
+    modality triangle (image: mm_decode_features; audio: mm_audio_probe):
+    resolution, frame count, frame rate, duration. The deterministic fake
+    keeps the Arrow boundary oracle-checked; ``real_decode=True`` walks
+    genuine AVI/RIFF headers (synthesized-AVI unit tests in
+    tests/test_multimodal_decode.py) — container metadata is exactly what
+    resolution/duration curation filters need, with no codec in sight.
+
+    Scale posture: identical to the image/audio stages — no shuffle,
+    payloads stream through Arrow batches, narrow typed output."""
+    prepare(spark, sf_dir)
+    return media_frame(spark).mapInPandas(probe_video_batch, schema=VIDEO_SCHEMA)

@@ -188,6 +188,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "mm_resize_sample",
         # audio leg of the binary plumbing (WAV probe; real RIFF parse gated)
         "mm_audio_probe",
+        # video leg: AVI container probe (real header walk, same pattern)
+        "mm_video_probe",
         # embedding-representation ops sharing the embeddings scan
         "sim_l2_normalize",
         "sim_quantize_int8",

@@ -140,3 +140,57 @@ def test_real_audio_probe_through_mapinpandas(spark):
     assert out[1].ms_duration == 500
     assert (out[2].channels, out[2].sample_rate, out[2].n_samples) == (2, 44100, 44100)
     assert out[2].ms_duration == 1000
+
+
+def _avi(width: int, height: int, n_frames: int, usec_per_frame: int,
+         junk_first: bool = False) -> bytes:
+    """Minimal RIFF/AVI: optional junk chunk, then LIST hdrl with an avih
+    main header (56-byte standard body)."""
+    avih_body = struct.pack(
+        "<5I", usec_per_frame, 0, 0, 0, n_frames
+    ) + struct.pack("<3I", 0, 1, 0) + struct.pack("<2I", width, height) + b"\x00" * 16
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih_body)) + avih_body
+    chunks = b""
+    if junk_first:
+        chunks += b"JUNK" + struct.pack("<I", 5) + b"xxxxx" + b"\x00"
+    chunks += b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"AVI " + chunks
+
+
+def test_avi_parse_and_errors():
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.multimodal import (
+        _parse_avi,
+    )
+
+    # 40000 us/frame = 25.000 fps
+    assert _parse_avi(_avi(640, 480, 250, 40000)) == (640, 480, 250, 25000)
+    # odd-size junk chunk forces the 2-byte alignment path
+    assert _parse_avi(_avi(1920, 1080, 24, 33333, junk_first=True)) == (
+        1920, 1080, 24, 30000,
+    )
+    with pytest.raises(ValueError):  # WAV magic is not AVI
+        _parse_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    with pytest.raises(ValueError):  # zero us/frame is degenerate
+        _parse_avi(_avi(640, 480, 10, 0))
+    with pytest.raises(ValueError):  # container with no header list
+        _parse_avi(b"RIFF" + struct.pack("<I", 4) + b"AVI ")
+
+
+def test_real_video_probe_through_mapinpandas(spark):
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.multimodal import (
+        VIDEO_SCHEMA,
+        probe_video_batch,
+    )
+
+    rows = [(1, _avi(640, 480, 250, 40000)), (2, _avi(320, 240, 60, 16667))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.doc_id: r
+        for r in df.mapInPandas(
+            lambda it: probe_video_batch(it, real_decode=True), schema=VIDEO_SCHEMA
+        ).collect()
+    }
+    assert (out[1].width, out[1].height, out[1].n_frames) == (640, 480, 250)
+    assert out[1].fps_milli == 25000
+    assert out[1].ms_duration == 10000  # 250 frames at 25 fps
+    assert (out[2].width, out[2].height) == (320, 240)
