@@ -1294,7 +1294,11 @@ def rec_itemcf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (whale users excluded from co-counts before the self-join, exactly like
     rec_copurchase_pairs bounds per ORDER). One shuffle each for baskets,
     pair counts, and the per-item window; the n_users side is
-    catalog-sized -> broadcast."""
+    catalog-sized -> broadcast. The measured alternative — collect_set
+    baskets + nested-transform/explode map-side pair generation — was
+    ~1.4x SLOWER at sf0.1 (per-row array-of-structs allocation outweighs
+    the saved join shuffle at these basket sizes), so the relational
+    self-join form stays."""
     prepare(spark, sf_dir)
     # the distinct-pair frame has four consumers (sizes, both self-join
     # sides, item counts) but is NOT cached: measured at sf0.1, caching the
