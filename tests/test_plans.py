@@ -440,3 +440,41 @@ def test_headline_queries_stay_inside_shuffle_budget(spark):
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"queries over shuffle budget (got, budget): {over}"
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The AQE half of the skew story: salted_join handles skew the engine
+    KNOWS about (tests/test_plans.py::test_salted_join_matches_plain_join);
+    this pins that skew nobody predicted still gets split at runtime —
+    Spark's OptimizeSkewedJoin rewrites the skewed partition into parallel
+    splits (SortMergeJoin(skew=true) + AQEShuffleRead skewed). Thresholds
+    are scoped down because local test shuffles are KBs; at 100 TB the
+    defaults (256 MB/partition) fire on their own. The plan must come from
+    the EXECUTED query's own execution — AQE finalizes per stage, so an
+    unexecuted plan still shows the initial non-skew join."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 200000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id")).alias("k"),
+            (F.rand(42) * 1e9).cast("long").alias("v"),
+        )
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k2"), F.lit("dim").alias("d")
+        )
+        j = big.join(small, F.col("k") == F.col("k2"))
+        assert len(j.collect()) == 190050  # 190k rows on key 0 + 50 spread keys
+        plan = _plan(j)
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
