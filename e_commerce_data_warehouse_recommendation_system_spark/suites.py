@@ -158,6 +158,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "rfm_segments",
         # point-in-time fact resolution against the SCD2 dim (as-of reuse)
         "j_pit_scd2",
+        # late-arriving dim: quarantine early facts, lossless replay
+        "etl_late_dim_quarantine",
     ],
     # text analysis: counting / quality / fingerprint / sampling / tf-idf
     "text_profile_suite": [
