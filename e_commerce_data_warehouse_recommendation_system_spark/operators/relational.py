@@ -2505,3 +2505,93 @@ def ab_experiment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("metric"),
     )
     return per_variant.unionByName(summary)
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast baseline + backtest (planning analytics)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "forecast_seasonal_naive",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS month_key,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+             CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    joined AS (
+      SELECT a.month_key, a.revenue, f.revenue AS forecast,
+             CAST(FLOOR(ABS(a.revenue - f.revenue) * 1000000.0 / a.revenue)
+                  AS BIGINT) AS ape_micro
+      FROM monthly a JOIN monthly f
+        ON f.y = a.y - 1 AND f.m = a.m
+    )
+    SELECT month_key, revenue, forecast, ape_micro,
+           CAST((SELECT FLOOR(SUM(ape_micro) / COUNT(*)) FROM joined) AS BIGINT)
+             AS avg_ape_micro
+    FROM joined
+    """,
+    cols=[
+        ("month_key", "num"),
+        ("revenue", "dbl"),
+        ("forecast", "dbl"),
+        ("ape_micro", "num"),
+        ("avg_ape_micro", "num"),
+    ],
+)
+def forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline with a full backtest: predicted
+    revenue for month m = actual revenue of the same month last year, and
+    the absolute percentage error of that prediction for every month where
+    both exist — the baseline any real forecasting model must beat before
+    it ships, and the capacity-planning readout itself. Per-month APE and
+    the corpus-wide average come out in integer micro-units (floor of one
+    IEEE divide over decimal-exact revenues; the average is integer
+    division of integer sums), so nothing float-ordered crosses engines.
+
+    Shape: one partial-agg shuffle to the bounded month grid (≤ 12·years
+    rows), then the year-shift join and the backtest average run on that
+    bounded frame — at 100 TB only the first aggregate ever touches the
+    fact table."""
+    prepare(spark, sf_dir)
+    o = spark.table("orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("month_key"),
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    a = monthly.alias("a")
+    f = monthly.alias("f")
+    joined = a.join(
+        f,
+        (F.col("f.y") == F.col("a.y") - 1) & (F.col("f.m") == F.col("a.m")),
+    ).select(
+        F.col("a.month_key").alias("month_key"),
+        F.col("a.revenue").alias("revenue"),
+        F.col("f.revenue").alias("forecast"),
+        F.floor(
+            F.abs(F.col("a.revenue") - F.col("f.revenue"))
+            * 1000000.0
+            / F.col("a.revenue")
+        )
+        .cast("bigint")
+        .alias("ape_micro"),
+    )
+    # FLOOR explicitly: DuckDB CAST(double AS BIGINT) rounds-to-nearest
+    # while Spark truncates — floor makes both engines agree exactly
+    avg_ape = joined.agg(
+        F.floor(F.sum("ape_micro") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_ape_micro")
+    )
+    return joined.crossJoin(F.broadcast(avg_ape))

@@ -95,6 +95,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "attribution_last_touch",
         # experimentation: hash-assigned A/B readout + two-proportion z
         "ab_experiment_metrics",
+        # planning: seasonal-naive forecast baseline + APE backtest
+        "forecast_seasonal_naive",
     ],
     # §2.5 dedup + §2.6 windows (+ near-dup cluster assignment)
     "rel_window_dedup_suite": [
