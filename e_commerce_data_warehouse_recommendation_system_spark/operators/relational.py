@@ -2595,3 +2595,57 @@ def forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_ape_micro")
     )
     return joined.crossJoin(F.broadcast(avg_ape))
+
+
+# --------------------------------------------------------------------------
+# Governed view: row-level security + column masking (data governance)
+# --------------------------------------------------------------------------
+
+#: the demo principal's tenant scope: nation keys 0-11 only
+_RLS_TENANT_NATIONS = 12
+
+
+def governed_customer_view(spark: SparkSession, tenant_max_nation: int) -> DataFrame:
+    """A governed projection of the customer dim: row-level security
+    (tenant sees only its nations) plus column masking (names reduced to
+    initial + fixed redaction; exact balances coarsened to a band). This
+    is the view-layer pattern (Unity/Ranger-style policies) expressed as
+    plain DataFrame ops, so BOTH protections ride the optimizer: the RLS
+    predicate pushes into the parquet scan (asserted in
+    tests/test_plans.py) and masking is a narrow map-side projection —
+    governance at zero extra passes."""
+    c = spark.table("customer")
+    return c.filter(F.col("c_nationkey") < tenant_max_nation).select(
+        "c_custkey",
+        F.concat(F.substring("c_name", 1, 1), F.lit("****")).alias("masked_name"),
+        "c_nationkey",
+        (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("double").alias("acctbal_band"),
+        "c_mktsegment",
+    )
+
+
+@component(
+    "governed_customer_view",
+    oracle=f"""
+    SELECT c_custkey,
+           substr(c_name, 1, 1) || '****' AS masked_name,
+           c_nationkey,
+           CAST(FLOOR(c_acctbal / 1000) * 1000 AS DOUBLE) AS acctbal_band,
+           c_mktsegment
+    FROM customer
+    WHERE c_nationkey < {_RLS_TENANT_NATIONS}
+    """,
+    cols=[
+        ("c_custkey", "num"),
+        ("masked_name", "str"),
+        ("c_nationkey", "num"),
+        ("acctbal_band", "dbl"),
+        ("c_mktsegment", "str"),
+    ],
+)
+def governed_customer_view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The governed-view component: full-result oracle over the
+    tenant-scoped, masked customer projection — proves the policy layer
+    changes exactly the rows/values it claims to and nothing else."""
+    prepare(spark, sf_dir)
+    return governed_customer_view(spark, _RLS_TENANT_NATIONS)

@@ -142,6 +142,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "s4_adhoc_sql",
         "s14_list_tables",
         "s15_describe_table",
+        # governance: RLS + masking view (pushdown plan-pinned)
+        "governed_customer_view",
         # ANALYZE-style per-column stats (nulls/NDV/bounds + approx band)
         "s17_analyze_stats",
         # incremental ANALYZE: partition partials merged without rescan

@@ -478,3 +478,21 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+
+def test_governed_view_rls_predicate_pushes_into_scan(spark):
+    """Row-level security must cost nothing extra: the tenant predicate
+    reaches the parquet scan as a pushed filter (rows never leave the
+    reader), and the masked projection adds no Exchange."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.relational import (
+        governed_customer_view,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
+
+    prepare(spark, SF0001)
+    df = governed_customer_view(spark, 12)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "LessThan(c_nationkey,12)" in plan, "RLS predicate not pushed to scan"
+    assert "Exchange" not in _plan(df), "governed view must stay narrow"
