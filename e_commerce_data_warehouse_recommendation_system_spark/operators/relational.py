@@ -2649,3 +2649,149 @@ def governed_customer_view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes exactly the rows/values it claims to and nothing else."""
     prepare(spark, sf_dir)
     return governed_customer_view(spark, _RLS_TENANT_NATIONS)
+
+
+# --------------------------------------------------------------------------
+# Active-user stickiness (DAU / rolling WAU)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "events_dau_wau",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    grid AS (SELECT DISTINCT day FROM pairs),
+    wau AS (
+      SELECT g.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
+      FROM grid g JOIN pairs p
+        ON p.day BETWEEN g.day - 6 AND g.day
+      GROUP BY g.day
+    ),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM pairs GROUP BY day
+    )
+    SELECT d.day, d.dau, w.wau,
+           CAST(FLOOR(d.dau * 1000000.0 / w.wau) AS BIGINT) AS stickiness_micro
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+    cols=[
+        ("day", "date"),
+        ("dau", "num"),
+        ("wau", "num"),
+        ("stickiness_micro", "num"),
+    ],
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / rolling-7-day WAU / stickiness — the engagement triple every
+    product dashboard leads with. Windowed DISTINCT doesn't decompose like
+    a sum (q_event_daily_window's rolling revenue adds; users dedupe), so
+    the rolling membership is computed by fanning the deduped (day, user)
+    pairs across the ≤7 window days they belong to via a range join
+    against the broadcast day grid — fan-out bounded at 7x the DAILY
+    distinct pairs, never raw events. At 100 TB the same query swaps the
+    fan-out for per-day HLL sketches union-merged over the trailing
+    window (exactly the a15_sketch_rollup machinery) at ~1.6% error; the
+    exact form here IS the oracle for that estimate. Stickiness lands in
+    integer micro-units (one IEEE divide + floor, engine-identical)."""
+    prepare(spark, sf_dir)
+    pairs = (
+        spark.table("events")
+        .select(F.date_trunc("day", "ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    grid = pairs.select("day").distinct()
+    wau = (
+        F.broadcast(grid.select(F.col("day").alias("gday")))
+        .join(
+            pairs,
+            (F.col("day") >= F.date_sub(F.col("gday"), 6))
+            & (F.col("day") <= F.col("gday")),
+        )
+        .groupBy("gday")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, dau.day == wau.gday)
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.floor(F.col("dau") * 1000000.0 / F.col("wau"))
+            .cast("bigint")
+            .alias("stickiness_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Delivery SLA rollup (fulfilment performance per priority class)
+# --------------------------------------------------------------------------
+
+SLA_DAYS = 30
+
+
+@component(
+    "delivery_sla",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= {SLA_DAYS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_sla,
+           CAST(FLOOR(SUM(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= {SLA_DAYS}
+                               THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*)) AS BIGINT)
+             AS sla_micro,
+           CAST(FLOOR(SUM(datediff('day', o_orderdate, l_shipdate)) * 1000000.0
+                      / COUNT(*)) AS BIGINT) AS avg_days_micro
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    cols=[
+        ("o_orderpriority", "str"),
+        ("n_lines", "num"),
+        ("n_within_sla", "num"),
+        ("sla_micro", "num"),
+        ("avg_days_micro", "num"),
+    ],
+)
+def delivery_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment SLA per priority class: share of lineitems shipped
+    within {SLA_DAYS} days of their order plus mean order-to-ship days —
+    the delivery-performance rollup the reference derives its fact-table
+    delivery metrics for (reference: dags/transform_fact_orders.py
+    computes per-order delivery day spans; this is the dashboard on top).
+    Day-count sums and the two ratios stay in integers/micro-units
+    (datediff is exact integer days; one IEEE divide + floor), so the
+    whole result hashes identically across engines.
+
+    Shape: one fact-fact shuffle join (orderkey) then a partial-agg
+    shuffle over the 5-value priority vocabulary — the same cost class
+    as q3; no window, no collect."""
+    prepare(spark, sf_dir)
+    o, li = spark.table("orders"), spark.table("lineitem")
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    within = (days <= SLA_DAYS).cast("long")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(within).alias("n_within_sla"),
+            F.floor(F.sum(within) * 1000000.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("sla_micro"),
+            F.floor(F.sum(days) * 1000000.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("avg_days_micro"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.col("n_within_sla").cast("bigint").alias("n_within_sla"),
+            "sla_micro",
+            "avg_days_micro",
+        )
+    )

@@ -97,6 +97,10 @@ SUITE_SPECS: dict[str, list[str]] = {
         "ab_experiment_metrics",
         # planning: seasonal-naive forecast baseline + APE backtest
         "forecast_seasonal_naive",
+        # engagement: DAU / rolling WAU / stickiness (windowed distinct)
+        "events_dau_wau",
+        # fulfilment: per-priority ship-within-SLA share + mean days
+        "delivery_sla",
     ],
     # §2.5 dedup + §2.6 windows (+ near-dup cluster assignment)
     "rel_window_dedup_suite": [
