@@ -114,3 +114,62 @@ def test_multibatch_upsert_overwrites_colliding_keys(spark, split_events_dir):
         assert spark.read.parquet(out).count() == batch.count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_checkpoint_survives_restart_exactly_once(spark, split_events_dir):
+    """Exactly-once ACROSS RESTARTS: a second AvailableNow run against the
+    same checkpoint must (a) process nothing when no new files arrived —
+    the target is byte-identical, no key duplicated — and (b) after a new
+    file lands, merge ONLY that file's keys. This is the operational
+    contract that lets the scheduled catch-up job (the reference's daily
+    DAG shape) die and rerun safely at any point."""
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="ecomdw_test_stream_rst_")
+    landing = f"{tmp}/landing"
+    shutil.copytree(split_events_dir, landing)
+    try:
+        out, ckpt = f"{tmp}/ingested", f"{tmp}/ckpt"
+
+        def drain():
+            schema, normalize = _events_ts_layout(spark, landing)
+            stream = normalize(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(landing)
+            )
+            _run_foreach_batch_upsert(stream, ["event_id"], out, ckpt)
+
+        drain()
+        first = spark.read.parquet(out)
+        n_first = first.count()
+        total_value_1 = first.agg(
+            F.sum(F.col("value").cast("decimal(28,8)")).alias("tv")
+        ).collect()[0].tv
+
+        # restart with nothing new: no reprocessing, no duplicates
+        drain()
+        again = spark.read.parquet(out)
+        assert again.count() == n_first
+        assert again.select("event_id").distinct().count() == n_first
+
+        # a new file restates 10 existing keys with value+1000: the third
+        # run merges exactly those keys, count unchanged, sum shifted
+        restated = (
+            spark.read.parquet(landing)
+            .orderBy("event_id")
+            .limit(10)
+            .withColumn("value", F.col("value") + 1000.0)
+        )
+        restated.coalesce(1).write.parquet(f"{tmp}/extra")
+        part = [f for f in os.listdir(f"{tmp}/extra") if f.endswith(".parquet")][0]
+        shutil.copy(f"{tmp}/extra/{part}", f"{landing}/restated.parquet")
+        drain()
+        final = spark.read.parquet(out)
+        assert final.count() == n_first, "restated keys must merge, not append"
+        total_value_3 = final.agg(
+            F.sum(F.col("value").cast("decimal(28,8)")).alias("tv")
+        ).collect()[0].tv
+        assert abs(float(total_value_3) - float(total_value_1) - 10000.0) < 1e-6
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
