@@ -419,6 +419,12 @@ def _parse_avi(buf: bytes) -> tuple[int, int, int, int]:
                 scid = buf[sub : sub + 4]
                 (ssize,) = struct.unpack_from("<I", buf, sub + 4)
                 if scid == b"avih" and ssize >= 40:
+                    # the DECLARED size can exceed the actual bytes (a
+                    # truncated upload); validate against the buffer so a
+                    # cut payload stays in the ValueError (data-error)
+                    # class instead of leaking struct.error
+                    if sub + 8 + 40 > len(buf):
+                        raise ValueError("truncated AVI avih header")
                     usec_per_frame, _, _, _, n_frames = struct.unpack_from(
                         "<5I", buf, sub + 8
                     )

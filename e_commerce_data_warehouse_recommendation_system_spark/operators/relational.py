@@ -2688,10 +2688,12 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / rolling-7-day WAU / stickiness — the engagement triple every
     product dashboard leads with. Windowed DISTINCT doesn't decompose like
     a sum (q_event_daily_window's rolling revenue adds; users dedupe), so
-    the rolling membership is computed by fanning the deduped (day, user)
-    pairs across the ≤7 window days they belong to via a range join
-    against the broadcast day grid — fan-out bounded at 7x the DAILY
-    distinct pairs, never raw events. At 100 TB the same query swaps the
+    each deduped (day, user) pair is exploded MAP-SIDE into the ≤7 window
+    days it belongs to (``sequence`` + ``explode`` — a true 7x fan-out,
+    not a range join: the join form compiles to a nested-loop testing
+    every pair against every grid day, quadratic in the date span), then
+    one distinct-agg per window day; the inner join back to DAU drops
+    window days past the data's edge. At 100 TB the same query swaps the
     fan-out for per-day HLL sketches union-merged over the trailing
     window (exactly the a15_sketch_rollup machinery) at ~1.6% error; the
     exact form here IS the oracle for that estimate. Stickiness lands in
@@ -2702,13 +2704,12 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_trunc("day", "ts").cast("date").alias("day"), "user_id")
         .distinct()
     )
-    grid = pairs.select("day").distinct()
     wau = (
-        F.broadcast(grid.select(F.col("day").alias("gday")))
-        .join(
-            pairs,
-            (F.col("day") >= F.date_sub(F.col("gday"), 6))
-            & (F.col("day") <= F.col("gday")),
+        pairs.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("gday"),
+            "user_id",
         )
         .groupBy("gday")
         .agg(F.count_distinct("user_id").alias("wau"))

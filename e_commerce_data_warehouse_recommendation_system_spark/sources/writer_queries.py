@@ -859,15 +859,12 @@ def wr_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         wap_read,
     )
 
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
+        null_key_audit,
+    )
+
     prepare(spark, sf_dir)
-
-    def audit(staged: DataFrame) -> bool:
-        row = staged.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_orderkey").isNull().cast("long")).alias("null_keys"),
-        ).collect()[0]
-        return row.n > 0 and (row.null_keys or 0) == 0
-
+    audit = null_key_audit("o_orderkey")
     good = spark.table("orders").filter(F.col("o_orderstatus") == "F")
     corrupt = good.limit(2).select(
         F.lit(None).cast("bigint").alias("o_orderkey"),

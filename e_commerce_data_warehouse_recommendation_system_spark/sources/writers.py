@@ -141,6 +141,22 @@ def truncate_like(df: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def null_key_audit(key_col: str):
+    """The standard WAP audit: staged data must be non-empty with zero
+    NULLs in the key column. Shared by the batch round-trip
+    (wr_wap_publish) and the streaming publisher (stream_wap_publish) so
+    the predicate can only evolve in one place."""
+
+    def audit(staged: DataFrame) -> bool:
+        row = staged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(key_col).isNull().cast("long")).alias("null_keys"),
+        ).collect()[0]
+        return row.n > 0 and (row.null_keys or 0) == 0
+
+    return audit
+
+
 def wap_publish(spark, root: str, df: DataFrame, version: str, audit) -> bool:
     """Write-audit-publish: stage ``df`` under an isolated version dir, run
     the ``audit`` predicate on the STAGED data (read back, so the audit
@@ -183,14 +199,16 @@ def wap_read(spark, root: str) -> DataFrame:
 
 def wap_versions(root: str) -> list[str]:
     """All retained version ids under a WAP root, published or not, in
-    version order. Staged-but-rejected versions remain on disk (audit
+    version order — numeric ids sort numerically ('2' before '10'), so a
+    retention sweep keeping the newest N or a reader picking the latest
+    retained snapshot can trust the order; non-numeric ids sort after,
+    lexicographically. Staged-but-rejected versions remain on disk (audit
     forensics) until a retention sweep removes them — exactly like
     unreferenced snapshots in a table format."""
     import os
 
-    return sorted(
-        d[len("v_"):] for d in os.listdir(root) if d.startswith("v_")
-    )
+    ids = (d[len("v_"):] for d in os.listdir(root) if d.startswith("v_"))
+    return sorted(ids, key=lambda v: (0, int(v), "") if v.isdigit() else (1, 0, v))
 
 
 def wap_read_version(spark, root: str, version: str) -> DataFrame:

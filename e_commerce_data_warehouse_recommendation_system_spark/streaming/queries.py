@@ -38,6 +38,7 @@ from e_commerce_data_warehouse_recommendation_system_spark.sources.readers impor
     prepare,
 )
 from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
+    null_key_audit,
     parquet_target_exists,
     upsert,
     wap_publish,
@@ -676,13 +677,7 @@ def stream_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = f"{tmp}/table"
     os.makedirs(root)
     stats = {"published": 0, "rejected": 0, "batches": 0}
-
-    def audit(staged: DataFrame) -> bool:
-        row = staged.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("event_id").isNull().cast("long")).alias("null_keys"),
-        ).collect()[0]
-        return row.n > 0 and (row.null_keys or 0) == 0
+    audit = null_key_audit("event_id")
 
     def publish_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession

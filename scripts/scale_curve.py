@@ -110,14 +110,18 @@ def main() -> None:
     BASE = 16
     results: dict[str, dict] = {}
     for scale in (BASE, BASE * n):
-        ev = scaled_events(spark, scale).localCheckpoint(eager=True)  # exclude synth cost
+        # cache + count (NOT localCheckpoint): unpersist() actually frees
+        # cached blocks, so the 16x data is out of executor memory before
+        # the 64x timings run — checkpoint blocks would linger until GC
+        ev = scaled_events(spark, scale).cache()
+        ev.count()  # materialize: exclude synthesis cost from timings
         for name, fn in workloads(spark, ev):
             fn()  # warm (page cache, codegen)
             t0 = time.perf_counter()
             fn()
             dt = round(time.perf_counter() - t0, 3)
             results.setdefault(name, {})[f"x{scale}"] = dt
-        ev.unpersist()
+        ev.unpersist(blocking=True)
     for name, r in results.items():
         r["ratio"] = round(r[f"x{BASE * n}"] / max(r[f"x{BASE}"], 1e-9), 2)
     print(

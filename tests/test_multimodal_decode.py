@@ -174,6 +174,10 @@ def test_avi_parse_and_errors():
         _parse_avi(_avi(640, 480, 10, 0))
     with pytest.raises(ValueError):  # container with no header list
         _parse_avi(b"RIFF" + struct.pack("<I", 4) + b"AVI ")
+    # cut mid-avih: declared size intact, bytes missing -> data-error
+    # class (ValueError), never a leaked struct.error
+    with pytest.raises(ValueError):
+        _parse_avi(_avi(640, 480, 250, 40000)[:40])
 
 
 def test_real_video_probe_through_mapinpandas(spark):

@@ -353,9 +353,9 @@ def test_attribution_window_partitions_by_user(spark):
     )
 
     plan = _plan(attribution_last_touch(spark, SF0001))
-    assert "Exchange SinglePartition" not in plan or "partial" in plan
+    assert "Exchange SinglePartition" not in plan, "global window/agg crept in"
     assert "hashpartitioning(user_id" in plan
-    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "partial_count" in plan
 
 
 def test_itemcf_count_joins_broadcast(spark):
