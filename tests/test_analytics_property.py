@@ -152,3 +152,80 @@ def test_itemcf_ranking_matches_python(spark, rows, max_basket):
         for rnk, (_, _, nb) in enumerate(sorted(lst)[:3], start=1):
             want[(i, rnk)] = nb
     assert got == want
+
+
+# (user, day-offset) activity events on a tiny calendar so window edges
+# and multi-day users are common
+activity = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 15)), min_size=0, max_size=30
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(activity)
+@pytest.mark.usefixtures("spark")
+def test_rolling_wau_fanout_matches_python(spark, rows):
+    """The sequence/explode rolling-membership rewrite (events_dau_wau's
+    core) vs a brute-force 7-day window count per day."""
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    pairs = sorted({(u, base + datetime.timedelta(days=d)) for u, d in rows})
+    df = spark.createDataFrame(
+        pairs or [(0, base)], "user_id int, day date"
+    )
+    if not pairs:
+        df = df.filter("user_id < 0")
+    wau = (
+        df.select(
+            F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+                "gday"
+            ),
+            "user_id",
+        )
+        .groupBy("gday")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    # keep only window days that are REAL activity days (the operator's
+    # inner join back to DAU)
+    days_present = {d for _, d in pairs}
+    got = {r.gday: r.wau for r in wau.collect() if r.gday in days_present}
+
+    want = {}
+    for g in days_present:
+        want[g] = len(
+            {u for u, d in pairs if g - datetime.timedelta(days=6) <= d <= g}
+        )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events)
+@pytest.mark.usefixtures("spark")
+def test_markov_transitions_match_python(spark, rows):
+    """session_transitions' lead-window pair counts vs a per-user linear
+    sweep, including the (t, event_id) tie ordering."""
+    rows = [(i, u, t, ty) for i, (u, t, ty) in enumerate(rows)]
+    df = spark.createDataFrame(rows or [(0, 0, 0, 0)], "eid int, u int, t int, ty int")
+    if not rows:
+        df = df.filter("eid < 0")
+    w = Window.partitionBy("u").orderBy("t", "eid")
+    got = {
+        (r.a, r.b): r.n
+        for r in df.select(
+            F.col("ty").alias("a"), F.lead("ty").over(w).alias("b")
+        )
+        .filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want: dict[tuple, int] = {}
+    by_user: dict[int, list] = {}
+    for eid, u, t, ty in rows:
+        by_user.setdefault(u, []).append((t, eid, ty))
+    for evs in by_user.values():
+        s = sorted(evs)
+        for (_, _, a), (_, _, b) in zip(s, s[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
