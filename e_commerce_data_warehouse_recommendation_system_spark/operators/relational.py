@@ -2796,3 +2796,104 @@ def delivery_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_days_micro",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Supplier scorecard (vendor performance rollup)
+# --------------------------------------------------------------------------
+
+SCORECARD_TOP_K = 20
+
+
+@component(
+    "supplier_scorecard",
+    oracle=f"""
+    WITH lines AS (
+      SELECT l_suppkey,
+             l_extendedprice * (1 - l_discount) AS net,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS returned,
+             datediff('day', o_orderdate, l_shipdate) AS ship_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    scored AS (
+      SELECT l_suppkey AS supp_key,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(net AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+             CAST(SUM(returned) AS BIGINT) AS n_returned,
+             CAST(FLOOR(SUM(returned) * 1000000.0 / COUNT(*)) AS BIGINT)
+               AS return_micro,
+             CAST(FLOOR(SUM(ship_days) * 1000000.0 / COUNT(*)) AS BIGINT)
+               AS avg_ship_days_micro
+      FROM lines GROUP BY l_suppkey
+    ),
+    ranked AS (
+      SELECT s.*, su.s_name,
+             ROW_NUMBER() OVER (ORDER BY
+               CAST(FLOOR(s.revenue * 100) AS BIGINT) DESC,
+               s.supp_key) AS rnk
+      FROM scored s JOIN supplier su ON s.supp_key = su.s_suppkey
+    )
+    SELECT supp_key, s_name, n_lines, revenue, n_returned, return_micro,
+           avg_ship_days_micro, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {SCORECARD_TOP_K}
+    """,
+    cols=[
+        ("supp_key", "num"),
+        ("s_name", "str"),
+        ("n_lines", "num"),
+        ("revenue", "dbl"),
+        ("n_returned", "num"),
+        ("return_micro", "num"),
+        ("avg_ship_days_micro", "num"),
+        ("rnk", "num"),
+    ],
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vendor performance scorecard: per supplier, revenue (decimal-exact),
+    lines shipped, return rate and mean order-to-ship days in micro-units,
+    top-{SCORECARD_TOP_K} by revenue — the procurement dashboard a
+    commerce warehouse serves next to the customer-facing rollups
+    (reference analog: the dim_suppliers build feeds exactly this kind of
+    vendor reporting). Ranking crosses engines on an INTEGER revenue key
+    (cents: floor(revenue·100) — the decimal sum is exact, so cents are
+    too) with supp_key tie-break.
+
+    Shape: one orderkey fact-fact join, one partial-agg shuffle on the
+    supplier key, a broadcast join to the bounded supplier dim, then
+    TakeOrderedAndProject + a K-row rank window."""
+    prepare(spark, sf_dir)
+    li, o, su = spark.table("lineitem"), spark.table("orders"), spark.table("supplier")
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+        (F.col("l_returnflag") == "R").cast("long").alias("returned"),
+        F.datediff("l_shipdate", "o_orderdate").alias("ship_days"),
+    )
+    scored = lines.groupBy(F.col("l_suppkey").alias("supp_key")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("net").cast("decimal(28,8)")).cast("double").alias("revenue"),
+        F.sum("returned").alias("n_returned"),
+        F.floor(F.sum("returned") * 1000000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("return_micro"),
+        F.floor(F.sum("ship_days") * 1000000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_ship_days_micro"),
+    )
+    named = scored.join(
+        F.broadcast(su.select(F.col("s_suppkey").alias("supp_key"), "s_name")),
+        "supp_key",
+    )
+    rev_cents = F.floor(F.col("revenue") * 100).cast("bigint")
+    top = named.orderBy(rev_cents.desc(), F.asc("supp_key")).limit(SCORECARD_TOP_K)
+    w = Window.orderBy(rev_cents.desc(), F.asc("supp_key"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "supp_key",
+        "s_name",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        "revenue",
+        F.col("n_returned").cast("bigint").alias("n_returned"),
+        "return_micro",
+        "avg_ship_days_micro",
+        "rnk",
+    )

@@ -101,6 +101,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "events_dau_wau",
         # fulfilment: per-priority ship-within-SLA share + mean days
         "delivery_sla",
+        # procurement: per-supplier revenue/returns/ship-days scorecard
+        "supplier_scorecard",
     ],
     # §2.5 dedup + §2.6 windows (+ near-dup cluster assignment)
     "rel_window_dedup_suite": [
