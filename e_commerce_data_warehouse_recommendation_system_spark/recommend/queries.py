@@ -1454,3 +1454,30 @@ def rec_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(DECAY_TOP_K)
     rank_w = Window.orderBy(F.desc("score_micro"), F.desc("n_lines"), F.asc("item_id"))
     return top.withColumn("rnk", F.row_number().over(rank_w).cast("int"))
+
+
+def serve_user(spark: SparkSession, sf_dir: str, user_id: int, k: int = TOP_K) -> DataFrame:
+    """Public single-user serving API — the reference's
+    ``recommend_items_for_user`` (use_model.py:46-50) as one
+    ``recommendForUserSubset`` call on the memoized model. Returns an
+    EMPTY frame (not an apology string, reference:
+    mf_knn_recommender.py:234-242) when the user wasn't trained — callers
+    route unknowns to fold-in (rec_fold_in_user_factors) or the
+    popularity shelf (rec_popular_fallback); see scripts/recommend_user.py."""
+    prepare(spark, sf_dir)
+    art = _artifacts(spark, sf_dir)
+    subset = art["users"].filter(F.col("user_id") == user_id)
+    recs = art["model"].recommendForUserSubset(subset, k)
+    exploded = recs.select(
+        "user_idx", F.posexplode("recommendations").alias("rnk0", "rec")
+    ).select(
+        "user_idx",
+        (F.col("rnk0") + 1).cast("int").alias("rnk"),
+        F.col("rec.item_idx").alias("item_idx"),
+        F.col("rec.rating").alias("score"),
+    )
+    return (
+        exploded.join(F.broadcast(art["users"]), "user_idx")
+        .join(F.broadcast(art["items"]), "item_idx")
+        .select("user_id", "item_id", "rnk", "score")
+    )

@@ -78,3 +78,22 @@ def test_metrics_in_range(recs):
     assert 0.0 <= m.r_at_k <= 1.0
     assert 0.0 <= m.f1 <= 1.0
     assert m.n_eval_users > 0
+
+
+def test_cli_serving_entry_point(spark, recs):
+    """scripts/recommend_user.py — the use_model.py-analog CLI: a trained
+    user serves k rows (rc 0); an unknown user without --fold-in is
+    refused with rc 1; with --fold-in the no-history unknown lands on the
+    popularity shelf (rc 0). Rides the session-memoized model the `recs`
+    fixture already trained."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "recommend_user", "/root/repo/scripts/recommend_user.py"
+    )
+    ru = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ru)
+    uid = str(recs["topk"][0].user_id)
+    assert ru.main(["--user", uid, "--top-k", "3", "--sf-dir", SF0001]) == 0
+    assert ru.main(["--user", "999999", "--sf-dir", SF0001]) == 1
+    assert ru.main(["--user", "999999", "--fold-in", "--sf-dir", SF0001]) == 0
