@@ -1067,3 +1067,67 @@ def text_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("copy_no") == 1).cast("long")).alias("n_docs_in"),
         F.count(F.lit(1)).alias("n_emitted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Inverted-index conjunctive search (full-text AND query)
+# --------------------------------------------------------------------------
+
+#: the demo conjunctive query — three mid-frequency corpus terms
+SEARCH_TERMS = ("hash", "merge", "window")
+
+
+@component(
+    "text_search_conjunctive",
+    oracle=f"""
+    WITH postings AS (
+      SELECT doc_id, t.term, COUNT(*) AS tf
+      FROM documents,
+           LATERAL (SELECT unnest({_SQL_TOKENS}) AS term) t
+      WHERE t.term IN ('hash', 'merge', 'window')
+      GROUP BY doc_id, t.term
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+           CAST(SUM(tf) AS BIGINT) AS total_tf
+    FROM postings
+    GROUP BY doc_id
+    HAVING COUNT(*) = {len(SEARCH_TERMS)}
+    """,
+    cols=[("doc_id", "num"), ("n_terms_matched", "num"), ("total_tf", "num")],
+)
+def text_search_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive full-text search over the inverted-index shape: docs
+    containing ALL of {SEARCH_TERMS}, with the summed term frequency as
+    the ranking signal — the posting-list-intersection query a product
+    search or doc-retrieval layer runs (the retrieval twin of the
+    tf-idf/vocab statistics this module already computes).
+
+    Plan shape: the term filter applies DURING the explode (only query
+    terms survive — posting-list rows, not the token stream), then one
+    partial-agg shuffle on (doc, term) and a per-doc conjunction count;
+    HAVING count = |terms| IS the list intersection. At 100 TB the
+    postings would be a MATERIALIZED term-bucketed table (write once,
+    query many) and this query prunes to the query terms' buckets —
+    identical plan from the postings on."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    postings = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        postings.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .filter(F.col("n_terms_matched") == len(SEARCH_TERMS))
+        .select(
+            "doc_id",
+            F.col("n_terms_matched").cast("bigint").alias("n_terms_matched"),
+            F.col("total_tf").cast("bigint").alias("total_tf"),
+        )
+    )

@@ -192,6 +192,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_domain_cap",
         # long-doc -> overlapping context-window fan-out
         "text_chunk_windows",
+        # retrieval: conjunctive AND query via posting-list intersection
+        "text_search_conjunctive",
     ],
     # multimodal: frame sampling + decode->resize->sample chain + the
     # embedding-representation compression step (int8 quantization)
