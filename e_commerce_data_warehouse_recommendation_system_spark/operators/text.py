@@ -1131,3 +1131,64 @@ def text_search_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tf").cast("bigint").alias("total_tf"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Positional phrase search (exact adjacency via positional postings)
+# --------------------------------------------------------------------------
+
+PHRASE = ("table", "value")  # the demo exact phrase "table value"
+
+
+@component(
+    "text_search_phrase",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, t.term, t.p
+      FROM documents,
+           LATERAL (
+             SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term,
+                    generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS p
+           ) t
+      WHERE t.term IN ('table', 'value')
+    )
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id AND b.p = a.p + 1
+     AND a.term = 'table' AND b.term = 'value'
+    GROUP BY a.doc_id
+    """,
+    cols=[("doc_id", "num"), ("n_occurrences", "num")],
+)
+def text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search ("table value") via POSITIONAL postings — the
+    adjacency query a plain inverted index can't answer
+    (text_search_conjunctive finds co-occurrence anywhere; this finds the
+    terms at consecutive positions). posexplode keeps each token's
+    ordinal; only the phrase's terms survive the explode, and adjacency
+    is a self-join on (doc, position+1) over those posting rows — the
+    standard positional-index probe, with the join space bounded by the
+    query terms' posting lists, never the token stream.
+
+    At 100 TB the positional postings are materialized term-bucketed
+    (like the conjunctive index, plus the position column); phrase cost
+    stays |postings(term_a)| ⋈ |postings(term_b)|."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    pos = (
+        d.select("doc_id", F.posexplode(tokens("text")).alias("p0", "term"))
+        .filter(F.col("term").isin(*PHRASE))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "term")
+    )
+    a = pos.filter(F.col("term") == PHRASE[0]).select(
+        F.col("doc_id").alias("doc_a"), F.col("p").alias("pa")
+    )
+    b = pos.filter(F.col("term") == PHRASE[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, (F.col("doc_a") == F.col("doc_b")) & (F.col("pb") == F.col("pa") + 1))
+        .groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .select("doc_id", F.col("n_occurrences").cast("bigint").alias("n_occurrences"))
+    )

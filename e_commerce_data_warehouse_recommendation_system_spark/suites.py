@@ -194,6 +194,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_chunk_windows",
         # retrieval: conjunctive AND query via posting-list intersection
         "text_search_conjunctive",
+        # retrieval: exact phrase via positional-posting adjacency join
+        "text_search_phrase",
     ],
     # multimodal: frame sampling + decode->resize->sample chain + the
     # embedding-representation compression step (int8 quantization)
