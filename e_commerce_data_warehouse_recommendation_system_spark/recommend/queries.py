@@ -1481,3 +1481,128 @@ def serve_user(spark: SparkSession, sf_dir: str, user_id: int, k: int = TOP_K) -
         .join(F.broadcast(art["items"]), "item_idx")
         .select("user_id", "item_id", "rnk", "score")
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the co-purchase graph (influential products)
+# --------------------------------------------------------------------------
+
+PAGERANK_ITERS = 10
+PAGERANK_DAMPING = 0.85
+PAGERANK_TOP_K = 20
+
+
+def _pagerank_oracle() -> str:
+    """Generate the DuckDB oracle: the SAME {PAGERANK_ITERS} power
+    iterations as the engine, one CTE per step, decimal-exact contribution
+    sums — so the oracle is full-fidelity, not a digest."""
+    base = f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    pairs AS (
+      SELECT DISTINCT a.part AS src, b.part AS dst
+      FROM baskets a JOIN baskets b ON a.okey = b.okey AND a.part <> b.part
+    ),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM pairs GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS part FROM pairs),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+    r0 AS (SELECT part, CAST(1.0 AS DOUBLE) / (SELECT n_nodes FROM n) AS r FROM nodes)
+    """
+    steps = []
+    for i in range(PAGERANK_ITERS):
+        steps.append(f"""
+    , c{i} AS (
+      SELECT p.dst AS part,
+             CAST(SUM(CAST(r{i}.r / d.deg AS DECIMAL(38,18))) AS DOUBLE) AS s
+      FROM pairs p
+      JOIN r{i} ON p.src = r{i}.part
+      JOIN outdeg d ON p.src = d.src
+      GROUP BY p.dst
+    ),
+    r{i + 1} AS (
+      SELECT nodes.part,
+             (1 - {PAGERANK_DAMPING}) / (SELECT n_nodes FROM n)
+             + {PAGERANK_DAMPING} * COALESCE(c{i}.s, 0.0) AS r
+      FROM nodes LEFT JOIN c{i} ON nodes.part = c{i}.part
+    )""")
+    final = f"""
+    SELECT part, CAST(FLOOR(r * 1000000000000.0) AS BIGINT) AS rank_pico,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY CAST(FLOOR(r * 1000000000000.0) AS BIGINT) DESC, part) AS INT)
+             AS rnk
+    FROM r{PAGERANK_ITERS}
+    ORDER BY rank_pico DESC, part
+    LIMIT {PAGERANK_TOP_K}
+    """
+    return base + "".join(steps) + final
+
+
+@component(
+    "rec_pagerank_items",
+    cols=[("part", "num"), ("rank_pico", "num"), ("rnk", "num")],
+    oracle=_pagerank_oracle(),
+)
+def rec_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph — "influential products": items
+    central to many baskets' neighborhoods rank above merely-frequent
+    ones (the same signal the lift table surfaces pairwise, propagated
+    transitively). {PAGERANK_ITERS} power iterations, damping
+    {PAGERANK_DAMPING}, on the symmetric same-basket graph; the iterative
+    class the engine otherwise exercises only as label propagation
+    (dedup.connected_components), here with NUMERIC state.
+
+    Engine-determinism across engines AND partitionings: each iteration's
+    per-node contribution sum accumulates through DECIMAL(38,18) (the
+    r/deg terms are IEEE divides — identical everywhere; the exact
+    decimal sum removes shuffle-order float drift), and the final ranking
+    compares FLOOR(r·1e12) integers. The oracle replays the identical 10
+    iterations as chained CTEs — full-fidelity values, not a digest.
+
+    Scale: edges shuffle once on src per iteration (join to ranks), once
+    on dst (contribution agg) — the canonical distributed PageRank;
+    lineage is truncated per iteration (localCheckpoint, like the
+    connected-components loop) so the plan stays O(1) in iterations.
+    Basket fan-out is per-order bounded exactly as rec_copurchase_pairs."""
+    prepare(spark, sf_dir)
+    li = spark.table("lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.part") != F.col("b.part")))
+        .select(F.col("a.part").alias("src"), F.col("b.part").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges = pairs.join(outdeg, "src").localCheckpoint(eager=True)
+    nodes = pairs.select(F.col("src").alias("part")).distinct().localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    ranks = nodes.select("part", (F.lit(1.0) / n_nodes).alias("r"))
+    base = (1 - PAGERANK_DAMPING) / n_nodes
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.part)
+            .select(
+                F.col("dst").alias("part"),
+                (F.col("r") / F.col("deg")).cast("decimal(38,18)").alias("term"),
+            )
+            .groupBy("part")
+            .agg(F.sum("term").cast("double").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "part", "left")
+            .select(
+                "part",
+                (F.lit(base) + PAGERANK_DAMPING * F.coalesce("s", F.lit(0.0))).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    pico = F.floor(F.col("r") * 1000000000000.0).cast("bigint")
+    top = ranks.select("part", pico.alias("rank_pico")).orderBy(
+        F.desc("rank_pico"), F.asc("part")
+    ).limit(PAGERANK_TOP_K)
+    w = Window.orderBy(F.desc("rank_pico"), F.asc("part"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -231,6 +231,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "rec_itemcf_neighbors",
         # recency-weighted trending shelf (decayed popularity)
         "rec_decayed_popularity",
+        # influential products: PageRank over the co-purchase graph
+        "rec_pagerank_items",
     ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [
