@@ -1527,12 +1527,12 @@ def _pagerank_oracle() -> str:
       FROM nodes LEFT JOIN c{i} ON nodes.part = c{i}.part
     )""")
     final = f"""
-    SELECT part, CAST(FLOOR(r * 1000000000000.0) AS BIGINT) AS rank_pico,
+    SELECT part, CAST(FLOOR(r * 1000000000.0) AS BIGINT) AS rank_nano,
            CAST(ROW_NUMBER() OVER (
-             ORDER BY CAST(FLOOR(r * 1000000000000.0) AS BIGINT) DESC, part) AS INT)
+             ORDER BY CAST(FLOOR(r * 1000000000.0) AS BIGINT) DESC, part) AS INT)
              AS rnk
     FROM r{PAGERANK_ITERS}
-    ORDER BY rank_pico DESC, part
+    ORDER BY rank_nano DESC, part
     LIMIT {PAGERANK_TOP_K}
     """
     return base + "".join(steps) + final
@@ -1540,7 +1540,7 @@ def _pagerank_oracle() -> str:
 
 @component(
     "rec_pagerank_items",
-    cols=[("part", "num"), ("rank_pico", "num"), ("rnk", "num")],
+    cols=[("part", "num"), ("rank_nano", "num"), ("rnk", "num")],
     oracle=_pagerank_oracle(),
 )
 def rec_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1556,8 +1556,13 @@ def rec_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node contribution sum accumulates through DECIMAL(38,18) (the
     r/deg terms are IEEE divides — identical everywhere; the exact
     decimal sum removes shuffle-order float drift), and the final ranking
-    compares FLOOR(r·1e12) integers. The oracle replays the identical 10
-    iterations as chained CTEs — full-fidelity values, not a digest.
+    compares FLOOR(r·1e9) integers — nano resolution leaves ~9 decimal
+    digits of headroom over the engines' last-ulp double differences
+    (the double→DECIMAL(38,18) cast rounds the binary expansion at digit
+    18, where the two engines can disagree by one ulp; the fuzz test
+    documents the boundary case on synthetic exact-decimal ranks). The
+    oracle replays the identical 10 iterations as chained CTEs —
+    full-fidelity values, not a digest.
 
     Scale: edges shuffle once on src per iteration (join to ranks), once
     on dst (contribution agg) — the canonical distributed PageRank;
@@ -1574,35 +1579,48 @@ def rec_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.part") != F.col("b.part")))
         .select(F.col("a.part").alias("src"), F.col("b.part").alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    ranks = pagerank(pairs, iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
+    nano = F.floor(F.col("r") * 1000000000.0).cast("bigint")
+    top = ranks.select(
+        F.col("node").alias("part"), nano.alias("rank_nano")
+    ).orderBy(F.desc("rank_nano"), F.asc("part")).limit(PAGERANK_TOP_K)
+    w = Window.orderBy(F.desc("rank_nano"), F.asc("part"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def pagerank(pairs: DataFrame, iters: int, damping: float) -> DataFrame:
+    """Distributed PageRank over an edge list (src, dst): returns
+    (node, r) after ``iters`` power iterations. Nodes = distinct SOURCES
+    (every node of a symmetric graph; for asymmetric feeds, pre-union the
+    sink-only nodes as zero-out-degree self-loops upstream). Contribution
+    sums accumulate through DECIMAL(38,18) so the result is independent
+    of shuffle order and partitioning; lineage truncates per iteration."""
+    pairs = pairs.localCheckpoint(eager=True)
     outdeg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges = pairs.join(outdeg, "src").localCheckpoint(eager=True)
-    nodes = pairs.select(F.col("src").alias("part")).distinct().localCheckpoint(eager=True)
+    nodes = pairs.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
     n_nodes = nodes.count()
-    ranks = nodes.select("part", (F.lit(1.0) / n_nodes).alias("r"))
-    base = (1 - PAGERANK_DAMPING) / n_nodes
-    for _ in range(PAGERANK_ITERS):
+    ranks = nodes.select("node", (F.lit(1.0) / n_nodes).alias("r"))
+    base = (1 - damping) / n_nodes
+    for _ in range(iters):
         contrib = (
-            edges.join(ranks, edges.src == ranks.part)
+            edges.join(ranks, edges.src == ranks.node)
             .select(
-                F.col("dst").alias("part"),
+                F.col("dst").alias("node"),
                 (F.col("r") / F.col("deg")).cast("decimal(38,18)").alias("term"),
             )
-            .groupBy("part")
+            .groupBy("node")
             .agg(F.sum("term").cast("double").alias("s"))
         )
         ranks = (
-            nodes.join(contrib, "part", "left")
+            nodes.join(contrib, "node", "left")
             .select(
-                "part",
-                (F.lit(base) + PAGERANK_DAMPING * F.coalesce("s", F.lit(0.0))).alias("r"),
+                "node",
+                (F.lit(base) + damping * F.coalesce("s", F.lit(0.0))).alias("r"),
             )
             .localCheckpoint(eager=True)
         )
-    pico = F.floor(F.col("r") * 1000000000000.0).cast("bigint")
-    top = ranks.select("part", pico.alias("rank_pico")).orderBy(
-        F.desc("rank_pico"), F.asc("part")
-    ).limit(PAGERANK_TOP_K)
-    w = Window.orderBy(F.desc("rank_pico"), F.asc("part"))
-    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+    return ranks

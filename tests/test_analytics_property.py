@@ -229,3 +229,76 @@ def test_markov_transitions_match_python(spark, rows):
         for (_, _, a), (_, _, b) in zip(s, s[1:]):
             want[(a, b)] = want.get((a, b), 0) + 1
     assert got == want
+
+
+# random directed edges over a small node domain; self-loops excluded
+# (matching the co-purchase builder's a.part <> b.part)
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _duck_pagerank(edges: list, iters: int, damping: float) -> dict:
+    """DuckDB replica of recommend.queries.pagerank: the identical
+    iteration telescope as the registered oracle, over an arbitrary edge
+    list — nodes = distinct sources, decimal-exact contribution sums."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pairs(src INT, dst INT)")
+    for s_, d_ in edges:
+        con.execute("INSERT INTO pairs VALUES (?, ?)", (s_, d_))
+    sql = """
+    WITH p AS (SELECT DISTINCT src, dst FROM pairs),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM p GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM p),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n_nodes FROM n) AS r FROM nodes)
+    """
+    for i in range(iters):
+        sql += f"""
+    , c{i} AS (
+      SELECT p.dst AS node,
+             CAST(SUM(CAST(r{i}.r / d.deg AS DECIMAL(38,18))) AS DOUBLE) AS s
+      FROM p JOIN r{i} ON p.src = r{i}.node JOIN outdeg d ON p.src = d.src
+      GROUP BY p.dst
+    ),
+    r{i + 1} AS (
+      SELECT nodes.node,
+             (1 - {damping}) / (SELECT n_nodes FROM n)
+             + {damping} * COALESCE(c{i}.s, 0.0) AS r
+      FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node
+    )"""
+    sql += f"SELECT node, CAST(FLOOR(r * 1000000000000.0) AS BIGINT) FROM r{iters}"
+    return dict(con.execute(sql).fetchall())
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edge_lists)
+@pytest.mark.usefixtures("spark")
+def test_pagerank_matches_duckdb_on_random_graphs(spark, edges):
+    """The generalized pagerank() loop vs the DuckDB iteration telescope
+    on random digraphs — dangling destinations, disconnected components,
+    multi-edges (deduped), every shape the co-purchase graph never
+    produces. Tiny synthetic graphs yield EXACT-decimal ranks that sit
+    right on floor boundaries, where the engines' double→DECIMAL cast
+    rounding can differ by one last ulp — so pico units compare within
+    ±1 (the registered component uses nano resolution, which buries this
+    boundary class for real-data ranks)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+        pagerank,
+    )
+
+    df = spark.createDataFrame(sorted(set(edges)), "src int, dst int")
+    got = {
+        r.node: int(r.pico)
+        for r in pagerank(df, iters=4, damping=0.85)
+        .select("node", F.floor(F.col("r") * 1000000000000.0).alias("pico"))
+        .collect()
+    }
+    want = _duck_pagerank(edges, iters=4, damping=0.85)
+    assert got.keys() == want.keys()
+    off = {k: (got[k], want[k]) for k in got if abs(got[k] - want[k]) > 1}
+    assert not off, f"pagerank diverged beyond one ulp-at-boundary: {off}"
