@@ -1962,17 +1962,11 @@ def session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-µs layout drift can't flip successor ties (the r4 NTZ lesson)."""
     prepare(spark, sf_dir)
     ev = spark.table("events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
-    )
-    trans = (
-        ev.select(
-            F.col("event_type").alias("from_type"),
-            F.lead("event_type").over(w).alias("to_type"),
-        )
-        .filter(F.col("to_type").isNotNull())
-        .groupBy("from_type", "to_type")
-        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    trans = transition_counts(
+        ev,
+        part_col="user_id",
+        order_cols=[F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")],
+        type_col="event_type",
     )
     totals = trans.groupBy("from_type").agg(F.sum("n_transitions").alias("from_total"))
     return trans.join(F.broadcast(totals), "from_type").select(
@@ -1982,6 +1976,23 @@ def session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_transitions") * 1000000.0 / F.col("from_total"))
         .cast("bigint")
         .alias("prob_micro"),
+    )
+
+
+def transition_counts(df, part_col, order_cols, type_col) -> DataFrame:
+    """The transition-matrix core: per partition key, order rows by
+    ``order_cols``, pair each row's type with its successor (lead window),
+    count per (from, to). Shared by session_transitions and its property
+    test, so the window ordering cannot drift between them."""
+    w = Window.partitionBy(part_col).orderBy(*order_cols)
+    return (
+        df.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
 
 
@@ -2656,6 +2667,25 @@ def governed_customer_view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def rolling_distinct_users(pairs: DataFrame, window_days: int) -> DataFrame:
+    """The rolling-membership core: deduped (day, user_id) pairs fan out
+    MAP-SIDE into every window day they belong to (sequence + explode —
+    a true ≤window_days× fan-out, never a pairs×grid nested loop), then
+    one distinct-agg per window day. Returns (gday, wau); callers join
+    back to real activity days to drop window days past the data's edge.
+    Shared by events_dau_wau and its property test."""
+    return (
+        pairs.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+            ).alias("gday"),
+            "user_id",
+        )
+        .groupBy("gday")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
 @component(
     "events_dau_wau",
     oracle="""
@@ -2704,16 +2734,7 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_trunc("day", "ts").cast("date").alias("day"), "user_id")
         .distinct()
     )
-    wau = (
-        pairs.select(
-            F.explode(
-                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
-            ).alias("gday"),
-            "user_id",
-        )
-        .groupBy("gday")
-        .agg(F.count_distinct("user_id").alias("wau"))
-    )
+    wau = rolling_distinct_users(pairs, window_days=7)
     dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     return (
         dau.join(wau, dau.day == wau.gday)

@@ -1077,6 +1077,9 @@ def text_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEARCH_TERMS = ("hash", "merge", "window")
 
 
+_SEARCH_IN = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+
+
 @component(
     "text_search_conjunctive",
     oracle=f"""
@@ -1084,7 +1087,7 @@ SEARCH_TERMS = ("hash", "merge", "window")
       SELECT doc_id, t.term, COUNT(*) AS tf
       FROM documents,
            LATERAL (SELECT unnest({_SQL_TOKENS}) AS term) t
-      WHERE t.term IN ('hash', 'merge', 'window')
+      WHERE t.term IN ({_SEARCH_IN})
       GROUP BY doc_id, t.term
     )
     SELECT doc_id,
@@ -1142,20 +1145,20 @@ PHRASE = ("table", "value")  # the demo exact phrase "table value"
 
 @component(
     "text_search_phrase",
-    oracle="""
+    oracle=f"""
     WITH pos AS (
       SELECT doc_id, t.term, t.p
       FROM documents,
            LATERAL (
-             SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term,
-                    generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS p
+             SELECT unnest({_SQL_TOKENS}) AS term,
+                    generate_subscripts({_SQL_TOKENS}, 1) AS p
            ) t
-      WHERE t.term IN ('table', 'value')
+      WHERE t.term IN ('{PHRASE[0]}', '{PHRASE[1]}')
     )
     SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
     FROM pos a JOIN pos b
       ON a.doc_id = b.doc_id AND b.p = a.p + 1
-     AND a.term = 'table' AND b.term = 'value'
+     AND a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
     GROUP BY a.doc_id
     """,
     cols=[("doc_id", "num"), ("n_occurrences", "num")],

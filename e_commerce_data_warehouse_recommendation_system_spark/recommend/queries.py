@@ -171,12 +171,14 @@ def _artifacts(spark: SparkSession, sf_dir: str) -> dict:
     return art
 
 
-def _serve_all(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
-    """M4/M5 serving plan, built fresh (no memoization): batch top-k for
-    every trained user, decoded back to natural ids (the inverse_transform
-    step, reference: mf_knn_recommender.py:276)."""
-    art = _artifacts(spark, sf_dir)
-    recs = art["model"].recommendForAllUsers(k)
+def _decode_recs(recs: DataFrame, art: dict) -> DataFrame:
+    """Shared decode of an MLlib recommendations frame (user_idx +
+    recommendations array of (item_idx, rating) structs) back to natural
+    ids with 1-based ranks — the inverse_transform step
+    (reference: mf_knn_recommender.py:276). One posexplode + two broadcast
+    dictionary joins; every serving path (all-users, subset digest,
+    single-user) decodes through here so the struct contract lives in
+    exactly one place."""
     exploded = recs.select(
         "user_idx", F.posexplode("recommendations").alias("rnk0", "rec")
     ).select(
@@ -190,6 +192,13 @@ def _serve_all(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
         .join(F.broadcast(art["items"]), "item_idx")
         .select("user_id", "item_id", "rnk", "score")
     )
+
+
+def _serve_all(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """M4/M5 serving plan, built fresh (no memoization): batch top-k for
+    every trained user, decoded back to natural ids."""
+    art = _artifacts(spark, sf_dir)
+    return _decode_recs(art["model"].recommendForAllUsers(k), art)
 
 
 def _topk_recs(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
@@ -357,20 +366,7 @@ def rec_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark, sf_dir)
     art = _artifacts(spark, sf_dir)
     subset = art["users"].filter(F.col("user_id") % 50 == 0)
-    recs = art["model"].recommendForUserSubset(subset, TOP_K)
-    exploded = recs.select(
-        "user_idx", F.posexplode("recommendations").alias("rnk0", "rec")
-    ).select(
-        "user_idx",
-        (F.col("rnk0") + 1).cast("int").alias("rnk"),
-        F.col("rec.item_idx").alias("item_idx"),
-        F.col("rec.rating").alias("score"),
-    )
-    return (
-        exploded.join(F.broadcast(art["users"]), "user_idx")
-        .join(F.broadcast(art["items"]), "item_idx")
-        .select("user_id", "item_id", "rnk", "score")
-    )
+    return _decode_recs(art["model"].recommendForUserSubset(subset, TOP_K), art)
 
 
 @register(
@@ -1467,20 +1463,7 @@ def serve_user(spark: SparkSession, sf_dir: str, user_id: int, k: int = TOP_K) -
     prepare(spark, sf_dir)
     art = _artifacts(spark, sf_dir)
     subset = art["users"].filter(F.col("user_id") == user_id)
-    recs = art["model"].recommendForUserSubset(subset, k)
-    exploded = recs.select(
-        "user_idx", F.posexplode("recommendations").alias("rnk0", "rec")
-    ).select(
-        "user_idx",
-        (F.col("rnk0") + 1).cast("int").alias("rnk"),
-        F.col("rec.item_idx").alias("item_idx"),
-        F.col("rec.rating").alias("score"),
-    )
-    return (
-        exploded.join(F.broadcast(art["users"]), "user_idx")
-        .join(F.broadcast(art["items"]), "item_idx")
-        .select("user_id", "item_id", "rnk", "score")
-    )
+    return _decode_recs(art["model"].recommendForUserSubset(subset, k), art)
 
 
 # --------------------------------------------------------------------------

@@ -11,8 +11,9 @@ Where the reference REFUSES users absent from training
 (mf_knn_recommender.py:234-242 returns an apology string), ``--fold-in``
 serves them through the implicit-ALS fold-in path (any order history the
 user has accumulated since training folds into a factor on the fly), and
-unknown users with no history at all fall back to the popularity shelf —
-a serving system never answers "cannot help you".
+users whose history yields no servable score — or no history at all —
+fall back to the popularity shelf: this entry point never returns an
+empty answer.
 
 The trained model is memoized per (session, sf_dir) by the recommend
 package, so repeated invocations inside one driver process train once —
@@ -50,15 +51,31 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import functions as F
 
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
+        _dot_fast,
+    )
     from e_commerce_data_warehouse_recommendation_system_spark.recommend import queries as rq
     from e_commerce_data_warehouse_recommendation_system_spark.session import get_spark
 
     spark = get_spark()
     sf = args.sf_dir
+    # the MMR pipeline re-ranks the tuned TOP_K list; a larger request
+    # can't widen it without retuning the pool, so say so instead of
+    # silently under-delivering
+    if args.diversify and args.top_k > rq.TOP_K:
+        print(f"# note: --diversify serves at most the tuned k={rq.TOP_K}")
+
+    def shelf() -> int:
+        rq.rec_popular_fallback(spark, sf).show(args.top_k, truncate=False)
+        return 0
 
     if args.batch_all:
         if args.diversify:
-            df = rq.mmr_rerank(spark, sf).orderBy("user_id", "mmr_rank")
+            df = (
+                rq.mmr_rerank(spark, sf)
+                .filter(F.col("mmr_rank") <= args.top_k)
+                .orderBy("user_id", "mmr_rank")
+            )
         else:
             df = rq._serve_all(spark, sf, k=args.top_k).orderBy("user_id", "rnk")
         df.show(5 * args.top_k, truncate=False)
@@ -67,51 +84,52 @@ def main(argv: list[str] | None = None) -> int:
     if args.diversify:
         served = (
             rq.mmr_rerank(spark, sf)
-            .filter(F.col("user_id") == args.user)
+            .filter((F.col("user_id") == args.user) & (F.col("mmr_rank") <= args.top_k))
             .orderBy("mmr_rank")
         )
     else:
         served = rq.serve_user(spark, sf, args.user, k=args.top_k)
+    served = served.cache()  # emptiness probe + display share one execution
     if served.count() == 0:
-        if args.fold_in:
-            # user unseen at training time: solve a factor from whatever
-            # interactions exist now; if none, popularity shelf
-            rq.prepare(spark, sf)
-            art = rq._artifacts(spark, sf)
-            history = (
-                rq.interactions(spark)
-                .filter(F.col("user_id") == args.user)
-                .join(art["items"], "item_id")
-                .select(F.lit(-1).alias("user_idx"), "item_idx")
+        if not args.fold_in:
+            print(
+                f"# user {args.user} was not in the training set "
+                "(rerun with --fold-in to serve anyway)"
             )
-            if history.count() == 0:
-                print(f"# user {args.user}: no history — popularity shelf")
-                rq.rec_popular_fallback(spark, sf).show(args.top_k, truncate=False)
-                return 0
-            folded = rq.rec_fold_in_user_factors(spark, sf, interactions_df=history)
-            itf = art["model"].itemFactors.select(
-                F.col("id").alias("item_idx"), F.col("features").alias("ifeat")
-            )
-            dot = F.aggregate(
-                F.zip_with(F.col("features"), F.col("ifeat"), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            scored = (
-                folded.join(F.broadcast(itf))
-                .select(F.col("item_idx"), dot.alias("score"))
-                .join(F.broadcast(art["items"]), "item_idx")
-                .orderBy(F.desc("score"), F.asc("item_id"))
-                .limit(args.top_k)
-            )
-            print(f"# user {args.user}: served via fold-in")
-            scored.select("item_id", "score").show(args.top_k, truncate=False)
-            return 0
-        print(
-            f"# user {args.user} was not in the training set "
-            "(rerun with --fold-in to serve anyway)"
+            return 1
+        # user unseen at training time: solve a factor from whatever
+        # interactions exist now; if that yields nothing servable (no
+        # history, or history only over untrained items), popularity shelf
+        rq.prepare(spark, sf)
+        art = rq._artifacts(spark, sf)
+        history = (
+            rq.interactions(spark)
+            .filter(F.col("user_id") == args.user)
+            .join(art["items"], "item_id")
+            .select(F.lit(-1).alias("user_idx"), "item_idx")
+            .cache()
         )
-        return 1
+        if history.count() == 0:
+            print(f"# user {args.user}: no trained-item history — popularity shelf")
+            return shelf()
+        folded = rq.rec_fold_in_user_factors(spark, sf, interactions_df=history)
+        itf = art["model"].itemFactors.select(
+            F.col("id").alias("item_idx"), F.col("features").alias("ifeat")
+        )
+        scored = (
+            folded.join(F.broadcast(itf))
+            .select("item_idx", _dot_fast(F.col("features"), F.col("ifeat")).alias("score"))
+            .join(F.broadcast(art["items"]), "item_idx")
+            .orderBy(F.desc("score"), F.asc("item_id"))
+            .limit(args.top_k)
+            .cache()
+        )
+        if scored.count() == 0:
+            print(f"# user {args.user}: fold-in yielded no scores — popularity shelf")
+            return shelf()
+        print(f"# user {args.user}: served via fold-in")
+        scored.select("item_id", "score").show(args.top_k, truncate=False)
+        return 0
     print(f"# user {args.user}: top-{args.top_k}")
     served.show(args.top_k, truncate=False)
     return 0

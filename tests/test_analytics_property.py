@@ -29,7 +29,9 @@ events = st.lists(
 def test_last_touch_attribution_matches_python(spark, rows):
     """Re-run the attribution WINDOW (carry last non-purchase type over a
     strictly-preceding frame, ordered by (t, event_id)) against a linear
-    Python sweep per user."""
+    Python sweep per user. (The window expression is inlined here because
+    attribution_last_touch fuses it with the events-table purchase rollup;
+    the full operator is full-result oracle-checked at both SFs.)"""
     rows = [(i, u, t, ty) for i, (u, t, ty) in enumerate(rows)]
     df = spark.createDataFrame(rows or [(0, 0, 0, 0)], "eid int, u int, t int, ty int")
     if not rows:
@@ -165,8 +167,8 @@ activity = st.lists(
 @given(activity)
 @pytest.mark.usefixtures("spark")
 def test_rolling_wau_fanout_matches_python(spark, rows):
-    """The sequence/explode rolling-membership rewrite (events_dau_wau's
-    core) vs a brute-force 7-day window count per day."""
+    """events_dau_wau's PRODUCTION core (rolling_distinct_users) vs a
+    brute-force 7-day window count per day."""
     import datetime
 
     base = datetime.date(2024, 1, 1)
@@ -176,16 +178,11 @@ def test_rolling_wau_fanout_matches_python(spark, rows):
     )
     if not pairs:
         df = df.filter("user_id < 0")
-    wau = (
-        df.select(
-            F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
-                "gday"
-            ),
-            "user_id",
-        )
-        .groupBy("gday")
-        .agg(F.count_distinct("user_id").alias("wau"))
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.relational import (
+        rolling_distinct_users,
     )
+
+    wau = rolling_distinct_users(df, window_days=7)
     # keep only window days that are REAL activity days (the operator's
     # inner join back to DAU)
     days_present = {d for _, d in pairs}
@@ -203,22 +200,21 @@ def test_rolling_wau_fanout_matches_python(spark, rows):
 @given(events)
 @pytest.mark.usefixtures("spark")
 def test_markov_transitions_match_python(spark, rows):
-    """session_transitions' lead-window pair counts vs a per-user linear
-    sweep, including the (t, event_id) tie ordering."""
+    """session_transitions' PRODUCTION core (transition_counts) vs a
+    per-user linear sweep, including the (t, event_id) tie ordering."""
     rows = [(i, u, t, ty) for i, (u, t, ty) in enumerate(rows)]
     df = spark.createDataFrame(rows or [(0, 0, 0, 0)], "eid int, u int, t int, ty int")
     if not rows:
         df = df.filter("eid < 0")
-    w = Window.partitionBy("u").orderBy("t", "eid")
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.relational import (
+        transition_counts,
+    )
+
     got = {
-        (r.a, r.b): r.n
-        for r in df.select(
-            F.col("ty").alias("a"), F.lead("ty").over(w).alias("b")
-        )
-        .filter(F.col("b").isNotNull())
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        (r.from_type, r.to_type): r.n_transitions
+        for r in transition_counts(
+            df, part_col="u", order_cols=[F.col("t"), F.col("eid")], type_col="ty"
+        ).collect()
     }
     want: dict[tuple, int] = {}
     by_user: dict[int, list] = {}
