@@ -1968,12 +1968,18 @@ def session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=[F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")],
         type_col="event_type",
     )
-    totals = trans.groupBy("from_type").agg(F.sum("n_transitions").alias("from_total"))
-    return trans.join(F.broadcast(totals), "from_type").select(
+    # per-from totals as a WINDOW over the vocabulary-sized transition
+    # frame (one pass) — a separate totals aggregate + join would replay
+    # the whole events window/agg subtree a second time
+    w_tot = Window.partitionBy("from_type")
+    return trans.select(
         "from_type",
         "to_type",
         "n_transitions",
-        F.floor(F.col("n_transitions") * 1000000.0 / F.col("from_total"))
+        F.floor(
+            F.col("n_transitions") * 1000000.0
+            / F.sum("n_transitions").over(w_tot)
+        )
         .cast("bigint")
         .alias("prob_micro"),
     )
@@ -2570,6 +2576,8 @@ def forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table."""
     prepare(spark, sf_dir)
     o = spark.table("orders")
+    # the month grid is self-joined (actual x last-year) and feeds the
+    # backtest average: materialize so the fact aggregates once
     monthly = o.groupBy(
         (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
         .cast("bigint")
@@ -2580,7 +2588,7 @@ def forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
         .cast("double")
         .alias("revenue")
-    )
+    ).localCheckpoint(eager=True)
     a = monthly.alias("a")
     f = monthly.alias("f")
     joined = a.join(
@@ -2729,10 +2737,13 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact form here IS the oracle for that estimate. Stickiness lands in
     integer micro-units (one IEEE divide + floor, engine-identical)."""
     prepare(spark, sf_dir)
+    # two consumers (WAU fan-out + DAU): materialize the deduped pairs so
+    # the events scan + distinct runs once
     pairs = (
         spark.table("events")
         .select(F.date_trunc("day", "ts").cast("date").alias("day"), "user_id")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     wau = rolling_distinct_users(pairs, window_days=7)
     dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))

@@ -1296,15 +1296,16 @@ def rec_itemcf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the saved join shuffle at these basket sizes), so the relational
     self-join form stays."""
     prepare(spark, sf_dir)
-    # the distinct-pair frame has four consumers (sizes, both self-join
-    # sides, item counts) but is NOT cached: measured at sf0.1, caching the
-    # 2.4M-row frame cost more (materialize + memory-scan per consumer)
-    # than recomputing the cheap orders ⋈ lineitem distinct per consumer
     inter = interactions(spark)
     sizes = inter.groupBy("user_id").agg(F.count(F.lit(1)).alias("basket"))
+    # the capped frame has three consumers (both self-join sides + item
+    # counts); materialize it once so the orders ⋈ lineitem distinct and
+    # the whale-cap join don't recompute per consumer (the un-checkpointed
+    # plan carried 29 exchanges — 4 upstream replays; measured at sf0.1
+    # this is also modestly faster, and at scale it is 1 fact scan vs 4)
     capped = inter.join(
         sizes.filter(F.col("basket") <= ITEMCF_MAX_BASKET).select("user_id"), "user_id"
-    )
+    ).localCheckpoint(eager=True)
     cnt = capped.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_users"))
     a, b = capped.alias("a"), capped.alias("b")
     pairs = (

@@ -331,17 +331,18 @@ def test_zorder_interleave_is_jvm_side_and_narrow(spark):
     assert "Sort [zval" in plan and "], false, 0" in plan
 
 
-def test_session_transitions_vocab_join_broadcasts(spark):
-    """session_transitions: one user_id shuffle feeds the lead window; the
-    per-from-type totals join is vocabulary-sized and must broadcast —
-    a shuffled join there would re-key the bounded transition matrix."""
+def test_session_transitions_single_pass(spark):
+    """session_transitions: per-from totals run as a WINDOW over the
+    vocabulary-sized transition frame — no join at all, and exactly one
+    events-side shuffle (a totals-aggregate-plus-join formulation replayed
+    the whole events subtree; the window form scans events once)."""
     from e_commerce_data_warehouse_recommendation_system_spark.operators.relational import (
         session_transitions,
     )
 
     plan = _plan(session_transitions(spark, SF0001))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan, "totals must be a window, not a join"
+    assert plan.count("hashpartitioning(user_id") == 1
 
 
 def test_attribution_window_partitions_by_user(spark):
@@ -419,6 +420,44 @@ SHUFFLE_BUDGET = {
     "dedup_ngram_jaccard": 7,
     "dedup_simhash": 2,
 }
+
+#: same ceilings for the lazy suite COMPONENTS added in round 6 (the
+#: multi-consumer ones are pinned AFTER their shared subframes were
+#: materialized — e.g. itemCF read 29 exchanges when each consumer
+#: replayed the interactions join; the checkpoint form reads 9)
+COMPONENT_SHUFFLE_BUDGET = {
+    "session_transitions": 3,
+    "attribution_last_touch": 2,
+    "session_paths_topk": 2,
+    "rec_itemcf_neighbors": 9,
+    "rec_decayed_popularity": 2,
+    "supplier_scorecard": 1,
+    "delivery_sla": 1,
+    "forecast_seasonal_naive": 1,
+    "events_dau_wau": 3,
+    "j_pit_scd2": 3,
+    "governed_customer_view": 0,
+    "text_search_conjunctive": 2,
+    "text_search_phrase": 1,
+    "s17_analyze_stats": 2,
+}
+
+
+def test_lazy_components_stay_inside_shuffle_budget(spark):
+    from e_commerce_data_warehouse_recommendation_system_spark import registry
+
+    comps = registry.components()
+    over = {}
+    for name, budget in COMPONENT_SHUFFLE_BUDGET.items():
+        plan = _plan(comps[name].fn(spark, SF0001))
+        n = (
+            plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange SinglePartition")
+        )
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"components over shuffle budget (got, budget): {over}"
 
 
 def test_headline_queries_stay_inside_shuffle_budget(spark):
