@@ -513,3 +513,43 @@ def mm_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads stream through Arrow batches, narrow typed output."""
     prepare(spark, sf_dir)
     return media_frame(spark).mapInPandas(probe_video_batch, schema=VIDEO_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Binary-payload exact dedup (content-hash over the media column)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "mm_payload_dedup",
+    # DuckDB's md5 takes VARCHAR and hashes its utf-8 bytes — exactly the
+    # payload bytes Spark's md5(binary) hashes on this fixture
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, md5(text) AS payload_md5 FROM documents
+    ),
+    keep AS (
+      SELECT payload_md5, MIN(doc_id) AS keep_doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM hashed GROUP BY payload_md5
+    )
+    SELECT payload_md5, keep_doc_id, n_copies FROM keep
+    """,
+    cols=[("payload_md5", "str"), ("keep_doc_id", "num"), ("n_copies", "num")],
+)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of the BINARY media column: md5 over the payload bytes,
+    keep the lowest id per digest — the first pass every media-corpus
+    pipeline runs before any decode (identical bytes are identical media;
+    the text twin is dedup_exact, the near-dup ladder follows). Hashing is
+    map-side over the payload scan; one partial-agg shuffle on the digest.
+    Both engines md5 the same bytes (Spark md5(binary) ≡ DuckDB
+    md5(encode(text)) on this fixture), so the digest keys hash-match."""
+    prepare(spark, sf_dir)
+    hashed = media_frame(spark).select(
+        "doc_id", F.md5(F.col("payload")).alias("payload_md5")
+    )
+    return hashed.groupBy("payload_md5").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

@@ -2929,3 +2929,90 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_ship_days_micro",
         "rnk",
     )
+
+
+# --------------------------------------------------------------------------
+# Time-bounded conversion funnel (stage deadline variant)
+# --------------------------------------------------------------------------
+
+FUNNEL_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # each stage must follow within 7d
+
+
+@component(
+    "funnel_windowed",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+    ),
+    v AS (
+      SELECT user_id, MIN(tus) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.tus) AS t_click
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.tus >= v.t_view AND e.tus <= v.t_view + {FUNNEL_WINDOW_US}
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.tus) AS t_purchase
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.tus >= c.t_click AND e.tus <= c.t_click + {FUNNEL_WINDOW_US}
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_within_window,
+           (SELECT COUNT(*) FROM p) AS n_purchased_within_window
+    """,
+    cols=[
+        ("n_viewed", "num"),
+        ("n_clicked_within_window", "num"),
+        ("n_purchased_within_window", "num"),
+    ],
+)
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with STAGE DEADLINES: a user advances only with an
+    event inside 7 days of the previous stage's first touch — the
+    attribution-window form product analytics actually reports (the
+    unbounded twin is plans/queries.q_funnel: its "clicked after view"
+    counts a click months later as conversion; this one expires). Same
+    plan family: per-stage filtered aggregates joined to the prior stage's
+    first-touch times over a SHRINKING user set, each stage one user_id
+    shuffle; deadlines compare in epoch microseconds so layout drift can't
+    move a window edge."""
+    prepare(spark, sf_dir)
+    ev = spark.table("events")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select("user_id", "event_type", tus.alias("tus"))
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("tus") >= F.col("t_view"))
+            & (F.col("tus") <= F.col("t_view") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("tus") >= F.col("t_click"))
+            & (F.col("tus") <= F.col("t_click") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_within_window")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_within_window")))
+    )

@@ -99,6 +99,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "forecast_seasonal_naive",
         # engagement: DAU / rolling WAU / stickiness (windowed distinct)
         "events_dau_wau",
+        # conversion funnel with per-stage 7-day deadlines
+        "funnel_windowed",
         # fulfilment: per-priority ship-within-SLA share + mean days
         "delivery_sla",
         # procurement: per-supplier revenue/returns/ship-days scorecard
@@ -206,6 +208,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "mm_audio_probe",
         # video leg: AVI container probe (real header walk, same pattern)
         "mm_video_probe",
+        # binary-payload exact dedup (content hash before any decode)
+        "mm_payload_dedup",
         # embedding-representation ops sharing the embeddings scan
         "sim_l2_normalize",
         "sim_quantize_int8",
