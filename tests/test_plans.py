@@ -440,6 +440,8 @@ COMPONENT_SHUFFLE_BUDGET = {
     "text_search_conjunctive": 2,
     "text_search_phrase": 1,
     "s17_analyze_stats": 2,
+    "funnel_windowed": 8,
+    "mm_payload_dedup": 1,
 }
 
 
