@@ -2986,33 +2986,38 @@ def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.table("events")
     tus = F.unix_micros(F.col("ts").cast("timestamp"))
     e = ev.select("user_id", "event_type", tus.alias("tus"))
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("tus").alias("t_view"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(
-            (F.col("tus") >= F.col("t_view"))
-            & (F.col("tus") <= F.col("t_view") + FUNNEL_WINDOW_US)
-        )
-        .groupBy("user_id")
-        .agg(F.min("tus").alias("t_click"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(
-            (F.col("tus") >= F.col("t_click"))
-            & (F.col("tus") <= F.col("t_click") + FUNNEL_WINDOW_US)
-        )
-        .groupBy("user_id")
-        .agg(F.min("tus").alias("t_purchase"))
+    stages = funnel_stages(
+        e, ["view", "click", "purchase"], window=FUNNEL_WINDOW_US
     )
     return (
-        v.agg(F.count(F.lit(1)).alias("n_viewed"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_within_window")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_within_window")))
+        stages[0].agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(stages[1].agg(F.count(F.lit(1)).alias("n_clicked_within_window")))
+        .crossJoin(stages[2].agg(F.count(F.lit(1)).alias("n_purchased_within_window")))
     )
+
+
+def funnel_stages(
+    e: DataFrame, stages: list, window: int | None = None
+) -> "list[DataFrame]":
+    """Generic ordered-funnel core over (user_id, event_type, tus): for
+    each stage, the users who reached it and their first-touch time —
+    stage i+1 requires an event at-or-after stage i's first touch (and,
+    with ``window`` set, within that many µs of it). Each stage is a
+    filtered aggregate joined to the previous stage's first-touch frame
+    over a SHRINKING user set — one user_id shuffle per stage. Shared by
+    q_funnel's deadline variant (funnel_windowed) and the funnel property
+    test, so stage semantics (>= previous first touch; <= deadline) live
+    in one place."""
+    out: list[DataFrame] = []
+    prev = None
+    for stage_type in stages:
+        cur = e.filter(F.col("event_type") == stage_type)
+        if prev is not None:
+            cond = F.col("tus") >= F.col("_t_prev")
+            if window is not None:
+                cond = cond & (F.col("tus") <= F.col("_t_prev") + window)
+            cur = cur.join(prev, "user_id").filter(cond)
+        cur = cur.groupBy("user_id").agg(F.min("tus").alias("_t"))
+        out.append(cur)
+        prev = cur.select("user_id", F.col("_t").alias("_t_prev"))
+    return out

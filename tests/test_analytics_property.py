@@ -298,3 +298,52 @@ def test_pagerank_matches_duckdb_on_random_graphs(spark, edges):
     assert got.keys() == want.keys()
     off = {k: (got[k], want[k]) for k in got if abs(got[k] - want[k]) > 1}
     assert not off, f"pagerank diverged beyond one ulp-at-boundary: {off}"
+
+
+# (user, t, stage) streams; stage ints 0/1/2 play view/click/purchase
+funnel_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 30), st.integers(0, 2)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(funnel_events, st.one_of(st.none(), st.integers(1, 10)))
+@pytest.mark.usefixtures("spark")
+def test_funnel_stages_match_python(spark, rows, window):
+    """funnel_windowed's PRODUCTION core (funnel_stages) vs a per-user
+    linear sweep — with and without stage deadlines, including ties at
+    exactly the previous stage's first touch and exactly the deadline."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.relational import (
+        funnel_stages,
+    )
+
+    df = spark.createDataFrame(
+        rows or [(0, 0, 0)], "user_id int, tus int, event_type int"
+    )
+    if not rows:
+        df = df.filter("user_id < 0")
+    stages = funnel_stages(df, [0, 1, 2], window=window)
+    got = [
+        {(r.user_id): r._t for r in s.collect()} for s in stages
+    ]
+
+    by_user: dict[int, list] = {}
+    for u, t, ty in rows:
+        by_user.setdefault(u, []).append((t, ty))
+    want = [dict() for _ in range(3)]
+    for u, evs in by_user.items():
+        prev_t = None
+        for stage in range(3):
+            ts = [
+                t
+                for t, ty in evs
+                if ty == stage
+                and (prev_t is None or (t >= prev_t and (window is None or t <= prev_t + window)))
+            ]
+            if not ts:
+                break
+            prev_t = min(ts)
+            want[stage][u] = prev_t
+    assert got == want
