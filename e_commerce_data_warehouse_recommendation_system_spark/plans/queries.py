@@ -350,31 +350,22 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     up needing. Each stage is a filtered aggregate joined to the previous
     stage's first-touch times; three shuffles on user_id total, each over
     a shrinking user set."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.relational import (
+        funnel_stages,
+    )
+
     prepare(spark, sf_dir)
     ev = spark.table("events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") >= F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") >= F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
+    stages = funnel_stages(e, ["view", "click", "purchase"], window=None)
     return (
-        v.agg(F.count(F.lit(1)).alias("n_viewed"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+        stages[0].agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(stages[1].agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(stages[2].agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
     )
 
 
