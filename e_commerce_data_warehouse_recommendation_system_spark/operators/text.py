@@ -1195,3 +1195,82 @@ def text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .select("doc_id", F.col("n_occurrences").cast("bigint").alias("n_occurrences"))
     )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF surface: token-stream run-length encoding (§2.11 completion)
+# --------------------------------------------------------------------------
+
+
+def _register_rle_udtf(spark: SparkSession) -> None:
+    """Register the run-length-encoding table function. A UDTF is the right
+    tool here because RLE is inherently SEQUENTIAL per input row (each
+    output row depends on where the previous run ended) and emits a
+    VARIABLE number of rows per doc — the one §2.11 shape neither a scalar
+    pandas UDF (1:1) nor applyInPandas (per-group) expresses directly."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, run_len: int, start_pos: int")
+    class RleTokens:
+        def eval(self, text: str):
+            toks = text.split() if text is not None else []
+            i = 0
+            while i < len(toks):
+                j = i
+                while j < len(toks) and toks[j] == toks[i]:
+                    j += 1
+                yield toks[i], j - i, i + 1  # 1-based, matching posexplode+1
+                i = j
+
+    spark.udtf.register("rle_tokens", RleTokens)
+
+
+@component(
+    "text_rle_udtf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok, t.p
+      FROM documents,
+           LATERAL (
+             SELECT unnest({_SQL_TOKENS}) AS tok,
+                    generate_subscripts({_SQL_TOKENS}, 1) AS p
+           ) t
+    ),
+    isl AS (
+      SELECT doc_id, tok, p,
+             p - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY p) AS grp
+      FROM toks
+    )
+    SELECT doc_id, tok AS token, CAST(COUNT(*) AS INT) AS run_len,
+           CAST(MIN(p) AS INT) AS start_pos
+    FROM isl GROUP BY doc_id, tok, grp
+    """,
+    cols=[
+        ("doc_id", "num"),
+        ("token", "str"),
+        ("run_len", "num"),
+        ("start_pos", "num"),
+    ],
+)
+def text_rle_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each doc's token stream through a PYTHON
+    UDTF (lateral table function) — completing the §2.11 surface: scalar
+    pandas UDF (functions/scalar.pandas_title), grouped applyInPandas
+    (MMR), mapInPandas (multimodal), and now a UDTF for the
+    sequential-scan, variable-arity shape (the repetition profile
+    text_repetition summarizes; this emits the actual runs). The oracle
+    reproduces RLE relationally — the DuckDB gaps-islands idiom over
+    positional tokens — so the Python boundary is value-checked row for
+    row, not just counted.
+
+    Scale: the UDTF streams through Arrow batches like every Python stage
+    here; one doc in, its runs out — no state across docs, no shuffle in
+    the encode (the lateral join is per-row)."""
+    prepare(spark, sf_dir)
+    _register_rle_udtf(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.token, r.run_len, r.start_pos
+        FROM documents d, LATERAL rle_tokens(d.text) r
+        """
+    )

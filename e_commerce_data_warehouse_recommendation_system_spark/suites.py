@@ -198,6 +198,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_search_conjunctive",
         # retrieval: exact phrase via positional-posting adjacency join
         "text_search_phrase",
+        # §2.11 UDTF surface: sequential RLE over token streams
+        "text_rle_udtf",
     ],
     # multimodal: frame sampling + decode->resize->sample chain + the
     # embedding-representation compression step (int8 quantization)
