@@ -3021,3 +3021,82 @@ def funnel_stages(
         out.append(cur)
         prev = cur.select("user_id", F.col("_t").alias("_t_prev"))
     return out
+
+
+# --------------------------------------------------------------------------
+# Pandas UDAF surface: per-customer Gini concentration (§2.11 completion)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "a17_gini_udaf",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice, o_orderkey) AS i,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           2.0 * SUM(i * o_totalprice) / (MAX(n) * SUM(o_totalprice))
+             - (MAX(n) + 1.0) / MAX(n) AS gini
+    FROM ranked
+    GROUP BY o_custkey
+    HAVING MAX(n) >= 2
+    """,
+    cols=[("o_custkey", "num"), ("n_orders", "num"), ("gini", "dbl")],
+)
+def a17_gini_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer Gini concentration of order values — "does this
+    account's spend come from one whale order or spread evenly?" — through
+    a GROUPED-AGGREGATE pandas UDF, the §2.11 shape the engine had not yet
+    exercised (scalar pandas UDF: functions/scalar.pandas_title; grouped
+    map: MMR; mapInPandas: multimodal; UDTF: text_rle_udtf; this is the
+    UDAF). Gini has no pyspark builtin, and the sorted-rank formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n needs the group's values ordered
+    together — exactly the series-to-scalar shape a grouped-agg pandas
+    UDF ships to Arrow.
+
+    Determinism: the UDF sorts each group's values (ties broken by value
+    only — equal values contribute identically to the formula whatever
+    their rank order, so the orderkey tie-break exists only in the
+    ORACLE's ROW_NUMBER), and both engines sum small per-group arrays in
+    ascending order; the dbl comparison tolerance absorbs last-ulp
+    accumulation differences. Shape: one shuffle on the grouping key,
+    bounded per-group state (that customer's order values)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    prepare(spark, sf_dir)
+
+    # explicit functionType: this module's `from __future__ import
+    # annotations` stringifies type hints, which defeats pandas_udf's
+    # signature inference
+    @pandas_udf("double", functionType=PandasUDFType.GROUPED_AGG)
+    def gini(v):
+        import numpy as np
+
+        x = np.sort(v.to_numpy(dtype="float64"))
+        n = len(x)
+        total = x.sum()
+        if n < 2 or total == 0:
+            return 0.0
+        i = np.arange(1, n + 1, dtype="float64")
+        return float(2.0 * (i * x).sum() / (n * total) - (n + 1.0) / n)
+
+    o = spark.table("orders")
+    # a grouped-agg pandas UDF cannot share an agg with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — two aggregations over the same
+    # key partitioning, joined; the second reuses the shuffle
+    ginis = o.groupBy("o_custkey").agg(gini(F.col("o_totalprice")).alias("gini"))
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        ginis.join(counts, "o_custkey")
+        .filter(F.col("n_orders") >= 2)
+        .select(
+            "o_custkey",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "gini",
+        )
+    )

@@ -105,6 +105,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "delivery_sla",
         # procurement: per-supplier revenue/returns/ship-days scorecard
         "supplier_scorecard",
+        # §2.11 UDAF surface: grouped-agg pandas UDF (per-customer Gini)
+        "a17_gini_udaf",
     ],
     # §2.5 dedup + §2.6 windows (+ near-dup cluster assignment)
     "rel_window_dedup_suite": [
