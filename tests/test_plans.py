@@ -442,6 +442,8 @@ COMPONENT_SHUFFLE_BUDGET = {
     "s17_analyze_stats": 2,
     "funnel_windowed": 8,
     "mm_payload_dedup": 1,
+    "text_rle_udtf": 0,
+    "a17_gini_udaf": 2,
 }
 
 
