@@ -995,3 +995,49 @@ def wr_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         schema="table_name string, rows_before bigint, rows_after bigint, no_refs_left boolean",
     )
+
+
+@component(
+    "wr_xml_roundtrip",
+    cols=[("o_orderstatus", "str"), ("n_orders", "num"), ("total_price", "dbl")],
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def wr_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip via Spark 4's NATIVE xml data source
+    (spark-xml was an external package through Spark 3; no jar needed now)
+    — the B2B/legacy interchange format next to CSV/JSON/parquet/ORC/
+    gated-Avro. Row-tagged export, schema-inferred read-back; the digest
+    proves write+read lose nothing through the format boundary. XML stays
+    an EDGE format here (feeds land, exports leave) — the engine's
+    columnar posture is parquet/ORC; nothing scans XML twice."""
+    prepare(spark, sf_dir)
+    o = spark.table("orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="ecomdw_wr_")
+    try:
+        path = f"{tmp}/orders_xml"
+        (
+            o.write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "orders")
+            .option("rowTag", "order")
+            .save(path)
+        )
+        back = spark.read.format("xml").option("rowTag", "order").load(path)
+        result = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

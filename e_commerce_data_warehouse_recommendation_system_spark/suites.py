@@ -252,6 +252,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "wr_json_roundtrip",
         "wr_csv_roundtrip",
         "wr_orc_roundtrip",
+        # B2B edge format: Spark 4 native XML round-trip (no external jar)
+        "wr_xml_roundtrip",
         # CDC: snapshot diff -> insert/update/delete/unchanged classes
         "wr_snapshot_cdc",
         # table maintenance: small-file compaction (OPTIMIZE pattern)
