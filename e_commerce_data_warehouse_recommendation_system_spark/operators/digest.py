@@ -12,12 +12,16 @@ component therefore still flips the suite's driver row red.
 
 Digest design rules (everything must hash-match bit-for-bit across engines):
 
-- exact numerics (``num``) sum through DECIMAL(38,6) — associative, order-
-  independent, identical in both engines (the dec_sum convention,
-  functions/scalar.py);
+- exact numerics (``num``) sum through DECIMAL(38,6) and cross the engine
+  boundary as the decimal's exact STRING rendering (both engines pad to
+  scale 6, verified by the fuzzer) — never as a double: a decimal→double
+  cast rounds, and above 2^53 Spark's BigDecimal rounding and DuckDB's
+  int128 rounding can differ by 1 ulp (round-6 driver red on an epoch-µs
+  sum ≈1.6e19 — the ``sum:`` metric was double-valued then);
 - doubles (``dbl``) are folded as SUM(FLOOR(x * 1e6)) in exact decimal:
   FLOOR of an identical IEEE double is identical, and the integer sum is
-  order-independent — no float accumulation ever crosses an engine boundary;
+  order-independent — no float accumulation ever crosses an engine
+  boundary, and (since round 7) the sum itself crosses as a string too;
 - strings (``str``) digest as COUNT DISTINCT + MIN/MAX of md5 (md5 hex is
   ASCII, so MIN/MAX never hits collation differences; md5 is identical in
   Spark and DuckDB);
@@ -74,9 +78,13 @@ def _kind_metrics(col: str, kind: str) -> list[tuple[str, "Callable[[], Column]"
         return [
             (
                 f"sum:{col}",
-                lambda c=col: F.sum(F.col(c).cast("decimal(38,6)")).cast("double"),
-                f"CAST(SUM(CAST({col} AS DECIMAL(38,6))) AS DOUBLE)",
-                False,
+                # STRING-valued on purpose: the DECIMAL(38,6) sum is exact
+                # and renders identically in both engines at any magnitude;
+                # casting to DOUBLE instead loses above 2^53 where the two
+                # engines' rounding diverges by 1 ulp (round-6 red row).
+                lambda c=col: F.sum(F.col(c).cast("decimal(38,6)")).cast("string"),
+                f"CAST(SUM(CAST({col} AS DECIMAL(38,6))) AS VARCHAR)",
+                True,
             ),
             (
                 f"cntd:{col}",
@@ -100,11 +108,16 @@ def _kind_metrics(col: str, kind: str) -> list[tuple[str, "Callable[[], Column]"
         return [
             (
                 f"sumf:{col}",
+                # STRING-valued: each clamped micro-fold TERM is exact in
+                # double, but the SUM over N rows can exceed 2^53 where the
+                # final decimal→double cast diverges by 1 ulp between
+                # engines — same class as the round-6 `num` red. The
+                # integer-decimal string renders identically everywhere.
                 lambda c=col: F.sum(
                     F.floor(_dbl_clamp(F.col(c)) * 1000000).cast("decimal(38,0)")
-                ).cast("double"),
-                f"CAST(SUM(CAST(FLOOR(({clamp_sql}) * 1000000) AS DECIMAL(38,0))) AS DOUBLE)",
-                False,
+                ).cast("string"),
+                f"CAST(SUM(CAST(FLOOR(({clamp_sql}) * 1000000) AS DECIMAL(38,0))) AS VARCHAR)",
+                True,
             ),
             (
                 f"cntd:{col}",

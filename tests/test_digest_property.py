@@ -10,12 +10,22 @@ NaN/Inf never reach digests, no engine path produces them. Magnitude is
 unrestricted: the fold clamps to ±DBL_CLAMP identically on both engines
 (this fuzzer originally caught the unclamped divergence at |x| > 2^63/1e6,
 where Spark's floor->LONG saturates and DuckDB floors in double).
+
+Round-7 hardening, after the round-6 driver red that this file failed to
+catch: ``num`` columns fuzz over the FULL int64 range (epoch-microsecond
+magnitudes included — the old ±2^40 cap kept every sum inside double's
+exact-integer range, masking the decimal→double 1-ulp divergence), and
+comparison is BIT-EXACT on doubles (IEEE bit pattern — the old
+10-significant-digit rounding was exactly the weakness that let the 1-ulp
+bug ship). ``num``/``dbl`` sums now cross engines as exact decimal
+strings, so bit-exact parity must hold at any magnitude.
 """
 
 from __future__ import annotations
 
 import math
 import shutil
+import struct
 import tempfile
 
 import duckdb
@@ -26,7 +36,7 @@ from hypothesis import strategies as st
 COLS = (("k", "num"), ("x", "dbl"), ("s", "str"), ("b", "bool"))
 
 row_st = st.tuples(
-    st.one_of(st.none(), st.integers(min_value=-(2**40), max_value=2**40)),
+    st.one_of(st.none(), st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1)),
     st.one_of(
         st.none(),
         st.floats(allow_nan=False, allow_infinity=False),
@@ -42,7 +52,8 @@ def _norm(rows):
         cells = []
         for v in r:
             if isinstance(v, float):
-                cells.append("nan" if math.isnan(v) else float(f"{v:.9e}"))
+                # bit-exact, like the driver's value hash — NEVER round here
+                cells.append("nan" if math.isnan(v) else struct.pack(">d", v).hex())
             else:
                 cells.append(v)
         out.append(tuple(cells))
@@ -72,3 +83,42 @@ def test_digest_cross_engine_parity(spark, rows):
         shutil.rmtree(tmp, ignore_errors=True)
 
     assert _norm(got) == _norm(want)
+
+
+def test_digest_num_epoch_us_sum_regression(spark):
+    """Pinned reproduction of the round-6 driver red: a `num` column of
+    epoch-microsecond values whose SUM (~1.6e19) exceeds double's 2^53
+    exact range. The old double-valued sum digest diverged by 1 ulp
+    between Spark's BigDecimal→double and DuckDB's int128→double rounding
+    (0x43EC3A774C3AB4D7 vs …D8); the string-valued decimal sum must be
+    bit-identical at any magnitude."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.digest import (
+        digest_df,
+        digest_sql,
+    )
+
+    # ~9,549 values near 1.7e15 µs (2024-era timestamps): sum ≈ 1.6e19,
+    # the exact magnitude class of stream_session_window_native's
+    # session_start_us column at sf0.01.
+    base = 1_704_067_200_000_000  # 2024-01-01 in epoch µs
+    rows = [(base + i * 171_003_337,) for i in range(9_549)]
+    cols = (("t_us", "num"),)
+    sdf = spark.createDataFrame(rows, schema="t_us long")
+    got = [tuple(r) for r in digest_df(sdf, "epochus", cols).collect()]
+
+    tmp = tempfile.mkdtemp(prefix="ecomdw_digest_epoch_")
+    try:
+        sdf.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/t")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW src AS SELECT t_us FROM '{tmp}/t/*.parquet'")
+        want = con.execute(digest_sql("epochus", "SELECT * FROM src", cols)).fetchall()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert _norm(got) == _norm(want)
+    # and the sum really is out of double's exact-integer range — i.e. this
+    # test would have been red on the round-6 tree
+    total = sum(r[0] for r in rows)
+    assert total > 2**53
+    sum_row = [r for r in got if r[1] == "sum:t_us"]
+    assert sum_row and sum_row[0][3] == f"{total}.000000"
