@@ -2,7 +2,9 @@
 
 from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar import (
     dec_avg,
+    dec_avg_exact,
     dec_sum,
+    dec_sum_exact,
     duration_days,
     pandas_dayofweek,
     pandas_title,
@@ -11,7 +13,9 @@ from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar impo
 
 __all__ = [
     "dec_avg",
+    "dec_avg_exact",
     "dec_sum",
+    "dec_sum_exact",
     "duration_days",
     "pandas_dayofweek",
     "pandas_title",

@@ -13,6 +13,19 @@ Two concerns live here:
    exact, associative, order-independent — so results hash-match DuckDB
    bit-for-bit while map-side partial aggregation still applies. The final
    cast back to double keeps oracle schemas aligned.
+
+   Round-7 hardening: that final decimal→double cast is itself a hazard
+   once the decimal needs >53 mantissa bits (|sum| > 2^53/10^scale ≈ 9e7
+   at scale 8) — Spark's BigDecimal rounding and DuckDB's int128 rounding
+   can then diverge by 1 ulp (caught bit-exactly on q_revenue_rollup's
+   grand-total row at sf0.01). Driver-visible query OUTPUT columns
+   therefore use the ``*_exact`` variants, which never cast a wide
+   decimal to double: ``dec_sum_exact`` emits the DECIMAL itself
+   (verified to cross engines bit-identically at any magnitude), and
+   ``dec_avg_exact`` divides exact int64 units — int64→double conversion
+   is correctly rounded and identical everywhere, unlike decimal→double.
+   ``dec_sum``/``dec_avg`` remain for INTERNAL arithmetic and for suite
+   components, whose driver-visible form is the (overflow-safe) digest.
 """
 
 from __future__ import annotations
@@ -39,6 +52,34 @@ def dec_avg(col: Column | str, scale: int = 8) -> Column:
     Oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE)/COUNT(x)``."""
     c = F.col(col) if isinstance(col, str) else col
     return dec_sum(c, scale) / F.count(c)
+
+
+def dec_sum_exact(col: Column | str, scale: int = 8) -> Column:
+    """SUM crossing the engine boundary AS THE DECIMAL — exact at any
+    magnitude: Spark emits DecimalType(38,scale), DuckDB DECIMAL(38,scale),
+    and equal values compare/serialize identically (probed round 7,
+    including a ~3e9 sum at scale 8 whose double cast diverged by 1 ulp).
+    Oracle twin: ``SUM(CAST(x AS DECIMAL(28,8)))`` — no outer cast.
+    Same-scale decimals add/subtract exactly in both engines, so downstream
+    ± arithmetic (e.g. YoY deltas) stays exact; do NOT divide the result
+    (decimal division scale rules differ across engines — use
+    dec_avg_exact or micro-units for ratios)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})"))
+
+
+def dec_avg_exact(col: Column | str, scale: int = 8) -> Column:
+    """Bit-identical cross-engine AVG as double: the exact decimal sum is
+    converted to INT64 units (exact while |sum| < 2^63/10^scale ≈ 9.2e10
+    at scale 8 — orders of magnitude above any per-group sum here), then
+    one int64→double conversion per operand (correctly rounded, identical
+    in every IEEE implementation) and one double division (exactly
+    rounded). No decimal→double cast ever happens. Oracle twin:
+    ``CAST(CAST(SUM(CAST(x AS DECIMAL(28,8))) * 100000000 AS BIGINT)
+    AS DOUBLE) / CAST(COUNT(x) * 100000000 AS DOUBLE)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    units = (F.sum(c.cast(f"decimal(28,{scale})")) * F.lit(10**scale)).cast("long")
+    return units.cast("double") / (F.count(c) * F.lit(10**scale)).cast("double")
 
 
 # --------------------------------------------------------------------------

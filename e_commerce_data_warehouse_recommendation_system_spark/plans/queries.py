@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar import dec_avg, dec_sum
+from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar import (
+    dec_avg,
+    dec_avg_exact,
+    dec_sum,
+    dec_sum_exact,
+)
 from e_commerce_data_warehouse_recommendation_system_spark.registry import register
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
 
@@ -28,6 +33,21 @@ def _dsum(expr: str) -> str:
 
 def _davg(expr: str) -> str:
     return f"{_dsum(expr)} / COUNT({expr})"
+
+
+# Exact twins (round 7): driver-visible output columns never cast a wide
+# decimal to double — the cast diverges by 1 ulp between engines above
+# 2^53 (caught on q_revenue_rollup's grand total). Sums cross AS DECIMAL;
+# averages divide exact int64 units (see functions/scalar.dec_avg_exact).
+def _dsum_exact(expr: str) -> str:
+    return f"SUM(CAST({expr} AS DECIMAL(28,8)))"
+
+
+def _davg_exact(expr: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,8))) * 100000000 AS BIGINT) AS DOUBLE)"
+        f" / CAST(COUNT({expr}) * 100000000 AS DOUBLE)"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -41,13 +61,13 @@ def _davg(expr: str) -> str:
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {_dsum('l_quantity')}                                    AS sum_qty,
-           {_dsum('l_extendedprice')}                               AS sum_base_price,
-           {_dsum('l_extendedprice * (1 - l_discount)')}            AS sum_disc_price,
-           {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-           {_davg('l_quantity')}                                    AS avg_qty,
-           {_davg('l_extendedprice')}                               AS avg_price,
-           {_davg('l_discount')}                                    AS avg_disc,
+           {_dsum_exact('l_quantity')}                                    AS sum_qty,
+           {_dsum_exact('l_extendedprice')}                               AS sum_base_price,
+           {_dsum_exact('l_extendedprice * (1 - l_discount)')}            AS sum_disc_price,
+           {_dsum_exact('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_davg_exact('l_quantity')}                                    AS avg_qty,
+           {_davg_exact('l_extendedprice')}                               AS avg_price,
+           {_davg_exact('l_discount')}                                    AS avg_disc,
            COUNT(*)                                                 AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -60,13 +80,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.table("lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dec_sum("l_quantity").alias("sum_qty"),
-        dec_sum("l_extendedprice").alias("sum_base_price"),
-        dec_sum(disc).alias("sum_disc_price"),
-        dec_sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
-        dec_avg("l_quantity").alias("avg_qty"),
-        dec_avg("l_extendedprice").alias("avg_price"),
-        dec_avg("l_discount").alias("avg_disc"),
+        dec_sum_exact("l_quantity").alias("sum_qty"),
+        dec_sum_exact("l_extendedprice").alias("sum_base_price"),
+        dec_sum_exact(disc).alias("sum_disc_price"),
+        dec_sum_exact(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+        dec_avg_exact("l_quantity").alias("avg_qty"),
+        dec_avg_exact("l_extendedprice").alias("avg_price"),
+        dec_avg_exact("l_discount").alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -83,7 +103,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_revenue_by_region",
     oracle=f"""
     SELECT r_name AS region,
-           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {_dsum_exact('l_extendedprice * (1 - l_discount)')} AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -105,7 +125,7 @@ def q3_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
         .agg(
-            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            dec_sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -120,7 +140,7 @@ def q3_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_top_customers",
     oracle=f"""
     SELECT c_custkey, c_name,
-           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+           {_dsum_exact('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -137,7 +157,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)  # customer: threshold-driven — grows with SF, not force-broadcast
         .groupBy("c_custkey", "c_name")
-        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dec_sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         # decimal-exact revenue makes the tie-break deterministic across engines
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(10)
@@ -154,7 +174,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_revenue_rollup",
     oracle=f"""
     SELECT r_name AS region, n_name AS nation,
-           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+           {_dsum_exact('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -174,7 +194,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dec_sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -217,12 +237,17 @@ def q_json_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH monthly AS (
       SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
-             {_dsum('o_totalprice')} AS revenue
+             {_dsum_exact('o_totalprice')} AS revenue
       FROM orders GROUP BY 1, 2
     )
     SELECT a.year, a.month, a.revenue,
            b.revenue AS revenue_prev_year,
-           a.revenue - b.revenue AS yoy_delta
+           -- operands down-cast to DECIMAL(28,8) so the difference fits in
+           -- precision 29 on BOTH engines: subtracting two DECIMAL(38,8)s
+           -- overflows precision 38, and Spark then REDUCES scale to 7 and
+           -- rounds while DuckDB keeps scale 8 (probed round 7)
+           CAST(a.revenue AS DECIMAL(28,8)) - CAST(b.revenue AS DECIMAL(28,8))
+             AS yoy_delta
     FROM monthly a
     LEFT JOIN monthly b ON a.year = b.year + 1 AND a.month = b.month
     """,
@@ -239,7 +264,7 @@ def q_dashboard_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(
             F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month")
         )
-        .agg(dec_sum("o_totalprice").alias("revenue"))
+        .agg(dec_sum_exact("o_totalprice").alias("revenue"))
     )
     a = monthly.alias("a")
     b = monthly.select(
@@ -252,14 +277,18 @@ def q_dashboard_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month",
             "revenue",
             "revenue_prev_year",
-            (F.col("revenue") - F.col("revenue_prev_year")).alias("yoy_delta"),
+            # down-cast before subtracting: see the oracle's comment
+            (
+                F.col("revenue").cast("decimal(28,8)")
+                - F.col("revenue_prev_year").cast("decimal(28,8)")
+            ).alias("yoy_delta"),
         )
     )
 
 
 _GROUPING_SETS_SQL = """
     SELECT n_name AS nation, o_orderstatus AS status,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+           SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -286,8 +315,8 @@ _SEGMENTS = ("automobile", "building", "furniture", "household", "machinery")
     oracle=f"""
     SELECT year(o_orderdate) AS year,
            {', '.join(
-               f"CAST(SUM(CASE WHEN lower(c_mktsegment) = '{s}' "
-               f"THEN CAST(o_totalprice AS DECIMAL(28,8)) END) AS DOUBLE) AS {s}"
+               f"SUM(CASE WHEN lower(c_mktsegment) = '{s}' "
+               f"THEN CAST(o_totalprice AS DECIMAL(28,8)) END) AS {s}"
                for s in _SEGMENTS)}
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY 1
@@ -305,7 +334,7 @@ def q_pivot_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(cst, o.o_custkey == cst.c_custkey)
         .groupBy(F.year("o_orderdate").alias("year"))
         .pivot("c_mktsegment", [s.upper() for s in _SEGMENTS])
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,8)")).cast("double"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,8)")))
         .select(
             "year", *[F.col(s.upper()).alias(s) for s in _SEGMENTS]
         )
@@ -374,7 +403,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('day', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+           SUM(CAST(value AS DECIMAL(28,8))) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -406,7 +435,7 @@ def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start", "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum("_tv_dec").cast("double").alias("total_value"),
+            F.sum("_tv_dec").alias("total_value"),
         )
     )
     return merged
@@ -478,9 +507,13 @@ from e_commerce_data_warehouse_recommendation_system_spark.registry import compo
 @register(
     "session_window_native",
     # Gaps-and-islands twin of Spark's NATIVE session_window. Boundary
-    # semantics: session_window merges event ranges [ts, ts+gap) on OVERLAP,
-    # so an event exactly gap-separated starts a NEW session — hence
-    # ``>=`` here, where the lag-based q_sessionize twin uses ``>``.
+    # semantics (PROBED, round 7, tests/test_session_boundary.py): an event
+    # exactly gap-separated MERGES into the running session — Spark's merge
+    # rule is next_start <= prev_end with prev_end = prev_ts + gap — so a
+    # new session starts only at ``> gap``, same as the lag-based
+    # q_sessionize twin and the stateful streaming sessionizer. (Round 5
+    # documented ``>=`` here; real µs data has no exact ties, so the wrong
+    # boundary was never exercised until the round-7 tie probe.)
     # Own driver slot since round 5 (VERDICT r4 item 6): the per-session
     # boundary rows are the strongest sessionization evidence in the repo.
     # The boundary is emitted as epoch MICROSECONDS (BIGINT) — both engines
@@ -492,7 +525,7 @@ from e_commerce_data_warehouse_recommendation_system_spark.registry import compo
     marked AS (
       SELECT user_id, event_id, tus,
              CASE WHEN LAG(tus) OVER w IS NULL
-                    OR tus - LAG(tus) OVER w >= {SESSION_GAP_US}
+                    OR tus - LAG(tus) OVER w > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS new_sess
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
@@ -518,8 +551,8 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Emits one row per (user, session) with the session start and size, so
     the oracle checks the exact session BOUNDARIES, not just per-user
-    counts — this is what pins the ``>= gap`` half-open boundary semantics
-    documented above."""
+    counts — and tests/test_session_boundary.py pins the exact-tie merge
+    semantics documented above with a constructed gap-exact pair."""
     prepare(spark, sf_dir)
     ev = spark.table("events")
     # gap derived from SESSION_GAP_US so the Spark window and the oracle's
@@ -544,7 +577,7 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT date_trunc('day', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
-           {_dsum('value')} AS total_value
+           {_dsum_exact('value')} AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -555,7 +588,7 @@ def q_event_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.table("events")
     return (
         ev.groupBy(F.window("ts", "1 day"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum_exact("value").alias("total_value"))
         .select(
             # 1-day tumbling windows start at day boundaries, so window.start
             # IS date_trunc('day', ts); cast to DATE to match the oracle's

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar import dec_sum
+from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar import dec_sum, dec_sum_exact
 from e_commerce_data_warehouse_recommendation_system_spark.registry import component, register
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import (
     normalize_event_ts,
@@ -218,7 +218,7 @@ def _run_foreach_batch_upsert(
     oracle="""
     SELECT date_trunc('day', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+           SUM(CAST(value AS DECIMAL(28,8))) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -235,7 +235,10 @@ def stream_event_daily_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         events.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum_exact("value").alias("total_value"),
+        )
         .select(
             F.col("window.start").cast("date").alias("window_start"),
             "event_type",
@@ -724,15 +727,22 @@ def stream_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 @component(
     "stream_session_window_native",
     cols=[("user_id", "num"), ("session_start_us", "num"), ("n_events_s", "num")],
-    # batch session_window semantics (overlap-merge => >= gap starts a new
-    # session) RESTRICTED to watermark-finalized sessions: append mode
-    # emits a session only once the watermark passes its end (last event
-    # + gap). With a zero-delay watermark the final watermark is the
-    # global max event time, so the finalization predicate is exactly
-    # max_tus >= session_end — verified against the live stream (9542 =
-    # 9542 at sf0.01; an exact-tie at the >=-boundary is measure-zero for
-    # µs-resolution event times and would surface as a count mismatch
-    # here, not silently).
+    # batch session_window semantics RESTRICTED to watermark-finalized
+    # sessions. Both boundaries PROBED with constructed exact-tie events
+    # (round 7, tests/test_session_boundary.py):
+    #   * merge rule: an event exactly gap-separated MERGES (Spark merges
+    #     on next_start <= prev_end), so a new session starts only at
+    #     ``> gap`` — consistent with q_sessionize and the stateful
+    #     sessionizer;
+    #   * finalization: append mode emits a session once the watermark
+    #     REACHES its end — a session whose end exactly equals the final
+    #     watermark IS emitted (probed with a constructed end==watermark
+    #     session), so the predicate is inclusive.
+    # With a zero-delay watermark the final watermark is the global max
+    # event time, so the finalization predicate is exactly
+    # max_tus >= session_last_us + gap. Real µs-resolution data has no
+    # exact ties (verified: counts match the live stream at sf0.01), but
+    # the constructed-tie tests keep both boundaries honest.
     oracle=f"""
     WITH e AS (
       SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
@@ -740,7 +750,7 @@ def stream_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked AS (
       SELECT user_id, event_id, tus,
              CASE WHEN LAG(tus) OVER w IS NULL
-                    OR tus - LAG(tus) OVER w >= {30 * 60 * 1_000_000}
+                    OR tus - LAG(tus) OVER w > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS new_sess
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
@@ -760,7 +770,7 @@ def stream_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, session_start_us, n_events_s
     FROM agg
     WHERE (SELECT MAX(tus) FROM e)
-          >= session_last_us + {30 * 60 * 1_000_000}
+          >= session_last_us + {SESSION_GAP_US}
     """,
 )
 def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:

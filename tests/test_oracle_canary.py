@@ -30,11 +30,29 @@ TABLES = (
 
 #: Result types the driver's comparator round-trips losslessly: exact ints
 #: that fit int64, IEEE floats, strings, booleans, dates, and µs
-#: timestamps. Everything else (HUGEINT, DECIMAL, TIMESTAMP_NS,
+#: timestamps. Everything else (HUGEINT, TIMESTAMP_NS,
 #: TIMESTAMP WITH TIME ZONE, INTERVAL, nested types) has engine-specific
 #: normalization and MUST be cast inside the oracle SQL.
+#:
+#: DECIMAL(p,s) joined the portable set in round 7 — deliberately: casting
+#: a wide decimal sum to DOUBLE is what diverges (1 ulp above 2^53, the
+#: r6 red + the q_revenue_rollup near-miss), while the DECIMAL itself
+#: crosses bit-identically (probed, and verified by two full bit-exact
+#: 50/50 sweeps). Both engines emit SUM(DECIMAL(28,s)) as DECIMAL(38,s),
+#: and Python compares Decimal values numerically (scale-insensitively).
+#: CAVEAT the canary cannot see: decimal ARITHMETIC that overflows
+#: precision 38 makes Spark reduce scale AND ROUND where DuckDB keeps the
+#: scale (probed on subtraction) — ± on two DECIMAL(38,s) operands must
+#: down-cast them first (see q_dashboard_yoy); never divide decimals
+#: cross-engine (scale-inference rules differ — use dec_avg_exact).
 ALLOWED = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "FLOAT", "DOUBLE",
            "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP"}
+
+_DECIMAL_RE = __import__("re").compile(r"^DECIMAL\(\d+,\d+\)$")
+
+
+def _portable(typ: str) -> bool:
+    return typ in ALLOWED or bool(_DECIMAL_RE.match(typ))
 
 
 @pytest.fixture(scope="module")
@@ -59,7 +77,7 @@ def test_every_oracle_returns_portable_types(con):
     offenders = []
     for name, sql in _all_oracles():
         for col, typ, *_ in con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall():
-            if typ not in ALLOWED:
+            if not _portable(typ):
                 offenders.append((name, col, typ))
     assert not offenders, (
         "oracle columns with non-portable DuckDB types (add a CAST in the "
