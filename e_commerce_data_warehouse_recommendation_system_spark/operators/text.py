@@ -1274,3 +1274,198 @@ def text_rle_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL rle_tokens(d.text) r
         """
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval (rational IDF — deterministic cross-engine)
+# --------------------------------------------------------------------------
+
+#: Okapi BM25 shape parameters (standard defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 15
+
+#: Rational-IDF convention (same reasoning as text_tfidf_topterms): the
+#: classic ln((N-df+0.5)/(df+0.5)) is monotone in its argument, so ranking
+#: by the RAW rational (N-df+0.5)/(df+0.5) preserves per-term ordering
+#: while staying a chain of exactly-rounded IEEE ops — identical bits in
+#: Spark and DuckDB, where ln's libm rounding is platform-specific.
+#: Scores cross engines as FLOOR(score*1e6) per (doc, term) summed as
+#: BIGINT — order-independent and exact (the module's micro-unit rule).
+
+
+@component(
+    "text_search_bm25",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS dl FROM documents
+    ),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl
+      FROM dl
+    ),
+    postings AS (
+      SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM documents, LATERAL (SELECT unnest({_SQL_TOKENS}) AS term) t
+      WHERE t.term IN ({_SEARCH_IN})
+      GROUP BY doc_id, t.term
+    ),
+    dft AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM postings GROUP BY term
+    ),
+    term_scored AS (
+      SELECT p.doc_id,
+             CAST(FLOOR(
+               ((CAST(c.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE))
+                / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+               * ((CAST(p.tf AS DOUBLE) * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+                  / (CAST(p.tf AS DOUBLE)
+                     + CAST({BM25_K1!r} AS DOUBLE)
+                       * (CAST(1.0 AS DOUBLE) - CAST({BM25_B!r} AS DOUBLE)
+                          + CAST({BM25_B!r} AS DOUBLE)
+                            * (CAST(l.dl AS DOUBLE)
+                               / (CAST(c.total_dl AS DOUBLE)
+                                  / CAST(c.n_docs AS DOUBLE))))))
+               * CAST(1000000.0 AS DOUBLE)
+             ) AS BIGINT) AS term_score_micro
+      FROM postings p
+      JOIN dft d ON p.term = d.term
+      JOIN dl l ON p.doc_id = l.doc_id
+      CROSS JOIN corpus c
+    ),
+    doc_scored AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+             CAST(SUM(term_score_micro) AS BIGINT) AS score_micro
+      FROM term_scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_matched, score_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INT)
+             AS rnk
+    FROM doc_scored
+    ORDER BY score_micro DESC, doc_id ASC
+    LIMIT {BM25_TOP_K}
+    """,
+    cols=[
+        ("doc_id", "num"),
+        ("n_terms_matched", "num"),
+        ("score_micro", "num"),
+        ("rnk", "num"),
+    ],
+)
+def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked disjunctive retrieval over {SEARCH_TERMS} — the RANKED
+    completion of the search trio (conjunctive = boolean AND, phrase =
+    positional adjacency, this = scored OR). Standard Okapi shape
+    (k1={BM25_K1}, b={BM25_B}) with the rational-IDF convention documented
+    above: every arithmetic step is an exactly-rounded IEEE double op
+    written in the SAME association order as the oracle, and per-term
+    scores cross the engine boundary as floored micro-units summed in
+    exact integers — bit-identical by construction, no libm anywhere.
+
+    Plan shape: postings = explode pruned to the query terms (posting-list
+    rows only), df per term (|query|-row broadcast), doc lengths from a
+    second scan folded to (doc_id, dl), corpus stats a 1-row broadcast;
+    one shuffle each for postings/dl/doc-grouping, then a global top-k
+    (orderBy+limit, which Spark executes as per-partition TakeOrdered +
+    driver merge of K — never a full sort) re-ranked on the K-row result.
+    At 100 TB the postings and dl frames are materialized term-/doc-
+    bucketed tables (the conjunctive component's documented posture) and
+    cost stays bounded by the query terms' posting lists."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    dl = d.select("doc_id", F.size(tokens("text")).cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    postings = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    dd = lambda c: c.cast("double")  # noqa: E731 — mirrors the oracle's CASTs
+    avgdl = dd(F.col("total_dl")) / dd(F.col("n_docs"))
+    idf = (dd(F.col("n_docs")) - dd(F.col("df")) + F.lit(0.5)) / (
+        dd(F.col("df")) + F.lit(0.5)
+    )
+    tfnorm = (dd(F.col("tf")) * F.lit(BM25_K1 + 1.0)) / (
+        dd(F.col("tf"))
+        + F.lit(BM25_K1)
+        * (F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * (dd(F.col("dl")) / avgdl))
+    )
+    term_scored = (
+        postings.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.floor(idf * tfnorm * F.lit(1000000.0)).cast("long").alias(
+                "term_score_micro"
+            ),
+        )
+    )
+    doc_scored = term_scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        F.sum("term_score_micro").cast("long").alias("score_micro"),
+    )
+    topk = doc_scored.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(
+        BM25_TOP_K
+    )
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return topk.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe group-aware holdout split
+# --------------------------------------------------------------------------
+
+#: md5-first-hex-digit split of the GROUP key: 0-9 -> train (10/16),
+#: a-c -> val (3/16), d-f -> test (3/16).
+GROUP_SPLIT_BOUNDS = ("9", "c")
+
+
+@component(
+    "text_group_holdout_split",
+    oracle=f"""
+    SELECT doc_id, source,
+           CASE WHEN substr(md5(source), 1, 1) <= '{GROUP_SPLIT_BOUNDS[0]}'
+                  THEN 'train'
+                WHEN substr(md5(source), 1, 1) <= '{GROUP_SPLIT_BOUNDS[1]}'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    cols=[("doc_id", "num"), ("source", "str"), ("split", "str")],
+)
+def text_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/val/test split: the split is a pure function of
+    the md5 of the GROUP key (``source``), so every document of a group
+    lands in the same split by construction — the leakage guard the
+    row-level M10 split (rec_train_test_split, md5 of user:item) cannot
+    give: evaluating on held-out docs whose near-duplicates from the same
+    source sit in train is the classic contamination path for web-scale
+    corpora; splitting by source closes it.
+
+    Scale: map-only — no shuffle, no group materialization, no
+    coordination state; any executor computes any row's split
+    independently, and the assignment is stable under corpus growth
+    (adding documents never moves an existing group's split). Hex-digit
+    bounds give 10/3/3 sixteenths; finer ratios take more digits."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    digit = F.substring(F.md5(F.col("source")), 1, 1)
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(digit <= GROUP_SPLIT_BOUNDS[0], "train")
+        .when(digit <= GROUP_SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+        .alias("split"),
+    )

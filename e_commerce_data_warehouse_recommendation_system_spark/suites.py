@@ -202,6 +202,10 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_search_conjunctive",
         # retrieval: exact phrase via positional-posting adjacency join
         "text_search_phrase",
+        # retrieval: BM25-ranked disjunctive top-k (rational IDF, no libm)
+        "text_search_bm25",
+        # leakage-safe group-aware holdout split (split = f(md5(source)))
+        "text_group_holdout_split",
         # §2.11 UDTF surface: sequential RLE over token streams
         "text_rle_udtf",
     ],
