@@ -145,34 +145,56 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
+    # The driver captures only the TAIL of stdout (~2000 chars): round 6's
+    # line outgrew the window when per-slot stats were added inline and the
+    # round shipped with an unparseable artifact. The stdout line therefore
+    # carries ONLY the headline fields (~900 chars at 20 slots); the full
+    # adjudication evidence (per-slot raw runs/spread + slot genealogy)
+    # goes to the BENCH_stats.json sidecar + stderr.
+    sidecar = {
+        "query_stats": stats,
+        "slot_history": SLOT_HISTORY,
+        "iterations": ITERS,
+        "estimator": "min",
+    }
+    sidecar_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_stats.json")
+    try:
+        with open(sidecar_path, "w") as f:
+            json.dump(sidecar, f, indent=1)
+    except OSError as exc:  # read-only checkout: evidence still lands on stderr
+        print(f"# sidecar write failed: {exc}", file=sys.stderr)
+    print(f"# stats sidecar: {json.dumps(sidecar)}"[:4000], file=sys.stderr)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+            # contention evidence: 1-min loadavg before/after the sweep.
+            # An idle box sits near 0 at start; a loaded one explains a
+            # wide per-slot spread without a code change.
+            "loadavg_start": loadavg_start,
+            "loadavg_end": round(os.getloadavg()[0], 2),
+            # a partial total sums only the slots that ran — flag it
+            # STRUCTURALLY so a round with a failed slot can never read
+            # as a speedup in round-over-round comparison
+            **({"errors": errors, "partial": True} if errors else {}),
+        }
+    )
+    if len(line) > 1900:  # belt-and-braces: never outgrow the tail window
+        line = json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "query_stats": stats,
                 "sf": sf_val,
-                "iterations": ITERS,
-                "estimator": "min",
-                # contention evidence: 1-min loadavg before/after the sweep.
-                # An idle box sits near 0 at start; a loaded one explains a
-                # wide per-slot spread without a code change.
+                "n_queries": len(timings),
                 "loadavg_start": loadavg_start,
-                "loadavg_end": round(os.getloadavg()[0], 2),
-                # slot genealogy: renamed/split slots by round, so
-                # round-over-round diffs are mechanical. r4 split the r3
-                # composite slots into per-workload numbers; comparing a
-                # new slot against an old name means summing the new group.
-                "slot_history": SLOT_HISTORY,
-                # a partial total sums only the slots that ran — flag it
-                # STRUCTURALLY so a round with a failed slot can never read
-                # as a speedup in round-over-round comparison
-                **({"errors": errors, "partial": True} if errors else {}),
+                **({"partial": True} if errors else {}),
             }
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":

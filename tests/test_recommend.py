@@ -87,10 +87,10 @@ def test_cli_serving_entry_point(spark, recs):
     popularity shelf (rc 0). Rides the session-memoized model the `recs`
     fixture already trained."""
     import importlib.util
+    from pathlib import Path
 
-    spec = importlib.util.spec_from_file_location(
-        "recommend_user", "/root/repo/scripts/recommend_user.py"
-    )
+    cli_path = Path(__file__).resolve().parent.parent / "scripts" / "recommend_user.py"
+    spec = importlib.util.spec_from_file_location("recommend_user", str(cli_path))
     ru = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ru)
     uid = str(recs["topk"][0].user_id)
