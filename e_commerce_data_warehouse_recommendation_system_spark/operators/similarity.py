@@ -753,6 +753,106 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SemDeDup cosine threshold — aligned with COSINE_DUP_THRESHOLD's band
+#: (the synthetic embeddings plant no exact duplicates; 0.35 is where
+#: same-cluster vectors genuinely land), so the prune has real work at
+#: both test SFs and the kept-purity postcondition checks a kept set
+#: that actually excluded drops.
+SEMDEDUP_TAU = 0.35
+
+
+@component(
+    "sim_semantic_dedup",
+    cols=[
+        ("algo", "str"),
+        ("n_vectors", "num"),
+        ("k", "num"),
+        ("tau_micro", "num"),
+        ("conservation", "bool"),
+        ("kept_pure", "bool"),
+        ("dropped_in_range", "bool"),
+    ],
+    oracle=f"""
+    SELECT 'semantic_dedup' AS algo,
+           (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+           CAST({KMEANS_K} AS BIGINT) AS k,
+           CAST({int(SEMDEDUP_TAU * 1_000_000)} AS BIGINT) AS tau_micro,
+           TRUE AS conservation,
+           TRUE AS kept_pure,
+           TRUE AS dropped_in_range
+    """,
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus (the memoized k-means
+    fit shared with sim_kmeans_clusters / the balanced sampler), then drop
+    every vector that has a LOWER-id neighbor with cosine >= tau inside
+    its own cluster — the keep-min-id rule makes the result deterministic,
+    and restricting pairs to cells is the whole point of the algorithm:
+    pair space is sum(|cell|^2) ~ n^2/k, never all-pairs (the exact
+    counterpart, dedup_embedding_cosine, is the verification-scale
+    baseline; this is the curation-scale path).
+
+    Contract flags are computed from the genuine run, each from an
+    INDEPENDENT frame so no flag is a tautology of its own join:
+    conservation (kept + dropped == corpus, counted separately),
+    kept_pure (a SECOND pair pass over the kept subset finds zero
+    similar pairs — the algorithm's postcondition), dropped_in_range.
+    Cluster populations and therefore kept/dropped counts are
+    model-dependent (same digest class as the k-means fit); n_vectors is
+    SQL-exact.
+
+    Scale posture: norms and cells computed once (one narrow scan + the
+    memoized fit's broadcast-centroid assignment); the within-cell
+    self-join shuffles on the cell id; the double-precision dot prefilter
+    (cosine_pairs' two-pass trick) prunes before the decimal-exact
+    cosine. The purity recheck doubles the pair work and exists for
+    verification — a production pipeline samples it."""
+    model, pred = _kmeans_model(spark, sf_dir)
+    cells = pred.select("vec_id", F.col("prediction").alias("cell"))
+    m = vectors_with_norms(spark).join(cells, "vec_id").cache()
+    n = m.count()
+
+    def sim_pairs(frame: DataFrame) -> DataFrame:
+        a = frame.select(
+            F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+            F.col("nrm").alias("na"), F.col("cell").alias("ca"),
+        )
+        b = frame.select(
+            F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"), F.col("cell").alias("cb"),
+        )
+        pairs = a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
+        cos_fast = _dot_fast(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        survivors = pairs.filter(cos_fast >= SEMDEDUP_TAU - 1e-6)
+        cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        return survivors.filter(cos >= SEMDEDUP_TAU).select("id_a", "id_b")
+
+    dropped = sim_pairs(m).select(F.col("id_b").alias("vec_id")).distinct().cache()
+    n_dropped = dropped.count()
+    kept = m.join(dropped, "vec_id", "left_anti").cache()
+    n_kept = kept.count()
+    # independent postcondition: the kept set contains NO similar pair
+    n_kept_pairs = sim_pairs(kept).count()
+    return spark.createDataFrame(
+        [
+            (
+                "semantic_dedup",
+                n,
+                KMEANS_K,
+                int(SEMDEDUP_TAU * 1_000_000),
+                bool(n_kept + n_dropped == n),
+                bool(n_kept_pairs == 0),
+                bool(0 <= n_dropped < max(n, 1)),
+            )
+        ],
+        schema=(
+            "algo string, n_vectors bigint, k bigint, tau_micro bigint, "
+            "conservation boolean, kept_pure boolean, dropped_in_range boolean"
+        ),
+    )
+
+
 CLUSTER_SAMPLE_CAP = 40
 
 

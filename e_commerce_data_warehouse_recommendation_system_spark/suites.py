@@ -225,6 +225,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "sim_quantize_int8",
         # trained-centroid clustering (contract digest, ALS-factor class)
         "sim_kmeans_clusters",
+        # SemDeDup: cell-bounded cosine prune over the shared fit
+        "sim_semantic_dedup",
         # product-quantization codebooks (IVF-PQ memory layout)
         "sim_pq_codes",
         # per-dimension cohort mean-shift drift monitor (full oracle)
