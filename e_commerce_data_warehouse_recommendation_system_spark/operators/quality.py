@@ -149,3 +149,83 @@ def dq_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_events", "n_outliers", "threshold")
     )
+
+
+# --------------------------------------------------------------------------
+# In-flight observed metrics (df.observe) — instrumentation without a
+# second pass
+# --------------------------------------------------------------------------
+
+
+@component(
+    "dq_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_custkeys,
+           SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS observed_revenue,
+           CAST(COUNT(*) AS BIGINT) AS sink_rows
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+    cols=[
+        ("n_rows", "num"),
+        ("null_custkeys", "num"),
+        ("observed_revenue", "num"),
+        ("sink_rows", "num"),
+    ],
+)
+def dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ metrics observed IN-FLIGHT on a real query via ``df.observe``
+    (the Observation API): row count, null-key count, and the decimal
+    revenue sum are collected as accumulator-style aggregates WHILE the
+    query's own action runs — no second scan, no extra job. This is how a
+    production pipeline instruments every stage (Deequ's runtime-metrics
+    mode, Delta Live Tables expectations) as opposed to the separate
+    validation pass of dq_orders_checks: both exist because both are real
+    patterns — validate-then-load wants the standalone pass, continuous
+    pipelines want the free in-flight one.
+
+    The oracle recomputes the same aggregates relationally, so the
+    Observation values (which cross the JVM boundary through a listener,
+    a DIFFERENT path from collect()) are value-checked against SQL — and
+    the sink count is reported independently from the observed count,
+    proving observation never perturbs the observed frame.
+
+    Scale: observe compiles to the same partial aggregates as agg() fused
+    into the existing job's stages — zero additional shuffles (the metric
+    exchange is the driver-side accumulator merge)."""
+    from pyspark.sql import Observation
+
+    prepare(spark, sf_dir)
+    obs = Observation("dq_inflight")
+    urgent = (
+        spark.table("orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(F.col("o_custkey").isNull().cast("long")), F.lit(0)
+            ).alias("null_custkeys"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,8)")).alias(
+                "observed_revenue"
+            ),
+        )
+    )
+    sink_rows = urgent.count()  # the query's own action triggers the metrics
+    got = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                got["n_rows"],
+                got["null_custkeys"],
+                got["observed_revenue"],
+                sink_rows,
+            )
+        ],
+        schema=(
+            "n_rows bigint, null_custkeys bigint, "
+            "observed_revenue decimal(38,8), sink_rows bigint"
+        ),
+    )

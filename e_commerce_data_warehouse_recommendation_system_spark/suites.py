@@ -53,6 +53,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "j2_fanout",
         "j3_inner_agg",
         "stream_enrich_segments",
+        # incremental maintenance of a join view: delta-join + partial merge
+        "j_ivm_join_view",
     ],
     # §2.3 semi/anti/integrity joins + the runtime bloom-filter reduction
     "rel_semi_anti_suite": [
@@ -160,6 +162,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "s17_analyze_stats",
         # incremental ANALYZE: partition partials merged without rescan
         "s18_incremental_stats",
+        # in-flight observed metrics (df.observe) — DQ without a 2nd pass
+        "dq_observed_metrics",
     ],
     # the Kimball dims + end-to-end pipeline counts
     "etl_dims_suite": [
