@@ -17,7 +17,14 @@ Digest design rules (everything must hash-match bit-for-bit across engines):
   scale 6, verified by the fuzzer) — never as a double: a decimal→double
   cast rounds, and above 2^53 Spark's BigDecimal rounding and DuckDB's
   int128 rounding can differ by 1 ulp (round-6 driver red on an epoch-µs
-  sum ≈1.6e19 — the ``sum:`` metric was double-valued then);
+  sum ≈1.6e19 — the ``sum:`` metric was double-valued then).
+  PRECONDITION (canary-enforced, tests/test_oracle_canary.py): every
+  ``num`` column's values must be EXACTLY representable at scale 6 —
+  integers or decimals with ≤6 fractional digits. The scale-6 cast is
+  where the engines part ways otherwise: Spark rounds HALF_UP on a
+  decimal downcast while DuckDB TRUNCATES toward zero (probed round 7),
+  so a 7th fractional digit silently diverges. Raw doubles belong in
+  ``dbl``, wider decimals need a wider digest kind first;
 - doubles (``dbl``) are folded as SUM(FLOOR(x * 1e6)) in exact decimal:
   FLOOR of an identical IEEE double is identical, and the integer sum is
   order-independent — no float accumulation ever crosses an engine

@@ -118,3 +118,35 @@ def test_drift_mechanisms_still_real(con):
             for r in con.execute("DESCRIBE SELECT epoch_us(ts) AS u FROM events LIMIT 0").fetchall()
         ]
         assert t_us == "BIGINT"
+
+
+def test_num_digest_columns_are_scale6_exact(con):
+    """The `num` digest sums through DECIMAL(38,6). The scale-6 cast is
+    engine-divergent for values with MORE than 6 fractional digits: Spark
+    rounds HALF_UP on a decimal downcast while DuckDB TRUNCATES toward
+    zero (probed round 7 — '1.1234565' becomes 1.123457 vs 1.123456).
+    Every component column declared kind 'num' must therefore hold values
+    exactly representable at scale 6 (integers, counts, micro-units,
+    money at <=6 dp). The exact decimal round-trip also rejects the other
+    misuse: a raw DOUBLE column declared 'num' instead of 'dbl'. (NOT
+    round(col,6): DuckDB's round scales through DOUBLE and is itself
+    inexact for epoch-µs-sized integers.) Evaluated on the DuckDB side
+    only — the cross-engine value hash already proves the Spark side
+    equals the oracle."""
+    offenders = []
+    for name, comp in registry.components().items():
+        if comp.oracle is None:
+            continue
+        for col, kind in comp.cols:
+            if kind != "num":
+                continue
+            bad = con.execute(
+                f"SELECT COUNT(*) FROM ({comp.oracle}) _t "
+                f"WHERE _t.{col} <> CAST(_t.{col} AS DECIMAL(38,6))"
+            ).fetchone()[0]
+            if bad:
+                offenders.append((name, col, bad))
+    assert not offenders, (
+        "num-digest columns with >6 fractional digits (DuckDB truncates "
+        f"where Spark rounds — use 'dbl' or widen the digest): {offenders}"
+    )
