@@ -444,7 +444,25 @@ COMPONENT_SHUFFLE_BUDGET = {
     "mm_payload_dedup": 1,
     "text_rle_udtf": 0,
     "a17_gini_udaf": 2,
+    # round 7: BM25 = postings agg + df agg + dl join + doc agg + the
+    # K-row re-rank window; the retrieval itself ends in TakeOrdered
+    "text_search_bm25": 5,
+    # the leakage-safe split is map-only by design — ZERO exchanges
+    "text_group_holdout_split": 0,
+    # join-view IVM: delta-join partials + the touched-date merge
+    "j_ivm_join_view": 2,
 }
+
+
+def test_bm25_topk_is_takeordered_not_full_sort(spark):
+    """text_search_bm25's global top-k must compile to
+    TakeOrderedAndProject (per-partition heads + driver K-merge), never a
+    global Sort — on a 100 TB corpus the difference is a full-corpus
+    range-shuffle sort vs K rows per partition."""
+    from e_commerce_data_warehouse_recommendation_system_spark import registry
+
+    plan = _plan(registry.components()["text_search_bm25"].fn(spark, SF0001))
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_lazy_components_stay_inside_shuffle_budget(spark):
