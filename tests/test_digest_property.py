@@ -33,7 +33,21 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-COLS = (("k", "num"), ("x", "dbl"), ("s", "str"), ("b", "bool"))
+COLS = (
+    ("k", "num"),
+    ("x", "dbl"),
+    ("s", "str"),
+    ("b", "bool"),
+    ("d", "date"),
+    ("t", "ts"),
+)
+
+# date/ts domains: the full parquet-portable range both engines read back
+# losslessly (years 1–9999 for DATE; timestamps kept within the int64
+# epoch-µs span both engines share).
+_EPOCH_DAY_MIN, _EPOCH_DAY_MAX = -719162, 2932896  # 0001-01-01 .. 9999-12-31
+_EPOCH_US_MIN = -62135596800 * 1_000_000  # 0001-01-01T00:00:00Z
+_EPOCH_US_MAX = 253402300799 * 1_000_000  # 9999-12-31T23:59:59Z
 
 row_st = st.tuples(
     st.one_of(st.none(), st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1)),
@@ -43,6 +57,8 @@ row_st = st.tuples(
     ),
     st.one_of(st.none(), st.text(max_size=12)),
     st.one_of(st.none(), st.booleans()),
+    st.one_of(st.none(), st.integers(min_value=_EPOCH_DAY_MIN, max_value=_EPOCH_DAY_MAX)),
+    st.one_of(st.none(), st.integers(min_value=_EPOCH_US_MIN, max_value=_EPOCH_US_MAX)),
 )
 
 
@@ -70,14 +86,25 @@ def test_digest_cross_engine_parity(spark, rows):
         digest_sql,
     )
 
-    sdf = spark.createDataFrame(rows, schema="k long, x double, s string, b boolean")
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(
+        rows, schema="k long, x double, s string, b boolean, d_days int, t_us long"
+    ).select(
+        "k",
+        "x",
+        "s",
+        "b",
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("d_days")).alias("d"),
+        F.timestamp_micros(F.col("t_us")).alias("t"),
+    )
     got = [tuple(r) for r in digest_df(sdf, "fuzz", COLS).collect()]
 
     tmp = tempfile.mkdtemp(prefix="ecomdw_digest_fuzz_")
     try:
         sdf.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/t")
         con = duckdb.connect()
-        con.execute(f"CREATE VIEW src AS SELECT k, x, s, b FROM '{tmp}/t/*.parquet'")
+        con.execute(f"CREATE VIEW src AS SELECT k, x, s, b, d, t FROM '{tmp}/t/*.parquet'")
         want = con.execute(digest_sql("fuzz", "SELECT * FROM src", COLS)).fetchall()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
