@@ -1041,3 +1041,89 @@ def wr_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+# --------------------------------------------------------------------------
+# Snapshot retention (VACUUM / expire_snapshots)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "wr_wap_vacuum",
+    cols=[
+        ("phase", "str"),
+        ("n_value", "num"),
+        ("ok", "bool"),
+    ],
+    oracle="""
+    WITH f AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'versions_before' AS phase, CAST(3 AS BIGINT) AS n_value, TRUE AS ok
+    UNION ALL
+    SELECT 'deleted', CAST(1 AS BIGINT), TRUE
+    UNION ALL
+    SELECT 'versions_after', CAST(2 AS BIGINT), TRUE
+    UNION ALL
+    SELECT 'current_survives', CAST(0 AS BIGINT), TRUE
+    UNION ALL
+    SELECT 'reader_after_vacuum', CAST(n AS BIGINT), TRUE FROM f
+    """,
+)
+def wr_wap_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention (writers.wap_vacuum) — the storage-reclaim half
+    of the WAP lifecycle, completing the table-maintenance set next to
+    compaction, z-order, and time travel (Delta VACUUM / Iceberg
+    expire_snapshots). Scenario, fully deterministic: publish v1 and v2
+    (both pass), attempt v3 with corrupt NULL-key rows (audit rejects it,
+    so the manifest still points at v2 while v3's staged files linger for
+    forensics — three version dirs on disk). Vacuum keep=2 must then
+    delete exactly v1 (the oldest), retain v2+v3, NEVER touch the version
+    the manifest points to, and leave the reader's view byte-identical:
+    the post-vacuum read returns exactly the published 'F'-order rows,
+    which is the SQL-derivable anchor. current_survives re-reads the
+    manifest version AFTER the sweep.
+
+    Scale: the sweep is version METADATA (one directory listing) plus
+    recursive dir deletes (object-store prefix deletes); data rows never
+    move — retention cost is independent of table size."""
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
+        null_key_audit,
+        wap_publish,
+        wap_read,
+        wap_vacuum,
+        wap_versions,
+    )
+
+    prepare(spark, sf_dir)
+    audit = null_key_audit("o_orderkey")
+    good = spark.table("orders").filter(F.col("o_orderstatus") == "F")
+    corrupt = good.unionByName(
+        good.limit(2)
+        .select(
+            F.lit(None).cast("bigint").alias("o_orderkey"),
+            *[F.col(c) for c in good.columns if c != "o_orderkey"],
+        )
+        .select(*good.columns)
+    )
+    tmp = tempfile.mkdtemp(prefix="ecomdw_wapvac_")
+    try:
+        assert wap_publish(spark, tmp, good, "1", audit)
+        assert wap_publish(spark, tmp, good, "2", audit)
+        assert not wap_publish(spark, tmp, corrupt, "3", audit)  # stays staged
+        before = wap_versions(tmp)
+        deleted = wap_vacuum(tmp, keep=2)
+        after = wap_versions(tmp)
+        reader_rows = wap_read(spark, tmp).count()
+        with open(f"{tmp}/MANIFEST") as fh:
+            current = fh.read().strip()
+        rows = [
+            ("versions_before", len(before), before == ["1", "2", "3"]),
+            ("deleted", len(deleted), deleted == ["1"]),
+            ("versions_after", len(after), after == ["2", "3"]),
+            ("current_survives", 0, current == "v_2"),
+            ("reader_after_vacuum", reader_rows, True),
+        ]
+        return spark.createDataFrame(
+            rows, schema="phase string, n_value bigint, ok boolean"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

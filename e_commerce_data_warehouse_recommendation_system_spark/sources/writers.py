@@ -211,6 +211,42 @@ def wap_versions(root: str) -> list[str]:
     return sorted(ids, key=lambda v: (0, int(v), "") if v.isdigit() else (1, 0, v))
 
 
+def wap_vacuum(root: str, keep: int) -> list[str]:
+    """Retention sweep (VACUUM): delete all but the newest ``keep``
+    version dirs under a WAP root — the storage-reclaim half of the
+    snapshot lifecycle (publish accumulates versions; this bounds them,
+    like Delta VACUUM / Iceberg expire_snapshots). Two safety rules:
+
+    - the version the MANIFEST currently points to is NEVER deleted,
+      whatever its age — readers resolving the pointer mid-sweep stay
+      consistent;
+    - deletion order is oldest-first and the manifest is untouched, so a
+      crash mid-sweep leaves a smaller-but-valid table, never a broken
+      pointer.
+
+    Returns the deleted version ids. Driver-side work is version METADATA
+    (a directory listing) — never data rows; the deletes themselves are
+    recursive dir removals (object-store prefix deletes at scale)."""
+    import os
+    import shutil
+
+    current = None
+    manifest = f"{root}/MANIFEST"
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            current = fh.read().strip()[len("v_"):]
+    versions = wap_versions(root)
+    retained = set(versions[-keep:]) if keep > 0 else set()
+    if current is not None:
+        retained.add(current)
+    deleted = []
+    for v in versions:
+        if v not in retained:
+            shutil.rmtree(f"{root}/v_{v}")
+            deleted.append(v)
+    return deleted
+
+
 def wap_read_version(spark, root: str, version: str) -> DataFrame:
     """Time travel: read a specific retained version regardless of the
     manifest pointer — audits of a rejected staging, replays of an old

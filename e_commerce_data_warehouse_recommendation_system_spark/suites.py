@@ -276,6 +276,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "wr_schema_evolution",
         # quality-gated atomic publication (write-audit-publish manifest)
         "wr_wap_publish",
+        # snapshot retention: VACUUM old versions, never the current one
+        "wr_wap_vacuum",
         # right-to-be-forgotten: cascading multi-table erasure + audit
         "wr_gdpr_erasure",
         # streaming WAP: per-micro-batch audited snapshot publication
