@@ -180,6 +180,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         "j_pit_scd2",
         # late-arriving dim: quarantine early facts, lossless replay
         "etl_late_dim_quarantine",
+        # idempotent partition-range backfill (dynamic overwrite, file-set
+        # stability of untouched partitions proven from listings)
+        "etl_backfill_range",
     ],
     # text analysis: counting / quality / fingerprint / sampling / tf-idf
     "text_profile_suite": [
