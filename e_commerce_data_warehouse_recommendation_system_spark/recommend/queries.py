@@ -1608,3 +1608,134 @@ def pagerank(pairs: DataFrame, iters: int, damping: float) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+# --------------------------------------------------------------------------
+# NDCG@k ranking evaluation (graded position-discounted metric)
+# --------------------------------------------------------------------------
+
+NDCG_K = 10
+
+#: Position weights w_i = round(1e6 / log2(i+1)) and their prefix sums,
+#: PRECOMPUTED IN PYTHON and embedded as integer literals on BOTH engine
+#: sides — log2 is libm and its rounding is platform-specific, so the
+#: logarithm never crosses the engine boundary (the tf-idf/BM25 no-libm
+#: convention applied to the canonical DCG discount). Integer micro-units
+#: make every per-user sum order-independent and exact.
+_NDCG_W = [round(1_000_000 / __import__("math").log2(i + 1)) for i in range(1, NDCG_K + 1)]
+_NDCG_P = [sum(_NDCG_W[: i + 1]) for i in range(NDCG_K)]  # prefix sums
+
+_SQL_NDCG_W = "CASE r.rnk " + " ".join(
+    f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+) + " END"
+_SQL_NDCG_P = "CASE LEAST(h.n_holdout, " + str(NDCG_K) + ") " + " ".join(
+    f"WHEN {i + 1} THEN {p}" for i, p in enumerate(_NDCG_P)
+) + " END"
+
+
+@component(
+    "rec_ndcg_popularity",
+    cols=[
+        ("user_id", "num"),
+        ("n_holdout", "num"),
+        ("dcg_micro", "num"),
+        ("idcg_micro", "num"),
+        ("ndcg_micro", "num"),
+    ],
+    oracle=f"""
+    WITH inter AS ({_SQL_INTERACTIONS}),
+    split AS (
+      SELECT user_id, item_id,
+             substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(item_id AS VARCHAR)), 1, 1)
+               IN ('0','1','2') AS held_out
+      FROM inter
+    ),
+    pop AS (
+      SELECT item_id, COUNT(*) AS n_users FROM split
+      WHERE NOT held_out GROUP BY item_id
+    ),
+    shelf AS (
+      SELECT item_id,
+             ROW_NUMBER() OVER (ORDER BY n_users DESC, item_id) AS rnk
+      FROM pop QUALIFY rnk <= {NDCG_K}
+    ),
+    holdout AS (
+      SELECT user_id, item_id FROM split WHERE held_out
+    ),
+    h AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_holdout
+      FROM holdout GROUP BY user_id
+    ),
+    dcg AS (
+      SELECT ho.user_id, CAST(SUM({{W}}) AS BIGINT) AS dcg_micro
+      FROM holdout ho JOIN shelf r ON ho.item_id = r.item_id
+      GROUP BY ho.user_id
+    )
+    SELECT h.user_id,
+           h.n_holdout,
+           CAST(coalesce(d.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+           CAST({{P}} AS BIGINT) AS idcg_micro,
+           CAST(FLOOR(CAST(coalesce(d.dcg_micro, 0) AS DOUBLE) * CAST(1000000.0 AS DOUBLE)
+                      / CAST({{P}} AS DOUBLE)) AS BIGINT) AS ndcg_micro
+    FROM h LEFT JOIN dcg d ON h.user_id = d.user_id
+    """.replace("{W}", _SQL_NDCG_W).replace("{P}", _SQL_NDCG_P),
+)
+def rec_ndcg_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{NDCG_K} of the popularity shelf against the held-out split —
+    the position-discounted ranking metric missing next to P@k/R@k/F1
+    (rec_eval_suite): a hit at rank 1 is worth 1/log2(2), at rank 10 only
+    1/log2(11), so the metric rewards ORDER, not just membership. The
+    ranking under evaluation is the deterministic most-popular shelf
+    computed on the TRAIN side only (no leakage into the evaluated list);
+    relevance is binary membership in the user's held-out items; IDCG is
+    the perfect-ordering prefix for min(|holdout|, k).
+
+    Cross-engine exactness: the log2 discounts are Python-precomputed
+    integer micro-weights embedded as literals on both sides (no libm in
+    either engine); DCG/IDCG are integer sums; the final ratio is one
+    identical double division + FLOOR. Per-user rows (not just the mean)
+    so the oracle checks every user's metric.
+
+    Scale: one shuffle for the train-side reach count, TakeOrdered for
+    the K-row shelf (broadcast to the holdout join), one user_id shuffle
+    for DCG, one for holdout sizes — all bounded by the interaction
+    table's one pass."""
+    prepare(spark, sf_dir)
+    inter = interactions(spark)
+    held = _split_bucket("user_id", "item_id").isin("0", "1", "2")
+    with_split = inter.withColumn("held_out", held)
+    train = with_split.filter(~F.col("held_out"))
+    holdout = with_split.filter(F.col("held_out")).select("user_id", "item_id")
+
+    pop = train.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_users"))
+    top = pop.orderBy(F.desc("n_users"), F.asc("item_id")).limit(NDCG_K)
+    w_rank = Window.orderBy(F.desc("n_users"), F.asc("item_id"))
+    shelf = top.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _NDCG_W])
+    p_arr = F.array(*[F.lit(p).cast("long") for p in _NDCG_P])
+
+    dcg = (
+        holdout.join(F.broadcast(shelf), "item_id")
+        .select("user_id", F.element_at(w_arr, F.col("rnk")).alias("w"))
+        .groupBy("user_id")
+        .agg(F.sum("w").alias("dcg_micro"))
+    )
+    h = holdout.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_holdout"))
+    idcg = F.element_at(p_arr, F.least(F.col("n_holdout"), F.lit(NDCG_K)).cast("int"))
+    return (
+        h.join(dcg, "user_id", "left")
+        .select(
+            "user_id",
+            "n_holdout",
+            F.coalesce(F.col("dcg_micro"), F.lit(0)).cast("long").alias("dcg_micro"),
+            idcg.cast("long").alias("idcg_micro"),
+            F.floor(
+                F.coalesce(F.col("dcg_micro"), F.lit(0)).cast("double")
+                * F.lit(1000000.0)
+                / idcg.cast("double")
+            )
+            .cast("long")
+            .alias("ndcg_micro"),
+        )
+    )

@@ -256,6 +256,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "rec_decayed_popularity",
         # influential products: PageRank over the co-purchase graph
         "rec_pagerank_items",
+        # NDCG@k of the popularity shelf (no-libm integer discounts)
+        "rec_ndcg_popularity",
     ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [
