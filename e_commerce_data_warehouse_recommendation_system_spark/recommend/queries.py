@@ -1739,3 +1739,126 @@ def rec_ndcg_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ndcg_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic negative sampling (implicit-feedback training prep)
+# --------------------------------------------------------------------------
+
+NEG_K = 5          #: negatives kept per user
+NEG_SLOTS = 10     #: candidate draws per user (2x over-draw absorbs hits)
+
+
+@component(
+    "rec_negative_samples",
+    cols=[
+        ("user_id", "num"),
+        ("neg_rank", "num"),
+        ("item_id", "num"),
+        ("slot", "num"),
+    ],
+    oracle=f"""
+    WITH inter AS ({{INTER}}),
+    items AS (
+      SELECT item_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY item_id) - 1 AS BIGINT) AS idx
+      FROM (SELECT DISTINCT item_id FROM inter)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM items),
+    users AS (SELECT DISTINCT user_id FROM inter),
+    cand AS (
+      SELECT u.user_id, s.slot,
+             ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '#'
+                                 || CAST(s.slot AS VARCHAR)), 1, 8))::BIGINT
+               % n.n_items AS idx
+      FROM users u
+      CROSS JOIN (SELECT unnest(range({NEG_SLOTS})) AS slot) s
+      CROSS JOIN n
+    ),
+    resolved AS (
+      SELECT c.user_id, CAST(c.slot AS BIGINT) AS slot, i.item_id
+      FROM cand c JOIN items i ON c.idx = i.idx
+      WHERE NOT EXISTS (
+        SELECT 1 FROM inter t
+        WHERE t.user_id = c.user_id AND t.item_id = i.item_id
+      )
+    ),
+    dedup AS (
+      SELECT user_id, item_id, MIN(slot) AS slot
+      FROM resolved GROUP BY user_id, item_id
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slot) AS BIGINT)
+             AS neg_rank,
+           item_id, slot
+    FROM dedup
+    QUALIFY neg_rank <= {NEG_K}
+    """.replace("{INTER}", _SQL_INTERACTIONS),
+)
+def rec_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE sampling — the training-prep half every
+    implicit-feedback objective (BPR, sampled softmax, ALS with sampled
+    evaluation) needs next to the positive interactions: for each user,
+    {NEG_K} items they have NOT interacted with, drawn reproducibly.
+    Candidates come from {NEG_SLOTS} md5-indexed draws into the dense item
+    dictionary (the md5-determinism convention — identical on any cluster
+    topology, no seeded global shuffle), interacted pairs are removed by
+    anti-join, within-user duplicate draws collapse to their first slot,
+    and the first {NEG_K} surviving slots win. A heavy user whose draws
+    all collide simply yields fewer negatives — the standard over-draw
+    absorbs this at 2x.
+
+    Cross-engine bridge: the md5-hex-to-integer index is Spark
+    ``conv(hex, 16, 10)`` and DuckDB ``('0x'||hex)::BIGINT`` — both parse
+    the same 8 hex chars to the same unsigned 32-bit value (probed).
+
+    Scale: candidate space is |users| x {NEG_SLOTS} — a bounded map-side
+    fan-out, never |users| x |items|; the item dictionary is
+    vocabulary-sized and broadcast; the anti-join shuffles on the pair
+    key once; per-user windows run on <= {NEG_SLOTS} rows."""
+    prepare(spark, sf_dir)
+    inter = interactions(spark)
+    items = _encode(inter, "item_id", "idx").select(
+        "item_id", F.col("idx").cast("long").alias("idx")
+    )
+    n = items.agg(F.count(F.lit(1)).alias("n_items"))
+    users = inter.select("user_id").distinct()
+    slots = spark.range(NEG_SLOTS).select(F.col("id").alias("slot"))
+    cand = (
+        users.crossJoin(F.broadcast(slots))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "user_id",
+            "slot",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "#",
+                                F.col("user_id").cast("string"),
+                                F.col("slot").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_items")
+            ).alias("idx"),
+        )
+    )
+    resolved = (
+        cand.join(F.broadcast(items), "idx")
+        .join(inter, ["user_id", "item_id"], "left_anti")
+        .select("user_id", "slot", "item_id")
+    )
+    dedup = resolved.groupBy("user_id", "item_id").agg(F.min("slot").alias("slot"))
+    w = Window.partitionBy("user_id").orderBy("slot")
+    return (
+        dedup.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= NEG_K)
+        .select("user_id", "neg_rank", "item_id", "slot")
+    )

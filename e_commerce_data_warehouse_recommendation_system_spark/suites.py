@@ -258,6 +258,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "rec_pagerank_items",
         # NDCG@k of the popularity shelf (no-libm integer discounts)
         "rec_ndcg_popularity",
+        # deterministic md5-indexed negative sampling (BPR-style prep)
+        "rec_negative_samples",
     ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [
