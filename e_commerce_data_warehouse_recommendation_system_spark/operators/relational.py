@@ -1002,6 +1002,63 @@ def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_orders"))
 
 
+#: equi-depth bucket count (boundaries at i/B quantiles, i = 1..B-1)
+EQUIDEPTH_BUCKETS = 8
+
+
+@component(
+    "a16_equidepth_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT {', '.join(
+          f'quantile_cont(o_totalprice, {i / EQUIDEPTH_BUCKETS}) AS q{i}'
+          for i in range(1, EQUIDEPTH_BUCKETS)
+      )}
+      FROM orders
+    )
+    SELECT CAST({' + '.join(
+        f'(CASE WHEN o.o_totalprice > b.q{i} THEN 1 ELSE 0 END)'
+        for i in range(1, EQUIDEPTH_BUCKETS)
+    )} AS INT) AS bucket,
+           COUNT(*) AS n_orders
+    FROM orders o CROSS JOIN b
+    GROUP BY 1
+    """,
+    cols=[("bucket", "num"), ("n_orders", "num")],
+)
+def a16_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram — the companion of a13's fixed-width bins and
+    what ANALYZE-style optimizer statistics actually store for skewed
+    columns (equal-population buckets adapt to the distribution where
+    fixed-width bins collapse into one hot bin). Boundaries are the
+    i/{EQUIDEPTH_BUCKETS} exact interpolated quantiles (the a11-proven
+    percentile ≡ quantile_cont cross-engine contract); bucket membership
+    is a map-side CASE chain against the broadcast 1-row boundary frame —
+    boundary ties go to the LOWER bucket deterministically (strict >).
+
+    Scale: the boundary aggregate is the only sort-bearing step and runs
+    on the aggregated column, not the table; at 100 TB it swaps for
+    approx_percentile (mergeable GK sketch) with the same downstream
+    shape — broadcast bounds + one aggregation shuffle."""
+    prepare(spark, sf_dir)
+    o = spark.table("orders")
+    bounds = o.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {i / EQUIDEPTH_BUCKETS})").alias(f"q{i}")
+            for i in range(1, EQUIDEPTH_BUCKETS)
+        ]
+    )
+    bucket = sum(
+        (F.col("o_totalprice") > F.col(f"q{i}")).cast("int")
+        for i in range(1, EQUIDEPTH_BUCKETS)
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 # ==========================================================================
 # SS2.5 Deduplication (relational forms; scale-out text dedup lives in
 # operators/dedup.py)

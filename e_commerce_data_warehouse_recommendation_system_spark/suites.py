@@ -84,6 +84,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "a11_percentiles",
         "a12_corr_moments",
         "a13_histogram",
+        # equi-depth companion: equal-population buckets at exact quantiles
+        "a16_equidepth_histogram",
         "a11b_approx_percentile_bound",
         # skew diagnostic: top-K keys + traffic share (salting decision input)
         "a14_heavy_hitters",
