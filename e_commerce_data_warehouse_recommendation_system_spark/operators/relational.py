@@ -34,6 +34,12 @@ def _dsum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(28,8))) AS DOUBLE)"
 
 
+def _dsum_exact(expr: str) -> str:
+    # money-magnitude sums cross AS DECIMAL — the double cast diverges by
+    # 1 ulp between engines above 2^53 (see functions/scalar.py)
+    return f"SUM(CAST({expr} AS DECIMAL(28,8)))"
+
+
 def _davg(expr: str) -> str:
     return f"{_dsum(expr)} / COUNT({expr})"
 
@@ -300,13 +306,13 @@ _BLOOM_CONFS = {
     "j_bloom_reduce",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+           SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS revenue,
            TRUE AS bloom_injected
     FROM lineitem
     JOIN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') o
       ON l_orderkey = o.o_orderkey
     """,
-    cols=[("n_items", "num"), ("revenue", "dbl"), ("bloom_injected", "bool")],
+    cols=[("n_items", "num"), ("revenue", "num"), ("bloom_injected", "bool")],
 )
 def j_bloom_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join reduction — Catalyst's runtime filter
@@ -332,7 +338,7 @@ def j_bloom_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
         agg = li.join(urgent, li.l_orderkey == urgent.o_orderkey).agg(
             F.count(F.lit(1)).alias("n_items"),
-            dec_sum("l_extendedprice").alias("revenue"),
+            dec_sum_exact("l_extendedprice").alias("revenue"),
         )
         row = agg.collect()[0]
         plan = agg._jdf.queryExecution().executedPlan().toString()
@@ -345,7 +351,7 @@ def j_bloom_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.set(k, v)
     return spark.createDataFrame(
         [(row.n_items, row.revenue, injected)],
-        schema="n_items bigint, revenue double, bloom_injected boolean",
+        schema="n_items bigint, revenue decimal(38,8), bloom_injected boolean",
     )
 
 
@@ -606,11 +612,14 @@ def salted_join(
 
 @component(
     "j_salted_skew",
-    cols=[("o_orderpriority", "str"), ("n_lines", "num"), ("total_price", "dbl")],
+    cols=[("o_orderpriority", "str"), ("n_lines", "num"), ("total_price", "num")],
+    # total_price crosses AS DECIMAL: per-priority sums (~6e8) exceed
+    # double's exact range at scale 8, where the decimal->double cast is
+    # the 1-ulp cross-engine lottery (see functions/scalar.py)
     oracle=f"""
     SELECT o_orderpriority,
            COUNT(*) AS n_lines,
-           {_dsum('l_extendedprice')} AS total_price
+           {_dsum_exact('l_extendedprice')} AS total_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -626,7 +635,7 @@ def j_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, o, "l_orderkey")
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        dec_sum("l_extendedprice").alias("total_price"),
+        dec_sum_exact("l_extendedprice").alias("total_price"),
     )
 
 

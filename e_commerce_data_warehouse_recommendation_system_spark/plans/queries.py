@@ -647,10 +647,14 @@ _RFM_PCTS = (0.2, 0.4, 0.6, 0.8)
                 WHEN r_score <= 2 THEN 'at_risk'
                 ELSE 'regular' END AS segment,
            COUNT(*) AS n_customers,
-           {_dsum('monetary')} AS monetary_total
+           {_dsum_exact('monetary')} AS monetary_total
     FROM scored GROUP BY segment
     """,
-    cols=[("segment", "str"), ("n_customers", "num"), ("monetary_total", "dbl")],
+    # monetary_total crosses AS DECIMAL: per-segment sums (~4e9 at scale
+    # 8) exceed double's exact range (see functions/scalar.py). The
+    # per-customer `monetary` stays a double internally — its magnitude
+    # (<1e7) converts exactly, so the quintile scoring is unaffected.
+    cols=[("segment", "str"), ("n_customers", "num"), ("monetary_total", "num")],
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency/frequency/monetary, scored
@@ -716,7 +720,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy(segment.alias("segment")).agg(
         F.count(F.lit(1)).alias("n_customers"),
-        dec_sum("monetary").alias("monetary_total"),
+        dec_sum_exact("monetary").alias("monetary_total"),
     )
 
 

@@ -46,7 +46,7 @@ _SQL_UPSERT = """
     merged AS (SELECT * FROM new UNION ALL SELECT * FROM survivors)
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total_price
+           SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS total_price
     FROM merged GROUP BY o_orderstatus
 """
 
@@ -54,7 +54,7 @@ _SQL_UPSERT = """
 @component(
     "wr_upsert",
     oracle=_SQL_UPSERT,
-    cols=[("o_orderstatus", "str"), ("n_orders", "num"), ("total_price", "dbl")],
+    cols=[("o_orderstatus", "str"), ("n_orders", "num"), ("total_price", "num")],
 )
 def wr_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/D4: MERGE-emulation upsert (reference: plugins/mysql_operator.py:28-59)
@@ -67,7 +67,7 @@ def wr_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = upsert(old, new, ["o_orderkey"])
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(28,8)")).cast("double").alias("total_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,8)")).alias("total_price"),
     )
 
 
@@ -222,11 +222,11 @@ def wr_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @component(
     "wr_orc_roundtrip",
-    cols=[("o_orderpriority", "str"), ("n_orders", "num"), ("total_price", "dbl")],
+    cols=[("o_orderpriority", "str"), ("n_orders", "num"), ("total_price", "num")],
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total_price
+           SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS total_price
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -248,9 +248,9 @@ def wr_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             back.groupBy("o_orderpriority")
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
-                .cast("double")
-                .alias("total_price"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,8)")).alias(
+                    "total_price"
+                ),
             )
             .localCheckpoint(eager=True)
         )
@@ -754,7 +754,7 @@ def wr_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_legacy_rows,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total_price,
+           SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS total_price,
            CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END)
                 AS BIGINT) AS n_status_classes,
            TRUE AS schema_merged
@@ -763,7 +763,7 @@ def wr_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols=[
         ("n_rows", "num"),
         ("n_legacy_rows", "num"),
-        ("total_price", "dbl"),
+        ("total_price", "num"),
         ("n_status_classes", "num"),
         ("schema_merged", "bool"),
     ],
@@ -798,9 +798,7 @@ def wr_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = merged.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("o_orderstatus").isNull().cast("long")).alias("n_legacy_rows"),
-            F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
-            .cast("double")
-            .alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,8)")).alias("total_price"),
             F.count_distinct("o_orderstatus").alias("n_status_classes"),
         ).collect()[0]
         return spark.createDataFrame(
@@ -814,7 +812,7 @@ def wr_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ],
             schema=(
-                "n_rows bigint, n_legacy_rows bigint, total_price double, "
+                "n_rows bigint, n_legacy_rows bigint, total_price decimal(38,8), "
                 "n_status_classes bigint, schema_merged boolean"
             ),
         )
@@ -999,11 +997,11 @@ def wr_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @component(
     "wr_xml_roundtrip",
-    cols=[("o_orderstatus", "str"), ("n_orders", "num"), ("total_price", "dbl")],
+    cols=[("o_orderstatus", "str"), ("n_orders", "num"), ("total_price", "num")],
     oracle="""
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total_price
+           SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS total_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -1032,9 +1030,9 @@ def wr_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             back.groupBy("o_orderstatus")
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
-                .cast("double")
-                .alias("total_price"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,8)")).alias(
+                    "total_price"
+                ),
             )
             .localCheckpoint(eager=True)
         )
