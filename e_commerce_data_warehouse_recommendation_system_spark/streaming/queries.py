@@ -830,3 +830,87 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+# --------------------------------------------------------------------------
+# Streaming observed metrics (df.observe on a stream, read from progress)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "stream_observed_metrics",
+    cols=[
+        ("n_rows", "num"),
+        ("n_null_user", "num"),
+        ("sum_value", "dbl"),
+        ("n_data_batches", "num"),
+    ],
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_user,
+           CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
+           CAST(1 AS BIGINT) AS n_data_batches
+    FROM events
+    """,
+)
+def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed metrics on a STREAM — the streaming half of
+    dq_observed_metrics: ``observe`` attaches accumulator-style aggregates
+    to the ingest stream itself, and every micro-batch reports them
+    through its StreamingQueryProgress event (the path a production
+    monitor tails for row counts, null rates, and value totals per batch
+    — no second subscription to the source, no extra stage). The totals
+    are folded across batches driver-side in EXACT Decimal arithmetic
+    and checked against the batch aggregate over the same landing data;
+    with AvailableNow and a single landing file the source drains in
+    exactly one data batch, which the component also asserts.
+
+    Scale: observe compiles into the existing micro-batch stages (partial
+    aggregates merged at the driver) — zero additional shuffles; progress
+    events are O(metrics), never O(rows)."""
+    from decimal import Decimal
+
+    prepare(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ecomdw_sobs_")
+    try:
+        events = _events_stream(spark, sf_dir, f"{tmp}/landing")
+        observed = events.observe(
+            "ingest",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(F.col("user_id").isNull().cast("long")), F.lit(0)
+            ).alias("n_null_user"),
+            F.sum(F.col("value").cast("decimal(28,8)")).alias("sum_value"),
+        )
+        q = (
+            observed.writeStream.format("noop")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_rows = 0
+        n_null = 0
+        total = Decimal(0)
+        n_batches = 0
+        for p in q.recentProgress:
+            om = (p.get("observedMetrics") or {}).get("ingest")
+            if om is None:
+                continue  # no-data finalization batches carry no metrics
+            n_batches += 1
+            n_rows += om["n_rows"]
+            n_null += om["n_null_user"]
+            if om["sum_value"] is not None:
+                # exact fold: the progress JSON renders the decimal sum at
+                # full precision; Decimal(str(...)) re-parses it losslessly
+                total += Decimal(str(om["sum_value"]))
+        return spark.createDataFrame(
+            [(n_rows, n_null, float(total), n_batches)],
+            schema=(
+                "n_rows bigint, n_null_user bigint, sum_value double, "
+                "n_data_batches bigint"
+            ),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -166,6 +166,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "s18_incremental_stats",
         # in-flight observed metrics (df.observe) — DQ without a 2nd pass
         "dq_observed_metrics",
+        # the streaming half: per-micro-batch observe via progress events
+        "stream_observed_metrics",
     ],
     # the Kimball dims + end-to-end pipeline counts
     "etl_dims_suite": [
