@@ -1182,3 +1182,18 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_cand",
         F.abs(F.col("mean_ref") - F.col("mean_cand")).alias("abs_shift"),
     )
+
+
+def _warm_semdedup(spark: SparkSession, sf_dir: str) -> None:
+    """Fit/memoize the shared k-means model OFF the clock so the SemDeDup
+    slot times the prune (pair generation + cosine + purity recheck), not
+    the clustering it shares with two other components."""
+    _kmeans_model(spark, sf_dir)
+
+
+@bench_workload("sim_semdedup_prune", warmup=_warm_semdedup)
+def bench_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Times the SemDeDup prune at the bench SF on the warmed fit — the
+    cell-bounded pair space is the algorithm's scale claim, so its cost
+    curve is worth a standing number next to the MinHash-LSH slot."""
+    return sim_semantic_dedup(spark, sf_dir)
