@@ -451,6 +451,15 @@ COMPONENT_SHUFFLE_BUDGET = {
     "text_group_holdout_split": 0,
     # join-view IVM: delta-join partials + the touched-date merge
     "j_ivm_join_view": 2,
+    # NDCG: train reach + shelf TakeOrdered + holdout/DCG user shuffles
+    "rec_ndcg_popularity": 6,
+    # negative sampling: the dictionary's two-phase surrogate key + the
+    # interactions distinct (computed for the dict AND the anti-join
+    # side) + per-user dedup/window — every frame is bounded (users,
+    # items, |users|x10 candidates), so the count is wide, not deep
+    "rec_negative_samples": 12,
+    # equi-depth: one boundary aggregate + one bucket-count aggregate
+    "a16_equidepth_histogram": 2,
 }
 
 
