@@ -3232,3 +3232,120 @@ def a17_gini_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Unpivot (melt) — the inverse of the pivot crosstab
+# --------------------------------------------------------------------------
+
+_UNPIVOT_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@component(
+    "so5_unpivot_metrics",
+    oracle=f"""
+    SELECT year(o_orderdate) AS year,
+           c_mktsegment AS segment,
+           SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment IN ({', '.join(f"'{s}'" for s in _UNPIVOT_SEGMENTS)})
+    GROUP BY 1, 2
+    """,
+    cols=[("year", "num"), ("segment", "str"), ("revenue", "num")],
+)
+def so5_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the missing inverse of the pivot crosstab
+    (q_pivot_segment): the wide per-year × per-segment revenue table is
+    melted back to long (year, segment, revenue) with Spark's native
+    ``unpivot``. The oracle is the straight long-form aggregation, so the
+    component proves the pivot→unpivot ROUND TRIP is lossless — absent
+    (year, segment) combinations surface as NULL cells in the wide form
+    and are dropped on the way back (filtered explicitly, matching the
+    long form's absent groups). Revenue stays DECIMAL through both
+    reshapes (the module's exact-crossing rule for money sums).
+
+    Scale: unpivot is a map-side row expansion (one row → ≤5) — no
+    shuffle beyond the pivot's own aggregation; the wide table it
+    consumes is year-grain (bounded)."""
+    prepare(spark, sf_dir)
+    o, cst = spark.table("orders"), spark.table("customer")
+    wide = (
+        o.join(cst, o.o_custkey == cst.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("year"))
+        .pivot("c_mktsegment", list(_UNPIVOT_SEGMENTS))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,8)")))
+    )
+    return (
+        wide.unpivot("year", list(_UNPIVOT_SEGMENTS), "segment", "revenue")
+        .filter(F.col("revenue").isNotNull())
+        .select("year", "segment", "revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# try_cast error-safe parsing (data-cleaning surface)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "f_try_cast_cleaning",
+    oracle="""
+    WITH dirty AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey AS VARCHAR)
+                  WHEN o_orderkey % 3 = 1 THEN 'x' || CAST(o_orderkey AS VARCHAR)
+                  ELSE NULL END AS raw
+      FROM orders
+    ),
+    parsed AS (SELECT raw, TRY_CAST(raw AS BIGINT) AS v FROM dirty)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+           CAST(SUM(CASE WHEN raw IS NOT NULL AND v IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_malformed,
+           CAST(SUM(CASE WHEN raw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+           CAST(SUM(v) AS BIGINT) AS sum_parsed
+    FROM parsed
+    """,
+    cols=[
+        ("n_rows", "num"),
+        ("n_parsed", "num"),
+        ("n_malformed", "num"),
+        ("n_missing", "num"),
+        ("sum_parsed", "num"),
+    ],
+)
+def f_try_cast_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe parsing with ``try_cast`` — the data-cleaning reality a
+    landing pipeline faces: numeric fields arrive as strings with
+    malformed values mixed in, and the ingest must classify rows into
+    parsed / malformed / missing WITHOUT failing the job (ANSI mode makes
+    a plain CAST throw on the first bad row; try_cast degrades it to NULL
+    per row, the same contract as DuckDB's TRY_CAST). The dirty column is
+    synthesized deterministically from orders (every 3rd key clean, every
+    3rd prefixed-garbage, every 3rd missing), so the oracle reproduces
+    the exact classification counts and the sum of successfully parsed
+    values.
+
+    Scale: pure map-side expressions — no shuffle except the final 1-row
+    aggregate's partial merge."""
+    prepare(spark, sf_dir)
+    o = spark.table("orders")
+    raw = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderkey").cast("string"))
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.concat(F.lit("x"), F.col("o_orderkey").cast("string")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    parsed = o.select(raw.alias("raw")).select(
+        "raw", F.expr("try_cast(raw AS BIGINT)").alias("v")
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").isNotNull().cast("long")).alias("n_parsed"),
+        F.sum((F.col("raw").isNotNull() & F.col("v").isNull()).cast("long")).alias(
+            "n_malformed"
+        ),
+        F.sum(F.col("raw").isNull().cast("long")).alias("n_missing"),
+        F.sum("v").alias("sum_parsed"),
+    )

@@ -149,9 +149,14 @@ SUITE_SPECS: dict[str, list[str]] = {
         "so1_intersect",
         "so2_except",
         "so3_union_distinct",
+        # reshape: UNPIVOT/melt — the inverse of the pivot crosstab,
+        # proven lossless against the long-form aggregation
+        "so5_unpivot_metrics",
         "f_string_functions",
         "f_date_functions",
         "f_advanced_strings",
+        # error-safe parsing: try_cast classification of dirty numerics
+        "f_try_cast_cleaning",
     ],
     # catalog introspection + the raw-SQL surface
     "rel_catalog_sql_suite": [
