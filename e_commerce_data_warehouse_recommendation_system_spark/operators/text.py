@@ -1488,3 +1488,63 @@ def bench_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoized index here by design (the component documents the
     materialized-postings posture for repeated querying at 100 TB)."""
     return text_search_bm25(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Content-safety blocklist filter (C4's "bad words" rule, the mechanism)
+# --------------------------------------------------------------------------
+
+#: Stand-in blocklist drawn from the synthetic corpus vocabulary so the
+#: filter has real work at test scale; in production this is the
+#: LDNOOBW-class content-safety list — same mechanism, bigger broadcast.
+BLOCKLIST: tuple[str, ...] = ("dup", "drop")
+_SQL_BLOCKLIST = ", ".join(f"'{t}'" for t in BLOCKLIST)
+
+
+@component(
+    "text_blocklist_filter",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id,
+             CAST(len(list_filter({_SQL_TOKENS},
+                  t -> t IN ({_SQL_BLOCKLIST}))) AS BIGINT) AS n_blocked_hits,
+             list_min(list_filter({_SQL_TOKENS},
+                  t -> t IN ({_SQL_BLOCKLIST}))) AS first_blocked_term
+      FROM documents
+    )
+    SELECT doc_id, n_blocked_hits,
+           coalesce(first_blocked_term, '') AS blocked_term,
+           (n_blocked_hits = 0) AS keep
+    FROM hits
+    """,
+    cols=[
+        ("doc_id", "num"),
+        ("n_blocked_hits", "num"),
+        ("blocked_term", "str"),
+        ("keep", "bool"),
+    ],
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-safety blocklist filtering — the C4 "bad words" rule the
+    cleaning funnel (text_filter_funnel) doesn't cover: a document
+    containing ANY blocklisted token is dropped, with the hit count and
+    the (deterministic, lexicographically smallest) offending term
+    reported for audit. The blocklist here is a corpus-vocabulary
+    stand-in; production swaps in the LDNOOBW-class list — the mechanism
+    (broadcast term set probed inside a token-array filter, pure Column
+    expressions, no explode and no UDF) is what the component certifies.
+
+    Scale: the blocklist is a broadcast literal set; the check is a
+    map-side array filter inside whole-stage codegen — zero shuffles,
+    cost O(tokens) per doc exactly like the quality gates it composes
+    with."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    blocked_arr = F.array(*[F.lit(t) for t in BLOCKLIST])
+    blocked = F.filter(tokens("text"), lambda t: F.array_contains(blocked_arr, t))
+    return d.select(
+        "doc_id",
+        F.size(blocked).cast("long").alias("n_blocked_hits"),
+        F.coalesce(F.array_min(blocked), F.lit("")).alias("blocked_term"),
+        (F.size(blocked) == 0).alias("keep"),
+    )

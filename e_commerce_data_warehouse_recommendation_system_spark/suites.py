@@ -204,6 +204,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_contamination",
         "text_pii_scrub",
         "text_filter_funnel",
+        # content-safety blocklist (the C4 bad-words rule the funnel lacks)
+        "text_blocklist_filter",
         "text_vocab_topk",
         "text_oov_rate",
         # mixture assembly: per-source epoch weights with real row fan-out
