@@ -3349,3 +3349,90 @@ def f_try_cast_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("raw").isNull().cast("long")).alias("n_missing"),
         F.sum("v").alias("sum_parsed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy-hitter bounds (the third classic sketch)
+# --------------------------------------------------------------------------
+
+CMS_EPS = 0.01
+CMS_CONFIDENCE = 0.99
+CMS_SEED = 42
+CMS_PROBE_K = 10
+
+
+@component(
+    "a18_cms_heavy_hitters",
+    oracle=f"""
+    WITH counts AS (
+      SELECT l_suppkey AS key, COUNT(*) AS n_exact
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    topk AS (
+      SELECT key, CAST(n_exact AS BIGINT) AS n_exact,
+             ROW_NUMBER() OVER (ORDER BY n_exact DESC, key) AS rnk
+      FROM counts
+    )
+    SELECT key, n_exact,
+           TRUE AS ge_exact,
+           TRUE AS within_eps
+    FROM topk WHERE rnk <= {CMS_PROBE_K}
+    """,
+    cols=[
+        ("key", "num"),
+        ("n_exact", "num"),
+        ("ge_exact", "bool"),
+        ("within_eps", "bool"),
+    ],
+)
+def a18_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation — the third classic mergeable
+    sketch next to HLL (a15_sketch_rollup / a6b) and GK percentiles
+    (a11b), completing the approximate-aggregation trio a 100 TB ANALYZE
+    or streaming top-k layer is built from. The sketch is built by
+    Spark's ``count_min_sketch`` aggregate (seeded — deterministic), ships
+    as KB-scale bytes however large the keyed data, and the exact top-K
+    heavy hitters (SQL-derivable) are probed against it driver-side.
+
+    The contract flags are the CMS's actual guarantees, checked per key:
+    ``ge_exact`` — a count-min estimate NEVER underestimates (a
+    deterministic structural property, not probabilistic); ``within_eps``
+    — the overestimate is bounded by ε·N (ε={CMS_EPS}, N = total rows;
+    the 1-δ probabilistic bound is deterministic here under the fixed
+    seed and data). Estimates themselves are sketch-internal (same digest
+    class as ALS factors); the EXACT counts cross as oracle-checked
+    values.
+
+    Scale: one pass + KB merge for the sketch; the probe set is the
+    bounded top-K; nothing driver-side is O(rows)."""
+    prepare(spark, sf_dir)
+    li = spark.table("lineitem")
+    n_total = li.count()
+    topk = [
+        (r.key, r.n_exact)
+        for r in li.groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("key"))
+        .limit(CMS_PROBE_K)
+        .collect()
+    ]
+    sk = li.agg(
+        F.expr(
+            f"count_min_sketch(l_suppkey, {CMS_EPS}d, {CMS_CONFIDENCE}d, {CMS_SEED})"
+        ).alias("s")
+    ).collect()[0].s
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytearray(sk))
+    slack = CMS_EPS * n_total
+    rows = [
+        (
+            int(key),
+            int(n_exact),
+            bool(cms.estimateCount(jvm.java.lang.Long(int(key))) >= n_exact),
+            bool(cms.estimateCount(jvm.java.lang.Long(int(key))) <= n_exact + slack),
+        )
+        for key, n_exact in topk
+    ]
+    return spark.createDataFrame(
+        rows, schema="key bigint, n_exact bigint, ge_exact boolean, within_eps boolean"
+    )

@@ -95,6 +95,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         "dq_value_outliers",
         # mergeable HLL sketches: daily -> monthly distinct via union
         "a15_sketch_rollup",
+        # count-min sketch: the third classic sketch, one-sided-error
+        # bounds checked against SQL-exact heavy hitters
+        "a18_cms_heavy_hitters",
         # marketing analytics: last-touch channel credit for purchases
         "attribution_last_touch",
         # experimentation: hash-assigned A/B readout + two-proportion z
