@@ -185,3 +185,39 @@ def test_wap_time_travel_reads_old_versions(spark, tmp_path):
     assert wap_versions(root) == ["1", "2"]
     assert wap_read(spark, root).count() == 8          # manifest -> current
     assert wap_read_version(spark, root, "1").count() == 3  # time travel
+
+
+def test_wap_vacuum_edges(spark, tmp_path):
+    """Retention edges: keep=0 retains ONLY the manifest's current version
+    (the pointer is protected whatever `keep` says); on a never-published
+    root keep=0 may sweep every staged version; and vacuuming more than
+    exists is a no-op."""
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.writers import (
+        wap_publish,
+        wap_read,
+        wap_vacuum,
+        wap_versions,
+    )
+
+    root = str(tmp_path / "wap")
+    (tmp_path / "wap").mkdir()
+    df = spark.range(5).select(F.col("id").alias("k"))
+    ok = lambda d: d.count() > 0  # noqa: E731
+    assert wap_publish(spark, root, df, "1", ok)
+    assert wap_publish(spark, root, df, "2", ok)
+    # keep=0: everything except the CURRENT version (v2) must go
+    assert wap_vacuum(root, keep=0) == ["1"]
+    assert wap_versions(root) == ["2"]
+    assert wap_read(spark, root).count() == 5
+    # keep larger than retained versions: no-op
+    assert wap_vacuum(root, keep=5) == []
+    assert wap_versions(root) == ["2"]
+
+    # never-published root: no manifest to protect — keep=0 sweeps all
+    root2 = str(tmp_path / "wap2")
+    (tmp_path / "wap2").mkdir()
+    rejected = lambda d: False  # noqa: E731
+    assert not wap_publish(spark, root2, df, "1", rejected)
+    assert wap_versions(root2) == ["1"]
+    assert wap_vacuum(root2, keep=0) == ["1"]
+    assert wap_versions(root2) == []
