@@ -157,3 +157,38 @@ def test_chunk_windows_invariants(spark):
         for a, b in zip(chunks, chunks[1:]):
             if a.chunk_len == CHUNK_SIZE:  # full window -> exact overlap
                 assert a.start_tok + a.chunk_len - b.start_tok == CHUNK_OVERLAP
+
+
+def test_group_holdout_split_is_leakage_safe(spark):
+    """The split must be a pure function of the group key: every source
+    lands in exactly ONE split, and restricting the corpus to any subset
+    (growth in reverse) never moves a group's assignment — the property
+    that makes incremental corpus builds leakage-safe."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        text_group_holdout_split,
+    )
+
+    from pyspark.sql import functions as F
+
+    full = text_group_holdout_split(spark, SF0001)
+    per_group = full.groupBy("source").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_group.filter(F.col("n_splits") != 1).count() == 0
+
+    # subset stability: recompute on half the docs; assignments match
+    sub = (
+        text_group_holdout_split(spark, SF0001)
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("source", "split")
+        .distinct()
+    )
+    fullmap = full.select("source", "split").distinct()
+    assert sub.join(fullmap, ["source", "split"], "left_anti").count() == 0
+
+    # all three splits actually occur on this corpus (the 10/3/3 carve)
+    assert {r.split for r in fullmap.select("split").distinct().collect()} == {
+        "train",
+        "val",
+        "test",
+    }
