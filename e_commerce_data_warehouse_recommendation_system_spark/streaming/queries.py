@@ -914,3 +914,116 @@ def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join (watermark-gated null padding)
+# --------------------------------------------------------------------------
+
+LOUTER_WINDOW_S = 300   #: click must precede the purchase by <= 5 minutes
+LOUTER_DELAY_S = 600    #: both sides' watermark delay
+
+
+@component(
+    "stream_left_outer_enrich",
+    cols=[("p_id", "num"), ("c_id", "num"), ("matched", "bool")],
+    # Terminal semantics PROBED (round 7) and pinned in
+    # tests/test_streaming_join.py:
+    #   * inner rows emit unconditionally;
+    #   * a null-padded row emits only once the LEFT row's state expires,
+    #     which happens when the GLOBAL watermark passes its timestamp —
+    #     and the global watermark is min(max event time) across BOTH
+    #     watermarked sides minus the delay (verified against live runs
+    #     at two SFs: using the overall max, or only the right side's
+    #     max, each mispredicts at least one boundary row);
+    #   * the expiry comparison is STRICT: a left row whose timestamp
+    #     exactly equals the final watermark is HELD (constructed-tie
+    #     probe).
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, epoch_us(ts) AS tus
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS c_id, user_id, epoch_us(ts) AS tus
+      FROM events WHERE event_type = 'click'
+    ),
+    matched AS (
+      SELECT p.p_id, c.c_id
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.tus BETWEEN p.tus - {LOUTER_WINDOW_S * 1_000_000} AND p.tus
+    ),
+    wm AS (
+      SELECT LEAST((SELECT MAX(tus) FROM p), (SELECT MAX(tus) FROM c))
+             - {LOUTER_DELAY_S * 1_000_000} AS w
+    )
+    SELECT p_id, c_id, TRUE AS matched FROM matched
+    UNION ALL
+    SELECT p.p_id, CAST(NULL AS BIGINT) AS c_id, FALSE AS matched
+    FROM p, wm
+    WHERE p.tus < wm.w
+      AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.p_id = p.p_id)
+    """,
+)
+def stream_left_outer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — purchases enriched with a
+    preceding click within {LOUTER_WINDOW_S}s, null-padded when none
+    exists. The OUTER side is what the inner interval join
+    (stream_pairs_range_join) cannot express, and its semantics are the
+    subtle part: a null-padded row may only emit once the engine KNOWS no
+    matching click can still arrive — i.e. when the left row's state
+    expires under the global watermark. The oracle reproduces that gate
+    exactly (see the probed rules above), so the trailing rows the stream
+    legitimately HOLDS at termination are excluded on both sides rather
+    than fudged with a rows-only check.
+
+    Scale: state on each side is bounded by the interval + delay (the
+    same bound as the inner form); null padding costs nothing extra — it
+    is emitted from expiring state the join buffers anyway."""
+    prepare(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ecomdw_louter_")
+    try:
+        purch = (
+            _events_stream(spark, sf_dir, f"{tmp}/landing")
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("p_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", f"{LOUTER_DELAY_S} seconds")
+        )
+        clicks = (
+            _events_stream(spark, sf_dir, f"{tmp}/landing")
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("c_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", f"{LOUTER_DELAY_S} seconds")
+        )
+        joined = purch.join(
+            clicks,
+            F.expr(
+                f"""
+                p_user = c_user
+                AND c_ts >= p_ts - interval {LOUTER_WINDOW_S} seconds
+                AND c_ts <= p_ts
+                """
+            ),
+            "leftOuter",
+        ).select("p_id", "c_id", F.col("c_id").isNotNull().alias("matched"))
+        out = f"{tmp}/pairs"
+        (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -69,6 +69,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         "j_range_binned",
         "j_salted_skew",
         "stream_pairs_range_join",
+        # LEFT OUTER stream-stream interval join: watermark-gated null
+        # padding, expiry semantics probed + pinned
+        "stream_left_outer_enrich",
     ],
     # §2.4 aggregations (incl. the HLL bound contract, exact percentiles,
     # decimal-moment correlation, fixed-width histogram)
