@@ -173,3 +173,106 @@ def test_checkpoint_survives_restart_exactly_once(spark, split_events_dir):
         assert abs(float(total_value_3) - float(total_value_1) - 10000.0) < 1e-6
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_event_time_timeout_evicts_inactive_state(spark, tmp_path):
+    """applyInPandasWithState + EventTimeTimeout — the custom-stateful
+    expiry surface the gap sessionizer doesn't use (it keeps state to the
+    terminal batch): a key that stops receiving events gets its state
+    EVICTED once the watermark passes its inactivity timeout, and the
+    function observes hasTimedOut=True exactly once with the accumulated
+    state intact. A key whose timeout the final watermark never reached
+    stays open — AvailableNow does NOT force-expire live state."""
+    import os
+
+    import pandas as pd  # noqa: F401 — used inside the stateful fn
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from e_commerce_data_warehouse_recommendation_system_spark.streaming.queries import (
+        _events_stream_schema,
+        _events_ts_layout,
+    )
+
+    tmp = str(tmp_path)
+    stage = f"{tmp}/landing"
+    os.makedirs(stage)
+    base = 1_704_067_200_000_000
+    day = 86_400 * 1_000_000
+    schema = _events_stream_schema(T.LongType())
+
+    def drop(name, rows):
+        d = f"{tmp}/{name}_src"
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.rename(f"{d}/{part}", f"{stage}/{name}.parquet")
+
+    drop(
+        "f1",
+        [
+            (1, base * 1000, 1, "click", 1.0, None),
+            (2, (base + 1_000_000) * 1000, 1, "click", 1.0, None),
+        ],
+    )
+    # ten days later: the 1-hour watermark sails past user 1's 30-min timeout
+    drop("f2", [(3, (base + 10 * day) * 1000, 2, "click", 1.0, None)])
+
+    s, normalize = _events_ts_layout(spark, stage)
+    events = (
+        normalize(
+            spark.readStream.schema(s)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        .select("user_id", "ts")
+        .withWatermark("ts", "1 hour")
+    )
+    gap_ms = 30 * 60 * 1000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]], "kind": ["closed"], "n": [n]})
+        else:
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            last_ms = int(batch["ts"].max().timestamp() * 1000)
+            n = len(batch)
+            if state.exists:
+                p_last, p_n = state.get
+                last_ms = max(last_ms, p_last)
+                n += p_n
+            state.update((last_ms, n))
+            state.setTimeoutTimestamp(last_ms + gap_ms)
+            yield pd.DataFrame({"user_id": [key[0]], "kind": ["open"], "n": [n]})
+
+    out_df = events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id bigint, kind string, n bigint",
+        stateStructType="last_ms bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = f"{tmp}/out"
+    (
+        out_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = sorted(
+        (r.user_id, r.kind, r.n) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (1, "closed", 2),  # evicted with the full accumulated count
+        (1, "open", 2),
+        (2, "open", 1),  # timeout never reached -> no closed row
+    ]
