@@ -4,7 +4,9 @@ from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar impo
     dec_avg,
     dec_avg_exact,
     dec_sum,
+    dec_str,
     dec_sum_exact,
+    dec_sum_str,
     duration_days,
     pandas_dayofweek,
     pandas_title,
@@ -15,7 +17,9 @@ __all__ = [
     "dec_avg",
     "dec_avg_exact",
     "dec_sum",
+    "dec_str",
     "dec_sum_exact",
+    "dec_sum_str",
     "duration_days",
     "pandas_dayofweek",
     "pandas_title",

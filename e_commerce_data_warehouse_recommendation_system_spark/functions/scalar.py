@@ -20,8 +20,20 @@ Two concerns live here:
    can then diverge by 1 ulp (caught bit-exactly on q_revenue_rollup's
    grand-total row at sf0.01). Driver-visible query OUTPUT columns
    therefore use the ``*_exact`` variants, which never cast a wide
-   decimal to double: ``dec_sum_exact`` emits the DECIMAL itself
-   (verified to cross engines bit-identically at any magnitude), and
+   decimal to double.
+
+   Round-8 hardening: a raw DecimalType OUTPUT column is itself NOT
+   driver-hashable — the round-7 driver artifact red-flagged all 11
+   queries that emitted one (rows/schema green, hash red: the oracle
+   fetch path collapses DECIMAL to float64, so no canonicalization can
+   match a Spark ``Decimal`` object against it). The convention, proven
+   green by 13 digest suites across two rounds: exact sums CROSS THE
+   ENGINE BOUNDARY AS SCALE-PINNED STRINGS. ``dec_sum_exact`` stays the
+   internal exact accumulator (keep using it for downstream ±
+   arithmetic); every driver-visible emission goes through
+   ``dec_sum_str`` / ``dec_str`` (probed: Spark decimal→string and
+   DuckDB decimal→VARCHAR render identically at every scale, including
+   zero — both emit plain notation, e.g. ``0.00000000``).
    ``dec_avg_exact`` divides exact int64 units — int64→double conversion
    is correctly rounded and identical everywhere, unlike decimal→double.
    ``dec_sum``/``dec_avg`` remain for INTERNAL arithmetic and for suite
@@ -55,17 +67,40 @@ def dec_avg(col: Column | str, scale: int = 8) -> Column:
 
 
 def dec_sum_exact(col: Column | str, scale: int = 8) -> Column:
-    """SUM crossing the engine boundary AS THE DECIMAL — exact at any
-    magnitude: Spark emits DecimalType(38,scale), DuckDB DECIMAL(38,scale),
-    and equal values compare/serialize identically (probed round 7,
-    including a ~3e9 sum at scale 8 whose double cast diverged by 1 ulp).
-    Oracle twin: ``SUM(CAST(x AS DECIMAL(28,8)))`` — no outer cast.
-    Same-scale decimals add/subtract exactly in both engines, so downstream
-    ± arithmetic (e.g. YoY deltas) stays exact; do NOT divide the result
-    (decimal division scale rules differ across engines — use
-    dec_avg_exact or micro-units for ratios)."""
+    """Exact SUM as DecimalType(38,scale) — the INTERNAL accumulator,
+    exact at any magnitude. NOT driver-hashable as an output column: the
+    round-7 driver artifact red-flagged every query that emitted a raw
+    DecimalType (the oracle fetch path collapses DECIMAL to float64, so
+    Spark ``Decimal`` objects can never hash-match it; the round-7
+    docstring claimed this crossing was "probed" but the probe only ran
+    through a scale-blind local comparator). Use for downstream ±
+    arithmetic, then emit through ``dec_str``/``dec_sum_str``.
+    Same-scale decimals add/subtract exactly in both engines; do NOT
+    divide the result (decimal division scale rules differ across
+    engines — use dec_avg_exact or micro-units for ratios)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal(28,{scale})"))
+
+
+def dec_str(col: Column | str) -> Column:
+    """Emit a decimal column across the engine boundary as its scale-pinned
+    plain string — the driver-hashable form of an exact decimal (13 digest
+    suites green on it for two rounds). Spark's decimal→string cast and
+    DuckDB's decimal→VARCHAR both render plain notation with the type's
+    full scale (probed round 8: zero renders ``0.00000000`` on both, never
+    ``0E-8``), so bit-identical values serialize to identical strings.
+    Oracle twin: wrap the matching decimal expression in
+    ``CAST(... AS VARCHAR)`` (scales must agree — Spark SUM of
+    DECIMAL(28,8) is DECIMAL(38,8); DuckDB SUM of DECIMAL(28,8) widens to
+    DECIMAL(38,8) — both render 8 fraction digits)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("string")
+
+
+def dec_sum_str(col: Column | str, scale: int = 8) -> Column:
+    """``dec_sum_exact`` emitted in the driver-hashable string form.
+    Oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(28,8))) AS VARCHAR)``."""
+    return dec_str(dec_sum_exact(col, scale))
 
 
 def dec_avg_exact(col: Column | str, scale: int = 8) -> Column:

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar import (
     dec_sum,
-    dec_sum_exact,
+    dec_sum_str,
     duration_days,
     word_title,
 )
@@ -60,10 +60,11 @@ def _dsum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(28,8))) AS DOUBLE)"
 
 
-def _dsum_exact(expr: str) -> str:
-    # driver-visible outputs cross AS DECIMAL — the double cast diverges
-    # by 1 ulp between engines above 2^53 (see functions/scalar.py)
-    return f"SUM(CAST({expr} AS DECIMAL(28,8)))"
+def _dsum_str(expr: str) -> str:
+    # driver-visible exact sums cross as scale-pinned STRINGS: the double
+    # cast diverges by 1 ulp between engines above 2^53, and a raw DECIMAL
+    # output column is not driver-hashable (see functions/scalar.py)
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,8))) AS VARCHAR)"
 
 
 # --------------------------------------------------------------------------
@@ -427,7 +428,7 @@ def fact_double_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(o_orderdate AS DATE) AS order_date_key,
            year(o_orderdate)  AS year,
            month(o_orderdate) AS month,
-           {_dsum_exact('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {_dsum_str('l_extendedprice * (1 - l_discount)')} AS revenue,
            COUNT(l_orderkey)  AS n_lines
     FROM orders
     LEFT JOIN lineitem ON o_orderkey = l_orderkey
@@ -448,7 +449,7 @@ def star_revenue_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("o_orderdate").alias("month"),
         )
         .agg(
-            dec_sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            dec_sum_str(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count("l_orderkey").alias("n_lines"),
         )
     )

@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar import (
     dec_avg,
     dec_avg_exact,
+    dec_str,
     dec_sum,
     dec_sum_exact,
+    dec_sum_str,
 )
 from e_commerce_data_warehouse_recommendation_system_spark.registry import register
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
@@ -35,12 +37,19 @@ def _davg(expr: str) -> str:
     return f"{_dsum(expr)} / COUNT({expr})"
 
 
-# Exact twins (round 7): driver-visible output columns never cast a wide
+# Exact twins (round 7/8): driver-visible output columns never cast a wide
 # decimal to double — the cast diverges by 1 ulp between engines above
-# 2^53 (caught on q_revenue_rollup's grand total). Sums cross AS DECIMAL;
+# 2^53 (caught on q_revenue_rollup's grand total) — and never emit a raw
+# DECIMAL either: the round-7 driver red-flagged all 11 queries that did
+# (the oracle fetch path collapses DECIMAL to float64; hash can't match).
+# Exact sums cross as scale-pinned STRINGS (the digest-suite-proven form);
 # averages divide exact int64 units (see functions/scalar.dec_avg_exact).
 def _dsum_exact(expr: str) -> str:
     return f"SUM(CAST({expr} AS DECIMAL(28,8)))"
+
+
+def _dsum_str(expr: str) -> str:
+    return f"CAST({_dsum_exact(expr)} AS VARCHAR)"
 
 
 def _davg_exact(expr: str) -> str:
@@ -61,10 +70,10 @@ def _davg_exact(expr: str) -> str:
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {_dsum_exact('l_quantity')}                                    AS sum_qty,
-           {_dsum_exact('l_extendedprice')}                               AS sum_base_price,
-           {_dsum_exact('l_extendedprice * (1 - l_discount)')}            AS sum_disc_price,
-           {_dsum_exact('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_dsum_str('l_quantity')}                                    AS sum_qty,
+           {_dsum_str('l_extendedprice')}                               AS sum_base_price,
+           {_dsum_str('l_extendedprice * (1 - l_discount)')}            AS sum_disc_price,
+           {_dsum_str('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
            {_davg_exact('l_quantity')}                                    AS avg_qty,
            {_davg_exact('l_extendedprice')}                               AS avg_price,
            {_davg_exact('l_discount')}                                    AS avg_disc,
@@ -80,10 +89,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.table("lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dec_sum_exact("l_quantity").alias("sum_qty"),
-        dec_sum_exact("l_extendedprice").alias("sum_base_price"),
-        dec_sum_exact(disc).alias("sum_disc_price"),
-        dec_sum_exact(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+        dec_sum_str("l_quantity").alias("sum_qty"),
+        dec_sum_str("l_extendedprice").alias("sum_base_price"),
+        dec_sum_str(disc).alias("sum_disc_price"),
+        dec_sum_str(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
         dec_avg_exact("l_quantity").alias("avg_qty"),
         dec_avg_exact("l_extendedprice").alias("avg_price"),
         dec_avg_exact("l_discount").alias("avg_disc"),
@@ -103,7 +112,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_revenue_by_region",
     oracle=f"""
     SELECT r_name AS region,
-           {_dsum_exact('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {_dsum_str('l_extendedprice * (1 - l_discount)')} AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -125,7 +134,7 @@ def q3_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
         .agg(
-            dec_sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            dec_sum_str(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -139,13 +148,18 @@ def q3_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_top_customers",
     oracle=f"""
-    SELECT c_custkey, c_name,
-           {_dsum_exact('l_extendedprice * (1 - l_discount)')} AS revenue
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    GROUP BY c_custkey, c_name
-    ORDER BY revenue DESC, c_custkey
+    -- the top-k ORDER BY must run on the DECIMAL, not its string form
+    -- (lexicographic order != numeric order); only the emission is a string
+    SELECT c_custkey, c_name, CAST(rev AS VARCHAR) AS revenue
+    FROM (
+      SELECT c_custkey, c_name,
+             {_dsum_exact('l_extendedprice * (1 - l_discount)')} AS rev
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name
+    )
+    ORDER BY rev DESC, c_custkey
     LIMIT 10
     """,
     bench=True,
@@ -158,9 +172,12 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)  # customer: threshold-driven — grows with SF, not force-broadcast
         .groupBy("c_custkey", "c_name")
         .agg(dec_sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        # decimal-exact revenue makes the tie-break deterministic across engines
+        # decimal-exact revenue makes the tie-break deterministic across
+        # engines; the top-k sort runs on the DECIMAL, the emission (after
+        # limit — cast applies to 10 rows) is the driver-hashable string
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(10)
+        .select("c_custkey", "c_name", dec_str("revenue").alias("revenue"))
     )
 
 
@@ -174,7 +191,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_revenue_rollup",
     oracle=f"""
     SELECT r_name AS region, n_name AS nation,
-           {_dsum_exact('l_extendedprice * (1 - l_discount)')} AS revenue
+           {_dsum_str('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -194,7 +211,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(dec_sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dec_sum_str(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -240,14 +257,17 @@ def q_json_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_dsum_exact('o_totalprice')} AS revenue
       FROM orders GROUP BY 1, 2
     )
-    SELECT a.year, a.month, a.revenue,
-           b.revenue AS revenue_prev_year,
+    SELECT a.year, a.month,
+           CAST(a.revenue AS VARCHAR) AS revenue,
+           CAST(b.revenue AS VARCHAR) AS revenue_prev_year,
            -- operands down-cast to DECIMAL(28,8) so the difference fits in
            -- precision 29 on BOTH engines: subtracting two DECIMAL(38,8)s
            -- overflows precision 38, and Spark then REDUCES scale to 7 and
-           -- rounds while DuckDB keeps scale 8 (probed round 7)
-           CAST(a.revenue AS DECIMAL(28,8)) - CAST(b.revenue AS DECIMAL(28,8))
-             AS yoy_delta
+           -- rounds while DuckDB keeps scale 8 (probed round 7). The delta
+           -- arithmetic stays on decimals; only the emission is a string
+           -- (DECIMAL(29,8) renders 8 fraction digits on both engines).
+           CAST(CAST(a.revenue AS DECIMAL(28,8)) - CAST(b.revenue AS DECIMAL(28,8))
+                AS VARCHAR) AS yoy_delta
     FROM monthly a
     LEFT JOIN monthly b ON a.year = b.year + 1 AND a.month = b.month
     """,
@@ -275,10 +295,10 @@ def q_dashboard_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "year",
             "month",
-            "revenue",
-            "revenue_prev_year",
+            dec_str("revenue").alias("revenue"),
+            dec_str("revenue_prev_year").alias("revenue_prev_year"),
             # down-cast before subtracting: see the oracle's comment
-            (
+            dec_str(
                 F.col("revenue").cast("decimal(28,8)")
                 - F.col("revenue_prev_year").cast("decimal(28,8)")
             ).alias("yoy_delta"),
@@ -288,7 +308,10 @@ def q_dashboard_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GROUPING_SETS_SQL = """
     SELECT n_name AS nation, o_orderstatus AS status,
-           SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS revenue
+           -- STRING is a VARCHAR alias on BOTH engines (probed round 8),
+           -- so the driver-hashable decimal-string emission survives the
+           -- run-verbatim-on-both property of this query
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS STRING) AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -315,8 +338,8 @@ _SEGMENTS = ("automobile", "building", "furniture", "household", "machinery")
     oracle=f"""
     SELECT year(o_orderdate) AS year,
            {', '.join(
-               f"SUM(CASE WHEN lower(c_mktsegment) = '{s}' "
-               f"THEN CAST(o_totalprice AS DECIMAL(28,8)) END) AS {s}"
+               f"CAST(SUM(CASE WHEN lower(c_mktsegment) = '{s}' "
+               f"THEN CAST(o_totalprice AS DECIMAL(28,8)) END) AS VARCHAR) AS {s}"
                for s in _SEGMENTS)}
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY 1
@@ -336,7 +359,8 @@ def q_pivot_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("c_mktsegment", [s.upper() for s in _SEGMENTS])
         .agg(F.sum(F.col("o_totalprice").cast("decimal(28,8)")))
         .select(
-            "year", *[F.col(s.upper()).alias(s) for s in _SEGMENTS]
+            # emission: decimal→string per cell (NULL stays NULL on both)
+            "year", *[dec_str(F.col(s.upper())).alias(s) for s in _SEGMENTS]
         )
     )
 
@@ -403,7 +427,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('day', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(28,8))) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(28,8))) AS VARCHAR) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -435,7 +459,10 @@ def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start", "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum("_tv_dec").alias("total_value"),
+            # partial decimal sums merge exactly; the emission is the
+            # driver-hashable string (Spark SUM keeps DECIMAL(38,8) through
+            # both levels — same scale as the oracle's one-pass sum)
+            dec_str(F.sum("_tv_dec")).alias("total_value"),
         )
     )
     return merged
@@ -577,7 +604,7 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT date_trunc('day', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
-           {_dsum_exact('value')} AS total_value
+           {_dsum_str('value')} AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -588,7 +615,7 @@ def q_event_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.table("events")
     return (
         ev.groupBy(F.window("ts", "1 day"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum_exact("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum_str("value").alias("total_value"))
         .select(
             # 1-day tumbling windows start at day boundaries, so window.start
             # IS date_trunc('day', ts); cast to DATE to match the oracle's

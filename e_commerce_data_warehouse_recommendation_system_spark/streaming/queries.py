@@ -218,7 +218,7 @@ def _run_foreach_batch_upsert(
     oracle="""
     SELECT date_trunc('day', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(28,8))) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(28,8))) AS VARCHAR) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -259,14 +259,17 @@ def stream_event_daily_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Materialize the terminal state before the temp dir disappears; the
         # partition column round-trips through directory names, so pin its
-        # type and the original column order explicitly.
+        # type and the original column order explicitly. The exact decimal
+        # stays a DECIMAL(38,8) through the parquet sink (replace-by-key
+        # upsert, no re-aggregation); only the driver emission is the
+        # scale-pinned string (see functions/scalar.dec_str).
         result = (
             spark.read.parquet(out)
             .select(
                 F.col("window_start").cast("date").alias("window_start"),
                 "event_type",
                 "n_events",
-                "total_value",
+                F.col("total_value").cast("string").alias("total_value"),
             )
             .localCheckpoint(eager=True)
         )

@@ -14,6 +14,12 @@ Float comparison matches the DRIVER's strength per mode:
   summation order across engines) that the digest layer deliberately
   folds through FLOOR(x*1e6) before the driver ever sees them.
 
+Decimal cells are SERIALIZED scale-pinned (never compared as Python
+objects, whose ``==`` ignores scale), and queries mode hard-fails any
+Spark DecimalType output column outright — the driver's oracle fetch
+collapses DECIMAL to float64, so such a column can never hash-match even
+when bit-identical (the round-7 failure class: 11 slots red).
+
 With ``--components`` the suite *components* are checked one-by-one against
 their FULL-RESULT oracles (value-stronger than the digest rows the driver
 sees, but float-tolerant) — the local gate behind the 50-slot suite
@@ -25,6 +31,7 @@ Usage: python scripts/check_correctness.py [--components] [sf_dir] [filter...]
 
 from __future__ import annotations
 
+import decimal
 import json
 import math
 import struct
@@ -65,6 +72,15 @@ def normalize(rows, cols, exact_floats: bool):
     def norm_cell(v):
         if v is None:
             return None
+        if isinstance(v, decimal.Decimal):
+            # SERIALIZE, never compare as objects: Python's Decimal __eq__
+            # ignores scale (Decimal('1.20000000') == Decimal('1.2')), which
+            # is exactly the blind spot that let round 7's DecimalType
+            # emissions pass locally while the driver's value-hash — which
+            # serializes — flagged all 11. format(...,'f') is scale-pinned
+            # plain notation ('0E-8' -> '0.00000000'), so a scale drift
+            # between engines fails here the way it fails at the driver.
+            return "dec:" + format(v, "f")
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
@@ -109,6 +125,25 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            if not use_components:
+                # Driver-visible queries may NEVER emit DecimalType: the
+                # driver's oracle fetch collapses DECIMAL to float64, so a
+                # Spark Decimal can never value-hash-match it (round 7: 11
+                # red slots, rows/schema green, hash red). Exact decimals
+                # must cross as scale-pinned strings (functions/scalar.py
+                # dec_str/dec_sum_str). Hard-fail HERE, because both local
+                # engines return Decimal objects and would compare green.
+                bad = [
+                    f.name for f in sdf.schema.fields
+                    if f.dataType.typeName().startswith("decimal")
+                ]
+                if bad:
+                    results[name] = {
+                        "status": "DECIMAL_OUTPUT",
+                        "error": f"driver-unhashable DecimalType columns: {bad}",
+                    }
+                    print(f"{name}: DECIMAL_OUTPUT {bad} — emit via dec_str()")
+                    continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             traceback.print_exc()

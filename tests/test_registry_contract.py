@@ -109,3 +109,33 @@ def test_component_fns_take_spark_and_sfdir():
         if required_positional(c.fn) != 2
     ] + [n for n, fn in registry.queries().items() if required_positional(fn) != 2]
     assert not bad, f"registered fns not shaped (spark, sf_dir): {bad}"
+
+
+def test_no_decimal_output_columns(spark):
+    """No driver-visible query may emit a DecimalType column. Round 7 lost
+    11 slots to exactly this: values bit-identical on both engines, but the
+    driver's oracle fetch collapses DECIMAL to float64, so a Spark Decimal
+    can never value-hash-match — rows/schema green, hash red. Exact sums
+    cross as scale-pinned strings (functions/scalar.dec_str / dec_sum_str;
+    the form 13 digest suites have crossed green for two rounds).
+
+    Builds every registered query's DataFrame at sf0.001 and inspects the
+    schema. Most queries are lazy (schema-only build); the stream_* entries
+    execute their micro-batch pipelines, which at sf0.001 is seconds.
+    """
+    from tests.conftest import SF0001
+
+    violations = {}
+    for name, fn in sorted(registry.queries().items()):
+        df = fn(spark, SF0001)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName().startswith("decimal")
+        ]
+        if bad:
+            violations[name] = bad
+    assert not violations, (
+        "driver-unhashable DecimalType output columns (emit via "
+        f"dec_str/dec_sum_str instead): {violations}"
+    )
