@@ -1299,13 +1299,18 @@ def rec_itemcf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = interactions(spark)
     sizes = inter.groupBy("user_id").agg(F.count(F.lit(1)).alias("basket"))
     # the capped frame has three consumers (both self-join sides + item
-    # counts); materialize it once so the orders ⋈ lineitem distinct and
-    # the whale-cap join don't recompute per consumer (the un-checkpointed
-    # plan carried 29 exchanges — 4 upstream replays; measured at sf0.1
-    # this is also modestly faster, and at scale it is 1 fact scan vs 4)
+    # counts); persist it once so the orders ⋈ lineitem distinct and the
+    # whale-cap join don't recompute per consumer (un-persisted, the plan
+    # replays the interactions join 4x). cache() not localCheckpoint:
+    # the round-7 eager checkpoint paid a synchronous disk materialization
+    # on every build and benched ~0.7 s SLOWER at sf0.1 than memory-
+    # with-spill caching (A/B min-of-3, idle box, round 8); cache gives
+    # the same single-computation reuse, spills under pressure, and at
+    # cluster scale keeps the frame executor-local instead of forcing an
+    # eager write barrier before the self-join starts.
     capped = inter.join(
         sizes.filter(F.col("basket") <= ITEMCF_MAX_BASKET).select("user_id"), "user_id"
-    ).localCheckpoint(eager=True)
+    ).cache()
     cnt = capped.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_users"))
     a, b = capped.alias("a"), capped.alias("b")
     pairs = (

@@ -7,6 +7,7 @@ plain join row-for-row.
 
 from __future__ import annotations
 
+import re
 import shutil
 import tempfile
 
@@ -18,6 +19,54 @@ from tests.conftest import SF0001
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+_EXCHANGE_TOKENS = (
+    "Exchange hashpartitioning",
+    "Exchange rangepartitioning",
+    "Exchange SinglePartition",
+)
+
+
+def _node_depth(line: str) -> int:
+    """Column where the node name starts (past the `: +- ` tree art)."""
+    for i, ch in enumerate(line):
+        if ch not in " :+-":
+            return i
+    return len(line)
+
+
+def _shuffle_count(plan: str) -> int:
+    """EXECUTED shuffle exchanges in a plan string.
+
+    A plain substring count over-reports cached plans: every
+    InMemoryTableScan re-prints its InMemoryRelation's full build subtree,
+    but the build (and its exchanges) executes ONCE — the other scans read
+    memory. Count each distinct cached relation's subtree once (keyed on
+    the relation header with expr-ids stripped) and skip re-prints, so a
+    cache() materialization isn't billed per consumer.
+    """
+    lines = plan.splitlines()
+    total = sum(line.count(t) for t in _EXCHANGE_TOKENS for line in lines)
+    seen: set[str] = set()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if "InMemoryRelation" in line:
+            d = _node_depth(line)
+            j = i + 1
+            while j < len(lines) and _node_depth(lines[j]) > d:
+                j += 1
+            key = re.sub(r"#\d+", "", line[line.index("InMemoryRelation"):])
+            if key in seen:
+                sub = lines[i:j]
+                total -= sum(l.count(t) for t in _EXCHANGE_TOKENS for l in sub)
+            else:
+                seen.add(key)
+            i = j
+        else:
+            i += 1
+    return total
 
 
 def test_filter_pushes_into_parquet_scan(spark):
@@ -423,13 +472,17 @@ SHUFFLE_BUDGET = {
 
 #: same ceilings for the lazy suite COMPONENTS added in round 6 (the
 #: multi-consumer ones are pinned AFTER their shared subframes were
-#: materialized — e.g. itemCF read 29 exchanges when each consumer
-#: replayed the interactions join; the checkpoint form reads 9)
+#: materialized — e.g. itemCF read 29 textual exchanges when each consumer
+#: replayed the interactions join). Counts are EXECUTED shuffles via
+#: _shuffle_count: a cached build's exchanges bill once, not per scan.
+#: itemCF's 13 = 4 to build the shared capped frame (cache(); the round-7
+#: localCheckpoint form ran the same 4 eagerly OFF-plan, so its pin read
+#: 9 — same end-to-end work, now visible in one plan) + 9 downstream.
 COMPONENT_SHUFFLE_BUDGET = {
     "session_transitions": 3,
     "attribution_last_touch": 2,
     "session_paths_topk": 2,
-    "rec_itemcf_neighbors": 9,
+    "rec_itemcf_neighbors": 13,
     "rec_decayed_popularity": 2,
     "supplier_scorecard": 1,
     "delivery_sla": 1,
@@ -481,11 +534,7 @@ def test_lazy_components_stay_inside_shuffle_budget(spark):
     over = {}
     for name, budget in COMPONENT_SHUFFLE_BUDGET.items():
         plan = _plan(comps[name].fn(spark, SF0001))
-        n = (
-            plan.count("Exchange hashpartitioning")
-            + plan.count("Exchange rangepartitioning")
-            + plan.count("Exchange SinglePartition")
-        )
+        n = _shuffle_count(plan)
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"components over shuffle budget (got, budget): {over}"
@@ -502,11 +551,7 @@ def test_headline_queries_stay_inside_shuffle_budget(spark):
     over = {}
     for name, budget in SHUFFLE_BUDGET.items():
         plan = _plan(qs[name](spark, SF0001))
-        n = (
-            plan.count("Exchange hashpartitioning")
-            + plan.count("Exchange rangepartitioning")
-            + plan.count("Exchange SinglePartition")
-        )
+        n = _shuffle_count(plan)
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"queries over shuffle budget (got, budget): {over}"
