@@ -232,6 +232,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_group_holdout_split",
         # §2.11 UDTF surface: sequential RLE over token streams
         "text_rle_udtf",
+        # cross-document boilerplate n-gram density (CCNet/C4 cleaning)
+        "text_boilerplate_ngrams",
     ],
     # multimodal: frame sampling + decode->resize->sample chain + the
     # embedding-representation compression step (int8 quantization)
@@ -253,6 +255,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "sim_semantic_dedup",
         # product-quantization codebooks (IVF-PQ memory layout)
         "sim_pq_codes",
+        # ADC search + exact rerank over the PQ codes (IVF-PQ serving path)
+        "sim_pq_adc_search",
         # per-dimension cohort mean-shift drift monitor (full oracle)
         "sim_embedding_drift",
         # topic-balanced sampling over the trained cells (shares the fit)
