@@ -1640,3 +1640,184 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("boiler_ratio_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-trained bigram LM fluency score (CCNet-class LM filtering)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "text_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS s
+      FROM tok
+    ),
+    c12 AS (SELECT s, COUNT(*) AS c12 FROM bi GROUP BY s),
+    c1 AS (SELECT split_part(s, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+           FROM c12 GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT u) AS vocab
+          FROM (SELECT unnest(t) AS u FROM tok)),
+    terms AS (
+      SELECT bi.doc_id,
+             FLOOR(((c12.c12 + 1) * 1000000.0) / (c1.c1 + v.vocab)) AS term
+      FROM bi
+      JOIN c12 USING (s)
+      JOIN c1 ON split_part(bi.s, ' ', 1) = c1.w1, v
+    ),
+    agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(term) AS st
+            FROM terms GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(FLOOR(a.st / a.n_bigrams) AS BIGINT) AS lm_micro
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    cols=[("doc_id", "num"), ("n_bigrams", "num"), ("lm_micro", "num")],
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model fluency scoring, the CCNet-class LM quality filter
+    (documents whose word sequences the corpus LM finds improbable are
+    noise/spam candidates): an add-one-smoothed word-bigram model is
+    trained on the corpus itself and every document is scored by its mean
+    conditional probability P(w2|w1) = (c12+1)/(c1+V).
+
+    The statistic stays in PROBABILITY-space integer micro-units — each
+    bigram's term is FLOOR(1e6*(c12+1)/(c1+V)) and the doc score is the
+    floored mean of those integers — rather than the textbook log-space
+    perplexity: ln() is not guaranteed correctly-rounded in either engine
+    (java.lang.Math.log vs libm differ by 1 ulp on some inputs), while
+    integer-ratio FLOOR micro-units cross engines bit-exactly, the repo's
+    proven form. Monotonicity per term is preserved, so filtering
+    thresholds translate directly.
+
+    Scale: bigram extraction is a map-side array transform (no
+    posexplode self-join); the model is two map-side-combined groupBys
+    (bigram counts, then context counts derived FROM the bigram table —
+    vocabulary-bounded, not corpus-bounded); V rides a broadcast cross
+    join; scoring is one shuffle join of doc-bigrams against the count
+    tables and one per-doc rollup. At 100 TB the bigram-count table is
+    bounded by vocab² and the scoring join partitions on the bigram key."""
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", tokens("text").alias("t"))
+    bi = (
+        docs.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = docs.select(F.explode("t").alias("u")).agg(
+        F.countDistinct("u").alias("vocab")
+    )
+    terms = (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                ((F.col("c12") + 1) * 1000000.0) / (F.col("c1") + F.col("vocab"))
+            ).alias("term"),
+        )
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("term").alias("st")
+    )
+    return (
+        spark.table("documents")
+        .select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.floor(F.col("st") / F.col("n_bigrams")).cast("long").alias("lm_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE merge statistics (tokenizer-induction first-merge ranking)
+# --------------------------------------------------------------------------
+
+#: how many top adjacent-pair candidates the ranking emits
+BPE_TOP_PAIRS = 20
+
+
+@component(
+    "text_bpe_pair_stats",
+    oracle=f"""
+    WITH tok AS (SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    w AS (SELECT u AS w, COUNT(*) AS wcnt
+          FROM (SELECT unnest(t) AS u FROM tok) GROUP BY u),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair,
+             wcnt
+      FROM w WHERE length(w) >= 2
+    ),
+    agg AS (SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS weight FROM p GROUP BY pair),
+    r AS (SELECT pair, weight,
+                 ROW_NUMBER() OVER (ORDER BY weight DESC, pair) AS rnk
+          FROM agg)
+    SELECT pair, weight, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= {BPE_TOP_PAIRS}
+    """,
+    cols=[("pair", "str"), ("weight", "num"), ("rnk", "num")],
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction, the merge-selection statistic: the
+    frequency of every adjacent character pair across the corpus, weighted
+    by word frequency — the quantity byte-pair encoding maximizes when it
+    picks its next merge. Emits the top-{BPE_TOP_PAIRS} ranking (ties
+    broken lexicographically), i.e. the candidate order the first merge
+    round would consume. Training a full vocabulary is sequential merge
+    rounds of exactly this statistic recomputed over re-segmented words;
+    each round is this same bounded-size plan, so the corpus-scale cost
+    lives entirely in the ONE word-frequency pass below.
+
+    Scale: the corpus-sized work is one token explode + word groupBy
+    (map-side combined); everything after runs on the DISTINCT word
+    table, which is vocabulary-bounded — pairs are generated by a
+    map-side substring transform (substr(w, i, 2) — identical 1-based
+    semantics in Spark and DuckDB, no char-split needed) and the final
+    single-partition ranking window orders a pair table bounded by
+    alphabet², never by corpus rows."""
+    prepare(spark, sf_dir)
+    words = (
+        spark.table("documents")
+        .select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    pairs = (
+        words.filter(F.char_length("w") >= 2)
+        .select(
+            "wcnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, char_length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("wcnt").cast("long").alias("weight"))
+    )
+    w = Window.orderBy(F.desc("weight"), F.asc("pair"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= BPE_TOP_PAIRS)
+        .select("pair", "weight", "rnk")
+    )

@@ -234,6 +234,10 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_rle_udtf",
         # cross-document boilerplate n-gram density (CCNet/C4 cleaning)
         "text_boilerplate_ngrams",
+        # corpus-trained bigram LM fluency score (CCNet LM filter)
+        "text_lm_score",
+        # BPE merge statistics (tokenizer-induction first-merge ranking)
+        "text_bpe_pair_stats",
     ],
     # multimodal: frame sampling + decode->resize->sample chain + the
     # embedding-representation compression step (int8 quantization)
