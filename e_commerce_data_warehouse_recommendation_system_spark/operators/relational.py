@@ -1465,6 +1465,90 @@ def w7_windowed_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @component(
+    "w8_interval_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS s,
+             MAX(CAST(l.l_shipdate AS DATE)) AS e
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT s AS d, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e + 1 AS d, -1 AS delta FROM iv
+    ),
+    net AS (SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY d),
+    cum AS (SELECT d, SUM(net) OVER (ORDER BY d) AS open_cnt FROM net)
+    SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+           CAST(MAX(open_cnt) AS BIGINT) AS max_open,
+           CAST(COUNT(*) AS BIGINT) AS n_delta_days
+    FROM cum GROUP BY 1
+    """,
+    cols=[("month", "date"), ("max_open", "num"), ("n_delta_days", "num")],
+)
+def w8_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap concurrency (sweep line): each order is "in
+    flight" from its order date to its last line-item ship date; the
+    metric is the maximum number of simultaneously open orders per month —
+    the warehouse-load / working-capital question a dashboard asks of any
+    interval table, and the one aggregation windows can't express without
+    the +1/-1 boundary-event trick used here.
+
+    The oracle writes the textbook single global running sum; the Spark
+    plan computes the SAME prefix sums in TWO PHASES so no corpus-sized
+    data ever passes through a single partition: per-date net deltas
+    (one groupBy), then a month-level prefix (a window over the
+    calendar-bounded month table — dozens of rows at any data size, like
+    w1b's two-phase surrogate keys), plus a within-month cumulative sum
+    partitioned BY month. prefix(month) + within-month cumsum ==
+    global cumsum, exactly, in integers.
+
+    Scale: one shuffle for the per-order interval rollup, one for the
+    date-level net, one partition-by-month window; the only ordered-global
+    structure is the month table, bounded by the calendar, not the data."""
+    prepare(spark, sf_dir)
+    iv = (
+        spark.table("orders")
+        .join(
+            spark.table("lineitem").select("l_orderkey", "l_shipdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("s"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("e"))
+    )
+    deltas = iv.select(F.col("s").alias("d"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.date_add("e", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    net = (
+        deltas.groupBy("d")
+        .agg(F.sum("delta").cast("long").alias("net"))
+        .withColumn("month", F.trunc("d", "MM"))
+    )
+    w_months = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, -1)
+    month_prefix = (
+        net.groupBy("month")
+        .agg(F.sum("net").alias("mnet"))
+        .select(
+            "month",
+            F.coalesce(F.sum("mnet").over(w_months), F.lit(0)).alias("prefix"),
+        )
+    )
+    w_days = (
+        Window.partitionBy("month")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = net.join(month_prefix, "month").select(
+        "month", "d", (F.col("prefix") + F.sum("net").over(w_days)).alias("open_cnt")
+    )
+    return cum.groupBy("month").agg(
+        F.max("open_cnt").cast("long").alias("max_open"),
+        F.count(F.lit(1)).alias("n_delta_days"),
+    )
+
+
+@component(
     "a11b_approx_percentile_bound",
     oracle="""
     SELECT quantile_cont(o_totalprice, 0.5) AS exact_median,

@@ -1867,3 +1867,93 @@ def rec_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= NEG_K)
         .select("user_id", "neg_rank", "item_id", "slot")
     )
+
+
+# --------------------------------------------------------------------------
+# Bounded-BFS reachability over the co-purchase graph
+# --------------------------------------------------------------------------
+
+#: BFS horizon: how many co-purchase hops from the seed set are explored.
+BFS_MAX_HOPS = 3
+#: deterministic seed set: every part whose key is a multiple of this.
+BFS_SEED_MODULUS = 100
+
+
+@component(
+    "graph_reach_bfs",
+    cols=[("item_id", "num"), ("dist", "num")],
+    oracle=f"""
+    WITH RECURSIVE
+    baskets AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+    e AS (SELECT DISTINCT a.part AS src, b.part AS dst
+          FROM baskets a JOIN baskets b
+            ON a.okey = b.okey AND a.part <> b.part),
+    seeds AS (SELECT p_partkey AS id FROM part
+              WHERE p_partkey % {BFS_SEED_MODULUS} = 0),
+    r AS (
+      SELECT id, 0 AS d FROM seeds
+      UNION
+      SELECT e.dst AS id, r.d + 1 AS d
+      FROM r JOIN e ON e.src = r.id WHERE r.d < {BFS_MAX_HOPS}
+    )
+    SELECT id AS item_id, CAST(MIN(d) AS INT) AS dist FROM r GROUP BY id
+    """,
+)
+def graph_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first reachability over the co-purchase graph — the
+    "discovery radius" question behind merchandising seeds: starting from a
+    deterministic promoted-item set (part keys divisible by
+    {BFS_SEED_MODULUS}), which catalog items are within
+    {BFS_MAX_HOPS} co-purchase hops, and at what minimum distance? The
+    third graph operator alongside connected components (dedup_clusters,
+    min-label propagation) and PageRank (rec_pagerank_items, power
+    iteration): BFS is the one with a TRUE recursive-SQL twin, so the
+    oracle is a genuine WITH RECURSIVE CTE, not a bounded unrolling.
+
+    Level-synchronous BFS is exact here: the h-th frontier is joined
+    against the edge list, already-reached vertices are dropped with a
+    LEFT ANTI join, and first discovery IS minimum distance, so no
+    re-relaxation is ever needed (unweighted edges). {BFS_MAX_HOPS}
+    iterations keep the lineage shallow enough that no checkpoint is
+    required; an unbounded variant would checkpoint per level exactly
+    like dedup_clusters does.
+
+    Scale: the edge list is a per-order self-join (blow-up O(k²) per
+    basket, k ≤ items-per-order — same bound rec_copurchase_pairs
+    documents), built once and reused by every level; each level is one
+    shuffle join frontier⋈edges partitioned on src plus one distinct and
+    one anti join, all frontier-sized, never graph-sized. At 100 TB the
+    frontier join partitions on the hub-bounded src key and the seed set
+    stays a deterministic modulus — no driver-side collection anywhere."""
+    prepare(spark, sf_dir)
+    baskets = (
+        spark.table("lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    edges = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.part") != F.col("b.part")))
+        .select(F.col("a.part").alias("src"), F.col("b.part").alias("dst"))
+        .distinct()
+        .cache()  # reused by every BFS level; bounded by Σk² per order
+    )
+    seeds = (
+        spark.table("part")
+        .filter(F.col("p_partkey") % BFS_SEED_MODULUS == 0)
+        .select(F.col("p_partkey").alias("id"))
+    )
+    reached = seeds.select("id", F.lit(0).alias("dist"))
+    frontier = seeds
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(reached, "id", "left_anti")
+        )
+        reached = reached.unionAll(nxt.select("id", F.lit(hop).alias("dist")))
+        frontier = nxt
+    return reached.select(
+        F.col("id").alias("item_id"), F.col("dist").cast("int").alias("dist")
+    )

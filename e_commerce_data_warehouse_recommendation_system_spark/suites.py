@@ -141,6 +141,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "w5_analytic_functions",
         "w6_rolling_7day_revenue",
         "w7_windowed_distinct_count",
+        # sweep-line interval concurrency (two-phase prefix sums)
+        "w8_interval_concurrency",
         # streaming twin of the batch dedup ladder: watermarked exactly-once
         # repair over a replayed source
         "stream_dedup_replay",
@@ -279,6 +281,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "rec_itemcf_neighbors",
         # recency-weighted trending shelf (decayed popularity)
         "rec_decayed_popularity",
+        # bounded-BFS co-purchase reachability (WITH RECURSIVE oracle)
+        "graph_reach_bfs",
         # influential products: PageRank over the co-purchase graph
         "rec_pagerank_items",
         # NDCG@k of the popularity shelf (no-libm integer discounts)
