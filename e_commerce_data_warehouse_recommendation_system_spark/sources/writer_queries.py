@@ -1125,3 +1125,89 @@ def wr_wap_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@component(
+    "s19_corrupt_json_quarantine",
+    cols=[("bucket", "str"), ("n_rows", "num"), ("sum_event_id", "num")],
+    oracle="""
+    WITH cls AS (
+      SELECT CASE WHEN event_id % 13 = 3 THEN 'corrupt' ELSE 'parsed' END AS bucket,
+             CASE WHEN event_id % 13 = 3 THEN NULL ELSE event_id END AS eid
+      FROM events
+    )
+    SELECT bucket, COUNT(*) AS n_rows, CAST(SUM(eid) AS BIGINT) AS sum_event_id
+    FROM cls GROUP BY bucket
+    """,
+)
+def s19_corrupt_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine on a JSON source — the production
+    ingestion posture the clean round-trips never exercise: a feed where
+    some lines are broken must load WITHOUT dropping data silently
+    (DROPMALFORMED) or failing the batch (FAILFAST). PERMISSIVE mode with
+    an explicit ``_corrupt_record`` column keeps every line — parsed
+    fields for good rows, the raw line for bad ones — so the bad rows can
+    be counted, quarantined, and replayed after a parser fix.
+
+    The feed is synthesized deterministically from ``events``: every row
+    serializes to one JSONL line, and lines for ``event_id % 13 == 3``
+    are truncated (losing the closing brace — structurally invalid JSON).
+    The oracle therefore knows exactly which rows must land in which
+    bucket without reading the file: quarantine classification is pure
+    arithmetic on the source table. Corrupt rows parse with NULL fields,
+    so their ``sum_event_id`` is NULL — asserting the parser never
+    half-recovers a field from a broken line.
+
+    Scale: text write + JSON read are both narrow per-partition passes;
+    the only shuffle is the final two-row aggregation. The declared
+    schema (never inferSchema — SURVEY §1.4) keeps the read single-pass."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    prepare(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "event_type")
+    js = F.to_json(F.struct("event_id", "event_type"))
+    lines = ev.select(
+        F.when(
+            F.col("event_id") % 13 == 3,
+            F.substring(js, 1, F.length(js) - F.lit(5)),
+        )
+        .otherwise(js)
+        .alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="ecomdw_wr_")
+    try:
+        path = f"{tmp}/events_dirty_jsonl"
+        lines.write.mode("overwrite").text(path)
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("_corrupt_record", T.StringType()),
+            ]
+        )
+        back = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path)
+        )
+        result = (
+            back.select(
+                F.when(F.col("_corrupt_record").isNotNull(), F.lit("corrupt"))
+                .otherwise(F.lit("parsed"))
+                .alias("bucket"),
+                "event_id",
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

@@ -298,6 +298,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "wr_truncate",
         "wr_parquet_roundtrip",
         "wr_json_roundtrip",
+        # PERMISSIVE corrupt-record quarantine on a dirty JSONL feed
+        "s19_corrupt_json_quarantine",
         "wr_csv_roundtrip",
         "wr_orc_roundtrip",
         # B2B edge format: Spark 4 native XML round-trip (no external jar)
