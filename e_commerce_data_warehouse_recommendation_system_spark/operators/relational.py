@@ -1517,13 +1517,23 @@ def w8_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("s"))
         .agg(F.max(F.col("l_shipdate").cast("date")).alias("e"))
     )
-    deltas = iv.select(F.col("s").alias("d"), F.lit(1).alias("delta")).unionAll(
-        iv.select(F.date_add("e", 1).alias("d"), F.lit(-1).alias("delta"))
-    )
+    # both boundary events from ONE pass over iv (a union of two selects
+    # would replay the interval rollup twice) — map-side explode, no shuffle
+    deltas = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("d"), F.lit(1).alias("delta")),
+                F.struct(F.date_add("e", 1).alias("d"), F.lit(-1).alias("delta")),
+            )
+        ).alias("ev")
+    ).select("ev.d", "ev.delta")
     net = (
         deltas.groupBy("d")
         .agg(F.sum("delta").cast("long").alias("net"))
         .withColumn("month", F.trunc("d", "MM"))
+        .cache()  # calendar-bounded (one row per active date); feeds both
+        # the month-prefix build and the day-level cumsum — uncached, the
+        # interval rollup + date aggregation replay per consumer
     )
     w_months = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, -1)
     month_prefix = (
@@ -1539,7 +1549,7 @@ def w8_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = net.join(month_prefix, "month").select(
+    cum = net.join(F.broadcast(month_prefix), "month").select(
         "month", "d", (F.col("prefix") + F.sum("net").over(w_days)).alias("open_cnt")
     )
     return cum.groupBy("month").agg(

@@ -1936,7 +1936,12 @@ def graph_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.part") != F.col("b.part")))
         .select(F.col("a.part").alias("src"), F.col("b.part").alias("dst"))
         .distinct()
-        .cache()  # reused by every BFS level; bounded by Σk² per order
+        # hash-partition on the join key BEFORE caching: InMemoryRelation
+        # preserves outputPartitioning, so every BFS level's frontier⋈edges
+        # join re-exchanges only the (small) frontier side, never the edge
+        # list — the one-time layout investment iterative graph ops live on
+        .repartition("src")
+        .cache()
     )
     seeds = (
         spark.table("part")
@@ -1946,11 +1951,17 @@ def graph_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reached = seeds.select("id", F.lit(0).alias("dist"))
     frontier = seeds
     for hop in range(1, BFS_MAX_HOPS + 1):
+        # cache each level: frontier h feeds BOTH the next level's expansion
+        # and every later level's anti join (through `reached`) — uncached,
+        # level h's subtree replays once per later level (the iterative
+        # lineage blowup dedup_clusters checkpoints against; 3 bounded
+        # levels make cache() sufficient here)
         nxt = (
             frontier.join(edges, frontier["id"] == edges["src"])
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(reached, "id", "left_anti")
+            .cache()
         )
         reached = reached.unionAll(nxt.select("id", F.lit(hop).alias("dist")))
         frontier = nxt

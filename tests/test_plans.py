@@ -513,6 +513,22 @@ COMPONENT_SHUFFLE_BUDGET = {
     "rec_negative_samples": 12,
     # equi-depth: one boundary aggregate + one bucket-count aggregate
     "a16_equidepth_histogram": 2,
+    # round 8: LM scoring = bigram counts + context counts + scoring join
+    # + per-doc rollup (model tables vocab-bounded)
+    "text_lm_score": 6,
+    # BPE stats: one corpus word groupBy + one vocab-bounded pair groupBy
+    "text_bpe_pair_stats": 2,
+    # boilerplate: shared shingle pass + doc-frequency groupBy + per-doc
+    # rollup (boilerplate set joins back broadcast — no fact shuffle)
+    "text_boilerplate_ngrams": 5,
+    # level-synchronous BFS: one-time edge build + repartition-on-src
+    # layout, then 3 levels x (frontier expand + dedup + anti-join prune)
+    # — every per-level exchange is frontier-sized, never graph-sized
+    "graph_reach_bfs": 18,
+    # sweep line: interval rollup (join+agg) + date net + two-phase
+    # prefix windows + final month rollup; net cached, month side
+    # broadcast
+    "w8_interval_concurrency": 7,
 }
 
 
