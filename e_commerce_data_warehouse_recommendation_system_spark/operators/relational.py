@@ -3530,3 +3530,101 @@ def a18_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="key bigint, n_exact bigint, ge_exact boolean, within_eps boolean"
     )
+
+
+# --------------------------------------------------------------------------
+# ABC / Pareto revenue classification (cumulative-share banding)
+# --------------------------------------------------------------------------
+
+#: cumulative-share band edges in micro-units: A ≤ 80%, B ≤ 95%, else C
+ABC_A_MICRO = 800000
+ABC_B_MICRO = 950000
+
+
+@component(
+    "a19_abc_pareto",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))
+                      * 10000) AS BIGINT) AS revenue_units
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(revenue_units) AS BIGINT) AS total_units FROM rev),
+    cum AS (
+      SELECT l_partkey, revenue_units,
+             CAST(SUM(revenue_units)
+                  OVER (ORDER BY revenue_units DESC, l_partkey) AS BIGINT) AS cum_units
+      FROM rev
+    )
+    SELECT l_partkey, revenue_units,
+           CAST(FLOOR(cum_units * 1000000.0 / tot.total_units) AS BIGINT)
+             AS cum_share_micro,
+           CASE
+             WHEN FLOOR(cum_units * 1000000.0 / tot.total_units) <= {ABC_A_MICRO}
+               THEN 'A'
+             WHEN FLOOR(cum_units * 1000000.0 / tot.total_units) <= {ABC_B_MICRO}
+               THEN 'B'
+             ELSE 'C'
+           END AS abc_class
+    FROM cum, tot
+    """,
+    cols=[
+        ("l_partkey", "num"),
+        ("revenue_units", "num"),
+        ("cum_share_micro", "num"),
+        ("abc_class", "str"),
+    ],
+)
+def a19_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto analysis — the inventory-management classic: rank parts
+    by discounted revenue, band by cumulative revenue share (A ≤ 80%,
+    B ≤ 95%, C the tail). Revenue stays EXACT end-to-end as scale-4
+    integer units (l_extendedprice and l_discount each carry ≤2 decimals,
+    so the discounted product is exact at scale 4 — no float accumulation
+    anywhere), and the share crosses engines as the proven FLOOR-micro
+    double fold of two integers. Ordering is total (revenue DESC, partkey)
+    so the cumulative sum is engine-deterministic.
+
+    Scale: one map-side-combined groupBy to the part grain; the ranking
+    window then runs on the CATALOG-bounded part table, not on lineitem
+    rows, with the grand total broadcast — at 100 TB this is the same
+    bounded-window posture as w1b's two-phase surrogate keys, and the
+    window would split two-phase the same way if the catalog itself ever
+    outgrew a partition."""
+    prepare(spark, sf_dir)
+    rev = (
+        spark.table("lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            (
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,4)"
+                    )
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("revenue_units")
+        )
+    )
+    tot = rev.agg(F.sum("revenue_units").cast("long").alias("total_units"))
+    w = Window.orderBy(F.desc("revenue_units"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.select(
+        "l_partkey",
+        "revenue_units",
+        F.sum("revenue_units").over(w).cast("long").alias("cum_units"),
+    ).crossJoin(F.broadcast(tot))
+    share = F.floor(F.col("cum_units") * 1000000.0 / F.col("total_units"))
+    return cum.select(
+        "l_partkey",
+        "revenue_units",
+        share.cast("long").alias("cum_share_micro"),
+        F.when(share <= ABC_A_MICRO, F.lit("A"))
+        .when(share <= ABC_B_MICRO, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

@@ -1821,3 +1821,110 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= BPE_TOP_PAIRS)
         .select("pair", "weight", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weighting (target-vs-raw likelihood-ratio scoring)
+# --------------------------------------------------------------------------
+
+#: the deterministic "curated target domain": documents from this source
+DSIR_TARGET_SOURCE = "src0"
+
+
+@component(
+    "text_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    tgt AS (
+      SELECT t.w, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM tok t JOIN documents d USING (doc_id)
+      WHERE d.source = '{DSIR_TARGET_SOURCE}'
+      GROUP BY t.w
+    ),
+    raw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cr FROM tok GROUP BY w),
+    sc AS (
+      SELECT CAST((SELECT COUNT(*) FROM tok) AS BIGINT) AS n_raw,
+             CAST((SELECT COUNT(*) FROM tok t JOIN documents d USING (doc_id)
+                   WHERE d.source = '{DSIR_TARGET_SOURCE}') AS BIGINT) AS n_tgt,
+             CAST((SELECT COUNT(DISTINCT w) FROM tok) AS BIGINT) AS v
+    ),
+    terms AS (
+      SELECT tok.doc_id,
+             FLOOR(((COALESCE(tgt.ct, 0) + 1) * (sc.n_raw + sc.v)) * 1000000.0
+                   / ((raw.cr + 1) * (sc.n_tgt + sc.v))) AS term
+      FROM tok
+      JOIN raw USING (w)
+      LEFT JOIN tgt USING (w), sc
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(FLOOR(SUM(term) / COUNT(*)) AS BIGINT) AS dsir_micro
+    FROM terms GROUP BY doc_id
+    """,
+    cols=[("doc_id", "num"), ("n_tokens", "num"), ("dsir_micro", "num")],
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weighting for data selection, the DSIR recipe
+    (Xie et al. 2023, arXiv:2302.03169): score every raw document by how
+    much more probable its tokens are under a TARGET-domain LM than under
+    the raw-corpus LM, then resample proportionally — the
+    domain-adaptation step between "crawl everything" and "train on what
+    looks like the target". Target here is the deterministic
+    '{DSIR_TARGET_SOURCE}' slice; both LMs are add-one-smoothed unigram
+    models.
+
+    Exactness: the per-token likelihood ratio
+    p_t(w)/p_r(w) = ((ct+1)·(N_r+V)) / ((cr+1)·(N_t+V)) is a ratio of
+    two INT64-exact products (each factor bounded by corpus token count,
+    so the products sit far inside int64), folded through the proven
+    FLOOR-micro double divide; the doc score is the floored mean of those
+    integers. Ratio-space rather than DSIR's log-space sum for the same
+    reason as text_lm_score: ln() isn't correctly-rounded in either
+    engine, integer ratios are — per-token monotonicity is preserved, so
+    resampling thresholds translate.
+
+    Scale: both LMs are vocab-bounded count tables built from ONE token
+    explode (target counts are a filtered rollup of the same pass); the
+    three corpus scalars ride a broadcast; scoring is one shuffle join of
+    token instances against the count tables on the word key and one
+    per-doc rollup — the identical posture to text_lm_score one n-gram
+    order down."""
+    prepare(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", "source", F.explode(tokens("text")).alias("w")
+    )
+    raw = docs.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        docs.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    sc = docs.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count(F.when(F.col("source") == DSIR_TARGET_SOURCE, 1)).alias("n_tgt"),
+        F.countDistinct("w").alias("v"),
+    )
+    terms = (
+        docs.join(raw, "w")
+        .join(tgt, "w", "left")
+        .crossJoin(F.broadcast(sc))
+        .select(
+            "doc_id",
+            F.floor(
+                (
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    * (F.col("n_raw") + F.col("v"))
+                ).cast("long")
+                * 1000000.0
+                / ((F.col("cr") + 1) * (F.col("n_tgt") + F.col("v"))).cast("long")
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.floor(F.sum("term") / F.count(F.lit(1))).cast("long").alias("dsir_micro"),
+    )

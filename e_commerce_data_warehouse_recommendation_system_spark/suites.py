@@ -101,6 +101,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         # count-min sketch: the third classic sketch, one-sided-error
         # bounds checked against SQL-exact heavy hitters
         "a18_cms_heavy_hitters",
+        # ABC/Pareto cumulative-revenue banding (exact integer units)
+        "a19_abc_pareto",
         # marketing analytics: last-touch channel credit for purchases
         "attribution_last_touch",
         # experimentation: hash-assigned A/B readout + two-proportion z
@@ -240,6 +242,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_lm_score",
         # BPE merge statistics (tokenizer-induction first-merge ranking)
         "text_bpe_pair_stats",
+        # DSIR importance weights (target-vs-raw likelihood ratio)
+        "text_dsir_weights",
     ],
     # multimodal: frame sampling + decode->resize->sample chain + the
     # embedding-representation compression step (int8 quantization)

@@ -529,6 +529,12 @@ COMPONENT_SHUFFLE_BUDGET = {
     # prefix windows + final month rollup; net cached, month side
     # broadcast
     "w8_interval_concurrency": 7,
+    # ABC/Pareto: part-grain revenue agg + catalog-bounded ranking
+    # window + grand-total broadcast
+    "a19_abc_pareto": 4,
+    # DSIR: two vocab-bounded LM count rollups + scalar agg + the
+    # token-instance scoring join + per-doc rollup
+    "text_dsir_weights": 5,
 }
 
 
