@@ -1223,18 +1223,10 @@ ITEMCF_MAX_BASKET = 500
 ITEMCF_MIN_CO = 2
 
 
-@component(
-    "rec_itemcf_neighbors",
-    cols=[
-        ("item_id", "num"),
-        ("neighbor_id", "num"),
-        ("co", "num"),
-        ("cos2_micro", "num"),
-        ("cosine", "dbl"),
-        ("rnk", "num"),
-    ],
-    oracle=f"""
-    WITH inter AS ({_SQL_INTERACTIONS}),
+#: the itemCF CTE chain, shared verbatim by the rec_itemcf_neighbors
+#: oracle and the RRF hybrid's oracle so the two cannot drift
+_SQL_ITEMCF_CTES = f"""
+    inter AS ({_SQL_INTERACTIONS}),
     sizes AS (SELECT user_id, COUNT(*) AS basket FROM inter GROUP BY 1),
     capped AS (
       SELECT i.user_id, i.item_id
@@ -1268,7 +1260,21 @@ ITEMCF_MIN_CO = 2
                PARTITION BY item_id
                ORDER BY cos2_micro DESC, co DESC, neighbor_id) AS rnk
       FROM scored
-    )
+    )"""
+
+
+@component(
+    "rec_itemcf_neighbors",
+    cols=[
+        ("item_id", "num"),
+        ("neighbor_id", "num"),
+        ("co", "num"),
+        ("cos2_micro", "num"),
+        ("cosine", "dbl"),
+        ("rnk", "num"),
+    ],
+    oracle=f"""
+    WITH {_SQL_ITEMCF_CTES}
     SELECT item_id, neighbor_id, co, cos2_micro, cosine, CAST(rnk AS INT) AS rnk
     FROM ranked WHERE rnk <= {ITEMCF_K}
     """,
@@ -1967,4 +1973,108 @@ def graph_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = nxt
     return reached.select(
         F.col("id").alias("item_id"), F.col("dist").cast("int").alias("dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid recommendation via reciprocal-rank fusion (itemCF × popularity)
+# --------------------------------------------------------------------------
+
+#: standard RRF smoothing constant (Cormack et al. 2009)
+RRF_C = 60
+#: fused neighbors kept per item
+RRF_K = 5
+
+
+@component(
+    "rec_rrf_hybrid",
+    cols=[
+        ("item_id", "num"),
+        ("neighbor_id", "num"),
+        ("cf_rnk", "num"),
+        ("pop_rnk", "num"),
+        ("rrf_micro", "num"),
+        ("rnk", "num"),
+    ],
+    oracle=f"""
+    WITH {_SQL_ITEMCF_CTES},
+    cf AS (SELECT item_id, neighbor_id, rnk AS cf_rnk
+           FROM ranked WHERE rnk <= {ITEMCF_K}),
+    pop AS (SELECT item_id,
+                   ROW_NUMBER() OVER (ORDER BY n_users DESC, item_id) AS pop_rnk
+            FROM cnt),
+    fused AS (
+      SELECT cf.item_id, cf.neighbor_id, cf.cf_rnk, pop.pop_rnk,
+             CAST(FLOOR(1000000.0 / ({RRF_C} + cf.cf_rnk)) +
+                  FLOOR(1000000.0 / ({RRF_C} + pop.pop_rnk)) AS BIGINT) AS rrf_micro
+      FROM cf JOIN pop ON cf.neighbor_id = pop.item_id
+    )
+    SELECT item_id, neighbor_id,
+           CAST(cf_rnk AS INT) AS cf_rnk, CAST(pop_rnk AS INT) AS pop_rnk,
+           rrf_micro, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY item_id
+               ORDER BY rrf_micro DESC, neighbor_id) AS rnk
+      FROM fused
+    ) WHERE rnk <= {RRF_K}
+    """,
+)
+def rec_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid recommendation by reciprocal-rank fusion — the standard way
+    production systems blend heterogeneous rankers WITHOUT calibrating
+    their scores against each other (Cormack et al. 2009: fuse on ranks,
+    RRF(d) = Σ 1/(c + rank_i(d)), c = {RRF_C}): here the per-item itemCF
+    neighbor ranking (collaborative signal) is fused with the global
+    popularity ranking (prior), re-ranking each item's shelf toward
+    neighbors that are both similar AND broadly bought. Rank fusion in
+    integer micro-units — FLOOR(1e6/(c+rank)) per ranker, summed — keeps
+    the fused score engine-exact where raw score blending would reopen
+    every float-calibration problem the micro-unit convention closed.
+
+    Scale: consumes rec_itemcf_neighbors' K-bounded output (items × K
+    rows) and a popularity ranking over the catalog-bounded item-count
+    table; the fusion join partitions on neighbor_id and the final
+    window re-ranks ≤K rows per item. Nothing here is corpus-sized —
+    the heavy lifting stays inside the itemCF build, which this op
+    shares via its cached capped frame."""
+    prepare(spark, sf_dir)
+    cf = rec_itemcf_neighbors(spark, sf_dir).select(
+        "item_id", "neighbor_id", F.col("rnk").alias("cf_rnk")
+    )
+    inter = interactions(spark)
+    sizes = inter.groupBy("user_id").agg(F.count(F.lit(1)).alias("basket"))
+    capped = inter.join(
+        sizes.filter(F.col("basket") <= ITEMCF_MAX_BASKET).select("user_id"), "user_id"
+    )
+    cnt = capped.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_users"))
+    w_pop = Window.orderBy(F.desc("n_users"), F.asc("item_id"))
+    pop = cnt.select("item_id", F.row_number().over(w_pop).alias("pop_rnk"))
+    fused = cf.join(
+        F.broadcast(pop.select(F.col("item_id").alias("neighbor_id"), "pop_rnk")),
+        "neighbor_id",
+    ).select(
+        "item_id",
+        "neighbor_id",
+        "cf_rnk",
+        "pop_rnk",
+        (
+            F.floor(1000000.0 / (F.lit(RRF_C) + F.col("cf_rnk")))
+            + F.floor(1000000.0 / (F.lit(RRF_C) + F.col("pop_rnk")))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    w = Window.partitionBy("item_id").orderBy(F.desc("rrf_micro"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= RRF_K)
+        .select(
+            "item_id",
+            "neighbor_id",
+            F.col("cf_rnk").cast("int").alias("cf_rnk"),
+            F.col("pop_rnk").cast("int").alias("pop_rnk"),
+            "rrf_micro",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
     )

@@ -1211,3 +1211,62 @@ def s19_corrupt_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@component(
+    "s21_fixed_width_roundtrip",
+    cols=[("p_brand", "str"), ("n_parts", "num"), ("sum_price_cents", "num")],
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_price_cents
+    FROM part GROUP BY p_brand
+    """,
+)
+def s21_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width flat-file interchange — the mainframe/ERP legacy feed
+    format the CSV/JSON/XML/ORC round-trips don't cover: no delimiters,
+    no quoting, columns live at byte offsets. The layout here is
+    [partkey: 10, zero-padded][brand: 12, space-padded][price-cents: 12,
+    zero-padded]; writing is one format_string projection, parsing is
+    three substring/cast projections over a text scan — both pure
+    column expressions, both trivially vectorizable, and the digest
+    proves the byte-offset round trip loses nothing (prices cross as
+    exact integer cents, never floats).
+
+    Scale: text write and read are narrow per-partition passes with no
+    shuffle until the final brand rollup; a real feed would add a
+    malformed-line guard exactly like s19's quarantine."""
+    import shutil
+    import tempfile
+
+    prepare(spark, sf_dir)
+    p = spark.table("part").select(
+        F.format_string(
+            "%010d%-12s%012d",
+            F.col("p_partkey"),
+            F.col("p_brand"),
+            (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("long"),
+        ).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="ecomdw_wr_")
+    try:
+        path = f"{tmp}/part_fixed_width"
+        p.write.mode("overwrite").text(path)
+        back = spark.read.text(path).select(
+            F.substring("value", 1, 10).cast("long").alias("p_partkey"),
+            F.trim(F.substring("value", 11, 12)).alias("p_brand"),
+            F.substring("value", 23, 12).cast("long").alias("price_cents"),
+        )
+        result = (
+            back.groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).alias("n_parts"),
+                F.sum("price_cents").cast("long").alias("sum_price_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

@@ -287,6 +287,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "rec_decayed_popularity",
         # bounded-BFS co-purchase reachability (WITH RECURSIVE oracle)
         "graph_reach_bfs",
+        # reciprocal-rank-fusion hybrid (itemCF × popularity)
+        "rec_rrf_hybrid",
         # influential products: PageRank over the co-purchase graph
         "rec_pagerank_items",
         # NDCG@k of the popularity shelf (no-libm integer discounts)
@@ -304,6 +306,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "wr_json_roundtrip",
         # PERMISSIVE corrupt-record quarantine on a dirty JSONL feed
         "s19_corrupt_json_quarantine",
+        # fixed-width byte-offset flat-file round trip (legacy feeds)
+        "s21_fixed_width_roundtrip",
         "wr_csv_roundtrip",
         "wr_orc_roundtrip",
         # B2B edge format: Spark 4 native XML round-trip (no external jar)
