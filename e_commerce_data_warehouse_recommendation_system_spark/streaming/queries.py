@@ -1030,3 +1030,136 @@ def stream_left_outer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# CDC apply: reconstruct a table snapshot from a change-data-capture stream
+# --------------------------------------------------------------------------
+
+
+@component(
+    "stream_cdc_apply",
+    cols=[("metric", "str"), ("value_num", "num")],
+    oracle="""
+    SELECT 'n_batches' AS metric, CAST(3 AS BIGINT) AS value_num
+    UNION ALL SELECT 'n_live',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 11 <> 0)
+    UNION ALL SELECT 'n_tombstones',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 11 = 0)
+    UNION ALL SELECT 'sum_live_cents',
+      (SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   + CASE WHEN o_orderkey % 7 = 0 THEN 1000 ELSE 0 END) AS BIGINT)
+       FROM orders WHERE o_orderkey % 11 <> 0)
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY — the consumer side of change-data-capture
+    (wr_snapshot_cdc is the producer side that DIFFS two snapshots; this
+    op takes an ordered I/U/D log and reconstructs the current table from
+    it, the replication pattern every warehouse ingesting an OLTP binlog
+    runs continuously). The log is three deterministic waves over
+    ``orders``: INSERT every order (seq 1), UPDATE orders with
+    o_orderkey%7==0 to +1000 cents (seq 2), DELETE o_orderkey%11==0
+    (seq 3), staged as one file per wave with maxFilesPerTrigger=1.
+
+    The merge is MAX-SEQUENCE-WINS per key with RETAINED TOMBSTONES:
+    each micro-batch unions into the target and keeps, per key, the row
+    with the highest sequence number — deletes stay as tombstone rows so
+    a late-arriving LOWER-seq update can never resurrect a deleted key.
+    That makes the terminal state identical under ANY batch arrival
+    order (the file source guarantees none), which is exactly the
+    idempotent-replay property a real CDC consumer needs after a
+    checkpoint recovery — and what makes this oracle-checkable: the
+    digest (live rows, tombstones, live cents) is order-independent by
+    construction.
+
+    Scale: per batch the merge shuffles on the key once; the simple
+    whole-target rewrite here is the bounded-reference-table form — for
+    a high-volume fact the same max-seq window runs inside the
+    partition-scoped dynamic overwrite stream_event_daily_upsert uses,
+    touching only partitions with changed keys. Tombstones compact away
+    in the same pass once a retention horizon lapses."""
+    import os
+
+    from pyspark.sql.window import Window as W
+
+    prepare(spark, sf_dir)
+    o = spark.table("orders").select(
+        F.col("o_orderkey").alias("okey"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    waves = [
+        o.select(F.lit(1).alias("seq"), F.lit("I").alias("op"), "okey", "cents"),
+        o.filter(F.col("okey") % 7 == 0).select(
+            F.lit(2).alias("seq"),
+            F.lit("U").alias("op"),
+            "okey",
+            (F.col("cents") + 1000).alias("cents"),
+        ),
+        o.filter(F.col("okey") % 11 == 0).select(
+            F.lit(3).alias("seq"),
+            F.lit("D").alias("op"),
+            "okey",
+            F.lit(None).cast("long").alias("cents"),
+        ),
+    ]
+    tmp = tempfile.mkdtemp(prefix="ecomdw_cdc_")
+    stage = f"{tmp}/log"
+    os.makedirs(stage)
+    try:
+        for i, wave in enumerate(waves):
+            wave_dir = f"{tmp}/wave{i}"
+            wave.coalesce(1).write.parquet(wave_dir)
+            part = [f for f in os.listdir(wave_dir) if f.endswith(".parquet")][0]
+            os.symlink(f"{wave_dir}/{part}", f"{stage}/wave{i}.parquet")
+
+        target = f"{tmp}/table"
+        stats = {"batches": 0}
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            sp = batch_df.sparkSession
+            stats["batches"] += 1
+            try:
+                current = sp.read.parquet(target)
+                merged = current.unionByName(batch_df)
+            except Exception:  # bootstrap: no target yet
+                merged = batch_df
+            w = W.partitionBy("okey").orderBy(F.desc("seq"))
+            latest = (
+                merged.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+                .localCheckpoint(eager=True)  # sever lineage from the files
+                # about to be overwritten (self-referential write)
+            )
+            latest.write.mode("overwrite").parquet(target)
+
+        schema = spark.read.parquet(stage).schema
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        final = spark.read.parquet(target)
+        live = final.filter(F.col("op") != "D")
+        row = final.agg(
+            F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("n_live"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_tomb"),
+        ).collect()[0]
+        sum_cents = live.agg(F.sum("cents").cast("long").alias("s")).collect()[0]["s"]
+        rows = [
+            ("n_batches", stats["batches"]),
+            ("n_live", int(row["n_live"])),
+            ("n_tombstones", int(row["n_tomb"])),
+            ("sum_live_cents", int(sum_cents)),
+        ]
+        return spark.createDataFrame(rows, schema="metric string, value_num bigint")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

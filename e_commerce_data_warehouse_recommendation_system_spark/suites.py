@@ -328,6 +328,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "wr_gdpr_erasure",
         # streaming WAP: per-micro-batch audited snapshot publication
         "stream_wap_publish",
+        # CDC apply: I/U/D log -> snapshot, max-seq merge + tombstones
+        "stream_cdc_apply",
     ],
 }
 
