@@ -267,6 +267,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "sim_pq_codes",
         # ADC search + exact rerank over the PQ codes (IVF-PQ serving path)
         "sim_pq_adc_search",
+        # combined IVF probe -> ADC -> rerank (full FAISS-IVFPQ pipeline)
+        "sim_ivf_pq_search",
         # per-dimension cohort mean-shift drift monitor (full oracle)
         "sim_embedding_drift",
         # topic-balanced sampling over the trained cells (shares the fit)
