@@ -3628,3 +3628,123 @@ def a19_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend exponential smoothing (per-series sequential state)
+# --------------------------------------------------------------------------
+
+#: smoothing constants — 0.5 is EXACTLY representable in binary, so every
+#: multiply below is one correctly-rounded IEEE op in all three runtimes
+#: (JVM, pandas/C, DuckDB) and the smoothed path is bit-identical
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.5
+
+
+@component(
+    "ts_holt_forecast",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT o_orderpriority AS series,
+             CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT series, month, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY series ORDER BY month) AS INT) AS idx
+      FROM base
+    ),
+    init AS (
+      SELECT a.series, CAST(a.y AS DOUBLE) AS s, CAST(b.y - a.y AS DOUBLE) AS b
+      FROM m a JOIN m b ON a.series = b.series AND a.idx = 1 AND b.idx = 2
+    ),
+    r AS (
+      SELECT series, 1 AS idx, s, b FROM init
+      UNION ALL
+      SELECT r.series, r.idx + 1,
+             0.5 * m.y + 0.5 * (r.s + r.b),
+             0.5 * ((0.5 * m.y + 0.5 * (r.s + r.b)) - r.s) + 0.5 * r.b
+      FROM r JOIN m ON m.series = r.series AND m.idx = r.idx + 1
+    )
+    SELECT r.series, m.month,
+           CAST(FLOOR(r.s * 1000000.0) AS BIGINT) AS level_micro,
+           CAST(FLOOR(r.b * 1000000.0) AS BIGINT) AS trend_micro
+    FROM r JOIN m ON m.series = r.series AND m.idx = r.idx
+    """,
+    cols=[
+        ("series", "str"),
+        ("month", "date"),
+        ("level_micro", "num"),
+        ("trend_micro", "num"),
+    ],
+)
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing over the monthly revenue
+    series — the forecasting step UP from forecast_seasonal_naive (that op
+    repeats last season; this one maintains level+trend state):
+    s_t = αy_t + (1-α)(s_{t-1}+b_{t-1}), b_t = β(s_t-s_{t-1}) + (1-β)b_{t-1}.
+    The recursion is INHERENTLY SEQUENTIAL per series — no window frame
+    expresses it — so this is the §2.11 showcase for per-group sequential
+    state via grouped ``applyInPandas``: each series' history lands in one
+    pandas group, the loop runs in-process, and series parallelize freely
+    (state never crosses a series). The oracle is a genuine recursive CTE
+    computing the identical recurrence.
+
+    Bit-exactness across Spark/pandas/DuckDB: inputs are exact integer
+    cents, α=β=0.5 is a power of two, and both sides evaluate the same
+    literal expression tree — every step is the same correctly-rounded
+    IEEE double sequence, so even the 84-step-deep recursion crosses
+    engines exactly (emitted floor-micro, the standard form).
+
+    Scale: one map-side-combined groupBy to (series, month); the pandas
+    stage processes one series' months per group — state is O(1), group
+    size is calendar-bounded, and a million-series panel fans out across
+    executors with no shuffle beyond the grouping."""
+    import math
+
+    import pandas as pd
+
+    prepare(spark, sf_dir)
+    base = (
+        spark.table("orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("series"),
+            F.trunc(F.col("o_orderdate").cast("date"), "MM").alias("month"),
+        )
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+
+    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("month")
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                columns=["series", "month", "level_micro", "trend_micro"]
+            )
+        y = [float(v) for v in pdf["y"]]
+        s = y[0]
+        b = y[1] - y[0]
+        levels, trends = [s], [b]
+        for t in range(1, len(y)):
+            s_new = 0.5 * y[t] + 0.5 * (s + b)
+            b_new = 0.5 * (s_new - s) + 0.5 * b
+            s, b = s_new, b_new
+            levels.append(s)
+            trends.append(b)
+        return pd.DataFrame(
+            {
+                "series": pdf["series"].iloc[0],
+                "month": pdf["month"],
+                "level_micro": [math.floor(v * 1000000.0) for v in levels],
+                "trend_micro": [math.floor(v * 1000000.0) for v in trends],
+            }
+        )
+
+    return base.groupBy("series").applyInPandas(
+        holt, schema="series string, month date, level_micro long, trend_micro long"
+    )

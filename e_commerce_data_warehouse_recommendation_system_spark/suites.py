@@ -131,6 +131,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         "dedup_fuzzy_names",
         # regular-grid resampling: gap fill + forward fill per user
         "ts_resample_ffill",
+        # Holt level+trend smoothing: per-series sequential state via
+        # applyInPandas, recursive-CTE oracle, bit-exact at alpha=0.5
+        "ts_holt_forecast",
         # first-order Markov next-event transition matrix (lead window)
         "session_transitions",
         # top user journeys: first-3-event session paths, vocabulary-bounded
