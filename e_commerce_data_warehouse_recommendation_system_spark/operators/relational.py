@@ -3748,3 +3748,134 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.groupBy("series").applyInPandas(
         holt, schema="series string, month date, level_micro long, trend_micro long"
     )
+
+
+# --------------------------------------------------------------------------
+# Dual-sourcing concentration (Herfindahl index per part)
+# --------------------------------------------------------------------------
+
+#: HHI above this (micro-units) marks a concentrated / single-sourced part
+HHI_CONCENTRATED_MICRO = 500000
+
+
+@component(
+    "a21_dual_sourcing_hhi",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(n) AS BIGINT) AS n_lines,
+           CAST(FLOOR(SUM(n * n) * 1000000.0 / (SUM(n) * SUM(n))) AS BIGINT)
+             AS hhi_micro,
+           FLOOR(SUM(n * n) * 1000000.0 / (SUM(n) * SUM(n)))
+             >= {HHI_CONCENTRATED_MICRO} AS concentrated
+    FROM ps GROUP BY l_partkey
+    """,
+    cols=[
+        ("l_partkey", "num"),
+        ("n_suppliers", "num"),
+        ("n_lines", "num"),
+        ("hhi_micro", "num"),
+        ("concentrated", "bool"),
+    ],
+)
+def a21_dual_sourcing_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration risk: the Herfindahl–Hirschman index of
+    each part's supplier mix — HHI = Σ shareᵢ², 1.0 when single-sourced,
+    → 1/k under k equal suppliers; procurement flags parts above
+    {HHI_CONCENTRATED_MICRO} micro (an effective supplier count under 2)
+    as dual-sourcing candidates. The index is computed WITHOUT
+    materializing shares: Σ(cntᵢ²)/total² as one integer-exact expression
+    per part, folded through the proven FLOOR-micro divide — the
+    comparison flag binds to the same floored integer on both engines, so
+    the threshold decision is engine-deterministic.
+
+    Scale: two map-side-combined aggregations ((part, supplier) grain,
+    then part grain) — both keyed tighter than lineitem, no joins, no
+    windows, output catalog-bounded."""
+    prepare(spark, sf_dir)
+    ps = (
+        spark.table("lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hhi = F.floor(
+        F.sum(F.col("n") * F.col("n")) * 1000000.0 / (F.sum("n") * F.sum("n"))
+    )
+    return ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("n").cast("long").alias("n_lines"),
+        hhi.cast("long").alias("hhi_micro"),
+        (hhi >= HHI_CONCENTRATED_MICRO).alias("concentrated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust daily-volume anomaly detection (median/MAD control band)
+# --------------------------------------------------------------------------
+
+#: anomaly threshold in MAD units (the robust z-score convention)
+ANOMALY_MAD_K = 3
+
+
+@component(
+    "events_anomaly_days",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(n_events, 0.5) AS med FROM daily),
+    dev AS (
+      SELECT day, n_events, ABS(n_events - med.med) AS dev FROM daily, med
+    ),
+    mad AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dev)
+    SELECT day, n_events,
+           CAST(FLOOR(dev * 1000000.0) AS BIGINT) AS dev_micro,
+           dev > {ANOMALY_MAD_K} * mad.mad AS is_anomaly
+    FROM dev, mad
+    """,
+    cols=[
+        ("day", "date"),
+        ("n_events", "num"),
+        ("dev_micro", "num"),
+        ("is_anomaly", "bool"),
+    ],
+)
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-monitoring anomaly detection on the daily event volume:
+    flag days whose count deviates more than {ANOMALY_MAD_K}× the median
+    absolute deviation from the median — the robust control band (mean/σ
+    break under the very outliers being hunted; median/MAD have a 50%
+    breakdown point). Exactness: daily counts are integers, the exact
+    interpolated median of integers is a multiple of 0.5 (engine-identical,
+    proven by a11_percentiles), so deviations and the MAD comparison are
+    exact half-integer arithmetic on both engines — the flag can never
+    disagree at the boundary.
+
+    Scale: one map-side-combined day rollup (calendar-bounded output),
+    then two tiny scalar aggregates over the day table riding broadcast
+    cross joins — at 100 TB the exact percentile swaps for
+    approx_percentile exactly as a11b documents, the band logic
+    unchanged."""
+    prepare(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    med = daily.agg(F.expr("percentile(n_events, 0.5)").alias("med"))
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day", "n_events", F.abs(F.col("n_events") - F.col("med")).alias("dev")
+    )
+    mad = dev.agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "n_events",
+        F.floor(F.col("dev") * 1000000.0).cast("long").alias("dev_micro"),
+        (F.col("dev") > ANOMALY_MAD_K * F.col("mad")).alias("is_anomaly"),
+    )

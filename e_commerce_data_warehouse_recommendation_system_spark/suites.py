@@ -103,6 +103,10 @@ SUITE_SPECS: dict[str, list[str]] = {
         "a18_cms_heavy_hitters",
         # ABC/Pareto cumulative-revenue banding (exact integer units)
         "a19_abc_pareto",
+        # supply-chain concentration: per-part Herfindahl index
+        "a21_dual_sourcing_hhi",
+        # robust daily-volume anomaly band (median/MAD, exact halves)
+        "events_anomaly_days",
         # marketing analytics: last-touch channel credit for purchases
         "attribution_last_touch",
         # experimentation: hash-assigned A/B readout + two-proportion z
