@@ -2078,3 +2078,190 @@ def rec_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# User-user collaborative filtering + neighborhood-based serving
+# --------------------------------------------------------------------------
+
+#: blockbuster cap, the mirror of ITEMCF_MAX_BASKET: an item bought by
+#: more users than this is excluded from USER-pair generation (it connects
+#: everyone and discriminates nothing; pair space per item is O(buyers²))
+UUCF_MAX_ITEM_POP = 500
+#: minimum shared-item support for a user pair
+UUCF_MIN_CO = 2
+#: neighbors kept per user
+UUCF_K = 10
+#: recommendations emitted per served user
+UUCF_REC_K = 5
+#: deterministic served-user subset
+UUCF_SERVE_MODULUS = 50
+
+
+@component(
+    "rec_useruser_recs",
+    cols=[
+        ("user_id", "num"),
+        ("item_id", "num"),
+        ("score_micro", "num"),
+        ("n_voters", "num"),
+        ("rnk", "num"),
+    ],
+    oracle=f"""
+    WITH inter AS ({_SQL_INTERACTIONS}),
+    pop AS (SELECT item_id, COUNT(*) AS buyers FROM inter GROUP BY 1),
+    capped AS (
+      SELECT i.user_id, i.item_id
+      FROM inter i JOIN pop p ON i.item_id = p.item_id
+      WHERE p.buyers <= {UUCF_MAX_ITEM_POP}
+    ),
+    usz AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS basket FROM capped GROUP BY 1),
+    upairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b, CAST(COUNT(*) AS BIGINT) AS co
+      FROM capped a JOIN capped b
+        ON a.item_id = b.item_id AND a.user_id < b.user_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {UUCF_MIN_CO}
+    ),
+    sym AS (
+      SELECT user_a AS user_id, user_b AS neighbor_id, co FROM upairs
+      UNION ALL
+      SELECT user_b, user_a, co FROM upairs
+    ),
+    scored AS (
+      SELECT s.user_id, s.neighbor_id,
+             CAST(FLOOR(s.co * s.co * 1000000.0 / (ua.basket * ub.basket)) AS BIGINT)
+               AS cos2_micro,
+             s.co
+      FROM sym s
+      JOIN usz ua ON s.user_id = ua.user_id
+      JOIN usz ub ON s.neighbor_id = ub.user_id
+    ),
+    nbrs AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY user_id
+                 ORDER BY cos2_micro DESC, co DESC, neighbor_id) AS nrnk
+        FROM scored
+      ) WHERE nrnk <= {UUCF_K}
+    ),
+    served AS (SELECT * FROM nbrs WHERE user_id % {UUCF_SERVE_MODULUS} = 0),
+    votes AS (
+      SELECT n.user_id, c.item_id,
+             CAST(SUM(n.cos2_micro) AS BIGINT) AS score_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_voters
+      FROM served n JOIN capped c ON n.neighbor_id = c.user_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM inter o
+        WHERE o.user_id = n.user_id AND o.item_id = c.item_id
+      )
+      GROUP BY 1, 2
+    )
+    SELECT user_id, item_id, score_micro, n_voters, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY score_micro DESC, n_voters DESC, item_id) AS rnk
+      FROM votes
+    ) WHERE rnk <= {UUCF_REC_K}
+    """,
+)
+def rec_useruser_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-user collaborative filtering, end to end: the OTHER classic
+    memory-based recommender beside rec_itemcf_neighbors (item-item) and
+    the model-based ALS — find each user's top-{UUCF_K} most-similar
+    users by cosine over binary ITEM vectors, then recommend what the
+    neighborhood bought that the user hasn't (votes weighted by neighbor
+    similarity, anti-joined against the user's own history). Served for
+    the deterministic user_id % {UUCF_SERVE_MODULUS} == 0 subset — the
+    bounded-serving pattern every rec_* op uses.
+
+    Ranking is engine-deterministic throughout: similarity as cos² in
+    integer micro-units, vote scores as integer sums of those units,
+    all tie-breaks total.
+
+    Scale: the pair space is Σ buyers² per ITEM, bounded by the
+    {UUCF_MAX_ITEM_POP}-buyer blockbuster cap (the exact mirror of
+    itemCF's whale-basket cap — a blockbuster connects everyone and
+    discriminates nothing); neighbor lists are K-bounded before serving,
+    so the vote join fans out ≤ K neighbors × their capped baskets per
+    served user; the NOT-EXISTS dedup is a left anti join on the
+    (user, item) key. One shuffle per stage, all map-side combined."""
+    prepare(spark, sf_dir)
+    inter = interactions(spark)
+    pop = inter.groupBy("item_id").agg(F.count(F.lit(1)).alias("buyers"))
+    capped = inter.join(
+        pop.filter(F.col("buyers") <= UUCF_MAX_ITEM_POP).select("item_id"), "item_id"
+    ).cache()  # three consumers: both pair sides + the vote join
+    usz = capped.groupBy("user_id").agg(F.count(F.lit(1)).alias("basket"))
+    a, b = capped.alias("a"), capped.alias("b")
+    upairs = (
+        a.join(
+            b,
+            (F.col("a.item_id") == F.col("b.item_id"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= UUCF_MIN_CO)
+    )
+    sym = upairs.select(
+        F.col("user_a").alias("user_id"), F.col("user_b").alias("neighbor_id"), "co"
+    ).unionAll(
+        upairs.select(
+            F.col("user_b").alias("user_id"), F.col("user_a").alias("neighbor_id"), "co"
+        )
+    )
+    scored = (
+        sym.join(
+            F.broadcast(usz.select(F.col("user_id"), F.col("basket").alias("ba"))),
+            "user_id",
+        )
+        .join(
+            F.broadcast(
+                usz.select(
+                    F.col("user_id").alias("neighbor_id"), F.col("basket").alias("bb")
+                )
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "user_id",
+            "neighbor_id",
+            F.floor(F.col("co") * F.col("co") * 1000000.0 / (F.col("ba") * F.col("bb")))
+            .cast("long")
+            .alias("cos2_micro"),
+            "co",
+        )
+    )
+    w_n = Window.partitionBy("user_id").orderBy(
+        F.desc("cos2_micro"), F.desc("co"), F.asc("neighbor_id")
+    )
+    served = (
+        scored.withColumn("nrnk", F.row_number().over(w_n))
+        .filter((F.col("nrnk") <= UUCF_K) & (F.col("user_id") % UUCF_SERVE_MODULUS == 0))
+    )
+    votes = (
+        served.join(
+            capped.select(F.col("user_id").alias("neighbor_id"), "item_id"),
+            "neighbor_id",
+        )
+        .join(
+            inter.select(F.col("user_id"), F.col("item_id")),
+            ["user_id", "item_id"],
+            "left_anti",
+        )
+        .groupBy("user_id", "item_id")
+        .agg(
+            F.sum("cos2_micro").cast("long").alias("score_micro"),
+            F.count(F.lit(1)).alias("n_voters"),
+        )
+    )
+    w_r = Window.partitionBy("user_id").orderBy(
+        F.desc("score_micro"), F.desc("n_voters"), F.asc("item_id")
+    )
+    return (
+        votes.withColumn("rnk", F.row_number().over(w_r).cast("int"))
+        .filter(F.col("rnk") <= UUCF_REC_K)
+        .select("user_id", "item_id", "score_micro", "n_voters", "rnk")
+    )

@@ -1270,3 +1270,81 @@ def s21_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@component(
+    "wr_pseudonymize_vault",
+    cols=[
+        ("c_nationkey", "num"),
+        ("n_customers", "num"),
+        ("n_tokens", "num"),
+        ("total_balance", "dbl"),
+        ("reid_ok", "bool"),
+    ],
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT c_name) AS n_tokens,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS total_balance,
+           TRUE AS reid_ok
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def wr_pseudonymize_vault(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization with a re-identification vault — the governance
+    pattern between plaintext analytics and irreversible erasure
+    (wr_gdpr_erasure): direct identifiers are replaced by deterministic
+    keyed tokens (sha2 over a salted name) in the ANALYTIC table, and the
+    token→identity mapping lives in a separate restricted VAULT table;
+    analysts join facts on tokens, only vault-privileged re-identification
+    recovers names. Deterministic tokenization keeps the token a stable
+    join key across loads — the property naive random tokenization loses.
+
+    The digest proves three things per nation: the analytic table lost no
+    rows or balances through the tokenize→write→read round trip, the
+    token space is exactly 1:1 with the identity space (n_tokens ==
+    distinct names — a collision or salt drift breaks this), and
+    ``reid_ok`` — the vault join recovers the ORIGINAL name set exactly
+    (two EXCEPT ALL checks, both empty).
+
+    Scale: tokenization is a map-side projection (sha2 is a JVM
+    codegen'd expression); the vault is identity-cardinality, written
+    once; the re-id join is a broadcast for dimension-sized identity
+    spaces and a plain keyed join beyond."""
+    import shutil
+    import tempfile
+
+    prepare(spark, sf_dir)
+    cust = spark.table("customer")
+    token = F.sha2(F.concat(F.lit("vault-salt-v1:"), F.col("c_name")), 256)
+    tmp = tempfile.mkdtemp(prefix="ecomdw_wr_")
+    try:
+        analytic_path, vault_path = f"{tmp}/analytic", f"{tmp}/vault"
+        cust.select(
+            token.alias("token"), "c_nationkey", "c_acctbal"
+        ).write.parquet(analytic_path)
+        cust.select(token.alias("token"), "c_name").distinct().write.parquet(
+            vault_path
+        )
+        analytic = spark.read.parquet(analytic_path)
+        vault = spark.read.parquet(vault_path)
+        reid = analytic.join(F.broadcast(vault), "token")
+        # re-identification must recover the original name multiset exactly
+        diff1 = reid.select("c_name").exceptAll(cust.select("c_name")).count()
+        diff2 = cust.select("c_name").exceptAll(reid.select("c_name")).count()
+        reid_ok = diff1 == 0 and diff2 == 0
+        result = (
+            reid.groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.countDistinct("token").alias("n_tokens"),
+                F.sum(F.col("c_acctbal").cast("decimal(28,8)"))
+                .cast("double")
+                .alias("total_balance"),
+            )
+            .withColumn("reid_ok", F.lit(reid_ok))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

@@ -298,6 +298,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "graph_reach_bfs",
         # reciprocal-rank-fusion hybrid (itemCF × popularity)
         "rec_rrf_hybrid",
+        # user-user CF end-to-end: neighbors + neighborhood voting
+        "rec_useruser_recs",
         # influential products: PageRank over the co-purchase graph
         "rec_pagerank_items",
         # NDCG@k of the popularity shelf (no-libm integer discounts)
@@ -335,6 +337,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "wr_wap_vacuum",
         # right-to-be-forgotten: cascading multi-table erasure + audit
         "wr_gdpr_erasure",
+        # deterministic tokenization + restricted re-identification vault
+        "wr_pseudonymize_vault",
         # streaming WAP: per-micro-batch audited snapshot publication
         "stream_wap_publish",
         # CDC apply: I/U/D log -> snapshot, max-seq merge + tombstones
