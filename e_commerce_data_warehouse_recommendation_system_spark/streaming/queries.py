@@ -1163,3 +1163,123 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema="metric string, value_num bigint")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Sliding-window trending (overlapping event-time windows, streamed)
+# --------------------------------------------------------------------------
+
+#: sliding-window geometry: 2 h windows advancing every 1 h — every event
+#: belongs to exactly WINDOW_US/SLIDE_US = 2 overlapping windows
+SLIDE_WINDOW_US = 7_200_000_000
+SLIDE_STEP_US = 3_600_000_000
+#: trending shelf size per window
+SLIDE_TOP_K = 3
+
+
+@component(
+    "stream_sliding_topk",
+    cols=[
+        ("window_start_us", "num"),
+        ("event_type", "str"),
+        ("n_events", "num"),
+        ("rnk", "num"),
+    ],
+    # finalization boundary: append mode emits a window once the watermark
+    # REACHES its end (inclusive — the same probed convention as
+    # stream_session_window_native); with a zero-delay watermark the final
+    # watermark is the global max event time.
+    oracle=f"""
+    WITH e AS (SELECT epoch_us(ts) AS tus, event_type FROM events),
+    win AS (
+      SELECT event_type, tus,
+             unnest([(tus // {SLIDE_STEP_US}) * {SLIDE_STEP_US},
+                     (tus // {SLIDE_STEP_US}) * {SLIDE_STEP_US} - {SLIDE_STEP_US}])
+               AS wstart
+      FROM e
+    ),
+    counts AS (
+      SELECT wstart, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM win
+      WHERE tus >= wstart AND tus < wstart + {SLIDE_WINDOW_US}
+      GROUP BY 1, 2
+    ),
+    fin AS (
+      SELECT * FROM counts
+      WHERE wstart + {SLIDE_WINDOW_US} <= (SELECT MAX(tus) FROM e)
+    )
+    SELECT wstart AS window_start_us, event_type, n_events, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY wstart ORDER BY n_events DESC, event_type) AS rnk
+      FROM fin
+    ) WHERE rnk <= {SLIDE_TOP_K}
+    """,
+)
+def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-now over SLIDING event-time windows — the overlapping-
+    window shape the tumbling daily slot can't express: 2 h windows
+    advancing hourly, every event counted into exactly two windows, per-
+    window top-{SLIDE_TOP_K} event types. Sliding windows are where
+    streaming state multiplies (window/slide copies of every group), so
+    the state posture matters: the zero-delay watermark closes a window
+    the moment event time passes its end, bounding live state to
+    window/slide generations of the type vocabulary.
+
+    The oracle replays the window assignment arithmetically (each event's
+    two epoch-aligned window starts — Spark aligns sliding windows to the
+    epoch by slide duration), restricted to watermark-finalized windows
+    under the probed INCLUSIVE end==watermark convention; the trending
+    rank is all-integer with total tie-breaks.
+
+    Scale: the streamed agg is (window × type)-keyed — vocabulary-bounded
+    per window generation; the post-hoc rank runs on finalized window
+    rows, never raw events. The top-k could move into foreachBatch for
+    per-trigger shelves; availableNow + terminal rank keeps the digest
+    deterministic here."""
+    import os
+
+    prepare(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ecomdw_slw_")
+    events = _events_stream(spark, sf_dir, f"{tmp}/landing")
+    try:
+        out = f"{tmp}/windows"
+        win_s = SLIDE_WINDOW_US // 1_000_000
+        step_s = SLIDE_STEP_US // 1_000_000
+        agg = (
+            events.withWatermark("ts", "0 seconds")
+            .groupBy(
+                F.window("ts", f"{win_s} seconds", f"{step_s} seconds"),
+                F.col("event_type"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.unix_micros(F.col("window.start").cast("timestamp")).alias(
+                    "window_start_us"
+                ),
+                "event_type",
+                "n_events",
+            )
+        )
+        (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out)
+            .start()
+            .awaitTermination()
+        )
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy("window_start_us").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        return (
+            spark.read.parquet(out)
+            .withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= SLIDE_TOP_K)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -157,6 +157,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "stream_dedup_replay",
         # native session_window as a STREAM (boundary-exact vs batch oracle)
         "stream_session_window_native",
+        # sliding (overlapping) event-time windows: hourly trending top-k
+        "stream_sliding_topk",
         # (session_window_native was here through r4; it now holds its own
         # driver slot — VERDICT r4 item 6)
     ],
