@@ -908,3 +908,110 @@ def etl_backfill_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Data Vault modeling (hubs / links / satellites) — the raw-vault layer
+# --------------------------------------------------------------------------
+
+
+@component(
+    "etl_data_vault",
+    cols=[
+        ("structure", "str"),
+        ("n_rows", "num"),
+        ("min_hk", "str"),
+        ("integrity_ok", "bool"),
+    ],
+    oracle="""
+    SELECT 'hub_customer' AS structure,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(sha256(CAST(c_custkey AS VARCHAR))) AS min_hk,
+           TRUE AS integrity_ok
+    FROM customer
+    UNION ALL
+    SELECT 'hub_order', CAST(COUNT(*) AS BIGINT),
+           MIN(sha256(CAST(o_orderkey AS VARCHAR))), TRUE
+    FROM orders
+    UNION ALL
+    SELECT 'link_customer_order', CAST(COUNT(*) AS BIGINT),
+           MIN(sha256(CAST(o_custkey AS VARCHAR) || '|' ||
+                      CAST(o_orderkey AS VARCHAR))), TRUE
+    FROM orders
+    UNION ALL
+    SELECT 'sat_customer', CAST(COUNT(*) AS BIGINT),
+           MIN(sha256(CAST(c_custkey AS VARCHAR))), TRUE
+    FROM customer
+    """,
+)
+def etl_data_vault(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Vault raw-vault layer — the OTHER warehouse modeling paradigm
+    beside this package's Kimball star (plans/etl.py dims + fact): hubs
+    hold business keys under deterministic hash keys, links hold
+    relationships as hashes of the participating keys, satellites hold
+    descriptive attributes with a HASHDIFF for change detection. The
+    vault's claim to scale is exactly hash-key determinism: loads never
+    need sequence coordination (compare w1's surrogate keys, which do),
+    so hubs/links/sats load fully parallel and idempotently —
+    re-loading a source yields byte-identical keys.
+
+    The digest VALUE-checks the hash-key domain cross-engine (min hash
+    key per structure — sha256 hex is identical in Spark and DuckDB on
+    identical key strings, the md5 digest convention one algorithm up)
+    and asserts referential integrity engine-side: every link hash must
+    resolve into BOTH hubs (two anti-joins, both empty).
+
+    Scale: every structure is a map-side projection of its source scan
+    (sha2 in codegen); integrity anti-joins are keyed hub-sized joins;
+    nothing here shuffles except the final counts."""
+    prepare(spark, sf_dir)
+    cust, orders = spark.table("customer"), spark.table("orders")
+    hk_cust = F.sha2(F.col("c_custkey").cast("string"), 256)
+    hk_cust_fk = F.sha2(F.col("o_custkey").cast("string"), 256)
+    hk_order = F.sha2(F.col("o_orderkey").cast("string"), 256)
+    hk_link = F.sha2(
+        F.concat(
+            F.col("o_custkey").cast("string"),
+            F.lit("|"),
+            F.col("o_orderkey").cast("string"),
+        ),
+        256,
+    )
+    hub_customer = cust.select(hk_cust.alias("hk"), F.col("c_custkey").alias("bk"))
+    hub_order = orders.select(hk_order.alias("hk"), F.col("o_orderkey").alias("bk"))
+    link = orders.select(
+        hk_link.alias("hk"),
+        hk_cust_fk.alias("hk_customer"),
+        hk_order.alias("hk_order"),
+    )
+    sat_customer = cust.select(
+        hk_cust.alias("hk"),
+        "c_name",
+        "c_acctbal",
+        F.sha2(
+            F.concat_ws("|", F.col("c_name"), F.col("c_acctbal").cast("string")), 256
+        ).alias("hashdiff"),
+    )
+    dangling = (
+        link.join(
+            hub_customer.select(F.col("hk").alias("hk_customer")), "hk_customer", "left_anti"
+        ).count()
+        + link.join(
+            hub_order.select(F.col("hk").alias("hk_order")), "hk_order", "left_anti"
+        ).count()
+    )
+    ok = dangling == 0
+    rows = []
+    for name, df in [
+        ("hub_customer", hub_customer),
+        ("hub_order", hub_order),
+        ("link_customer_order", link),
+        ("sat_customer", sat_customer),
+    ]:
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"), F.min("hk").alias("min_hk")
+        ).collect()[0]
+        rows.append((name, int(agg["n"]), agg["min_hk"], ok))
+    return spark.createDataFrame(
+        rows, schema="structure string, n_rows bigint, min_hk string, integrity_ok boolean"
+    )

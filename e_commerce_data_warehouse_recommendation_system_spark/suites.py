@@ -202,6 +202,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "etl_dim_geo",
         "etl_dim_date",
         "etl_pipeline_counts",
+        # Data Vault raw layer: hash-keyed hubs/links/satellites
+        "etl_data_vault",
         # customer-dim enrichment: RFM quintile-threshold segmentation
         "rfm_segments",
         # point-in-time fact resolution against the SCD2 dim (as-of reuse)
