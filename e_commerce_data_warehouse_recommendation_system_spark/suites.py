@@ -267,6 +267,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "mm_video_probe",
         # binary-payload exact dedup (content hash before any decode)
         "mm_payload_dedup",
+        # REAL PPM decode -> per-channel pixel sums, value-checked in SQL
+        "mm_pixel_channel_stats",
         # embedding-representation ops sharing the embeddings scan
         "sim_l2_normalize",
         "sim_quantize_int8",
