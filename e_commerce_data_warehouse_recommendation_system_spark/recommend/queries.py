@@ -2265,3 +2265,18 @@ def rec_useruser_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= UUCF_REC_K)
         .select("user_id", "item_id", "score_micro", "n_voters", "rnk")
     )
+
+
+@bench_workload("rec_useruser_recs", warmup=lambda spark, sf_dir: prepare(spark, sf_dir))
+def _bench_useruser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench the user-user CF pipeline end-to-end (blockbuster-capped pair
+    self-join + neighbor window + vote join) — the widest non-MLlib join
+    chain the recommender family runs."""
+    return rec_useruser_recs(spark, sf_dir)
+
+
+@bench_workload("graph_reach_bfs", warmup=lambda spark, sf_dir: prepare(spark, sf_dir))
+def _bench_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench the 3-level BFS (edge build + repartition layout + per-level
+    expand/dedup/prune) — the iterative-join pattern's end-to-end cost."""
+    return graph_reach_bfs(spark, sf_dir)
