@@ -229,3 +229,94 @@ def dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "observed_revenue decimal(38,8), sink_rows bigint"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source reconciliation (header totals vs line-item rollup)
+# --------------------------------------------------------------------------
+
+#: tolerance for header-vs-lines total mismatch, in scale-4 units (0.01)
+RECONCILE_TOL_UNITS = 100
+
+
+@component(
+    "dq_reconcile_totals",
+    oracle=f"""
+    WITH lines AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(28,4)) * 10000) AS BIGINT) AS line_units
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    cmp AS (
+      SELECT o.o_orderstatus,
+             ABS(CAST(CAST(o.o_totalprice AS DECIMAL(28,4)) * 10000 AS BIGINT)
+                 - l.line_units) AS diff_units
+      FROM orders o JOIN lines l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN diff_units > {RECONCILE_TOL_UNITS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           CAST(MAX(diff_units) AS BIGINT) AS max_diff_units
+    FROM cmp GROUP BY o_orderstatus
+    """,
+    cols=[
+        ("o_orderstatus", "str"),
+        ("n_orders", "num"),
+        ("n_mismatched", "num"),
+        ("max_diff_units", "num"),
+    ],
+)
+def dq_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source reconciliation — the finance-closing DQ check the
+    single-table rule set can't express: does every order HEADER total
+    equal its LINE-ITEM rollup (Σ extendedprice·(1−disc)·(1+tax)) within
+    a cent? Mismatch counts and the worst absolute difference per order
+    status, everything in scale-4 integer units end-to-end (each factor
+    carries ≤2 decimals, so the triple product is exact at scale 4 —
+    comparing decimals as integers sidesteps every float-tolerance
+    question a reconciliation normally drags in).
+
+    Scale: one map-side-combined rollup to the order grain, one keyed
+    header⋈rollup join (same key, co-partitioned), one status rollup —
+    the whole audit is two shuffles over data that never widens."""
+    prepare(spark, sf_dir)
+    lines = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * (1 + F.col("l_tax"))
+                    ).cast("decimal(28,4)")
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("line_units")
+        )
+    )
+    cmp = (
+        spark.table("orders")
+        .join(lines, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderstatus",
+            F.abs(
+                (F.col("o_totalprice").cast("decimal(28,4)") * 10000).cast("long")
+                - F.col("line_units")
+            ).alias("diff_units"),
+        )
+    )
+    return cmp.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(F.col("diff_units") > RECONCILE_TOL_UNITS, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatched"),
+        F.max("diff_units").cast("long").alias("max_diff_units"),
+    )

@@ -96,6 +96,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "cohort_retention",
         # DQ: per-segment exact-percentile tail-outlier detection
         "dq_value_outliers",
+        # header-vs-lines reconciliation in exact scale-4 integer units
+        "dq_reconcile_totals",
         # mergeable HLL sketches: daily -> monthly distinct via union
         "a15_sketch_rollup",
         # count-min sketch: the third classic sketch, one-sided-error
