@@ -631,3 +631,191 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist.between(1, _FUZZY_MAX_DIST))
         .select("name_a", "name_b", dist.alias("dist"), "n_a", "n_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: probe a NEW batch against the historical corpus index
+# --------------------------------------------------------------------------
+
+#: deterministic batch split: every 4th doc is "newly crawled"
+INCR_BATCH_MODULUS = 4
+
+
+def _sql_incremental_dedup() -> str:
+    rows = MINHASH_K // LSH_BANDS
+    sig_cols = ",\n           ".join(
+        f"MIN(md5('{i}:' || s)) AS h{i}" for i in range(MINHASH_K)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band_idx, "
+        f"md5(concat_ws('|', {', '.join(f'h{b * rows + j}' for j in range(rows))})) AS band_hash FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+    WITH batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {INCR_BATCH_MODULUS} = 0
+    ),
+    hist AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {INCR_BATCH_MODULUS} <> 0
+    ),
+    exact AS (
+      SELECT b.doc_id,
+             EXISTS (SELECT 1 FROM hist h WHERE md5(h.text) = md5(b.text))
+               AS exact_dup
+      FROM batch b
+    ),
+    sh AS ({_SQL_SHINGLES}),
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
+      FROM bands b JOIN bands h
+        ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash
+      WHERE b.doc_id % {INCR_BATCH_MODULUS} = 0
+        AND h.doc_id % {INCR_BATCH_MODULUS} <> 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.batch_id, c.hist_id, COUNT(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.batch_id
+      JOIN sh b ON b.doc_id = c.hist_id AND a.s = b.s
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT v.batch_id,
+             SUM(CASE WHEN CAST(v.i AS DOUBLE) / (sa.n + sb.n - v.i)
+                           >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END) AS n_verified
+      FROM verified v
+      JOIN sizes sa ON v.batch_id = sa.doc_id
+      JOIN sizes sb ON v.hist_id = sb.doc_id
+      GROUP BY v.batch_id
+    ),
+    cand_counts AS (
+      SELECT batch_id, COUNT(*) AS n_cand FROM cand GROUP BY batch_id
+    )
+    SELECT e.doc_id,
+           e.exact_dup,
+           CAST(COALESCE(cc.n_cand, 0) AS BIGINT) AS n_band_candidates,
+           CAST(COALESCE(nr.n_verified, 0) AS BIGINT) AS n_near_verified,
+           (NOT e.exact_dup AND COALESCE(nr.n_verified, 0) = 0) AS keep
+    FROM exact e
+    LEFT JOIN cand_counts cc ON cc.batch_id = e.doc_id
+    LEFT JOIN near nr ON nr.batch_id = e.doc_id
+    """
+
+
+@component(
+    "text_incremental_dedup",
+    oracle=_sql_incremental_dedup(),
+    cols=[
+        ("doc_id", "num"),
+        ("exact_dup", "bool"),
+        ("n_band_candidates", "num"),
+        ("n_near_verified", "num"),
+        ("keep", "bool"),
+    ],
+)
+def text_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the continuous-crawl posture the
+    whole-corpus ladder doesn't exercise: a NEW batch (every
+    {INCR_BATCH_MODULUS}th doc) is deduplicated AGAINST the historical
+    corpus, never against itself wholesale. Stage 1 drops exact dups by
+    content hash; stage 2 probes the historical MinHash band index for
+    candidates and verifies them with exact Jaccard ≥ {JACCARD_THRESHOLD}.
+    Per batch doc: the exact flag, band-candidate count, verified
+    near-dup count, and the final keep decision.
+
+    The incremental property is the point: in production the historical
+    side (content hashes + band table) is PERSISTED index state — the
+    batch computes only ITS OWN signatures and probes, so ingest cost is
+    O(|batch| + collisions), independent of corpus size; the corpus is
+    only ever scanned when the index is first built. Here both sides
+    derive from one table so the whole flow stays oracle-checkable.
+
+    Scale: hash semi-join partitions on the content hash; band probe
+    partitions on (band_idx, band_hash) with collision fan-out bounded by
+    bucket sizes; Jaccard verification touches candidate pairs only —
+    the same never-all-pairs discipline as dedup_minhash_lsh."""
+    prepare(spark, sf_dir)
+    docs = spark.table("documents")
+    batch = docs.filter(F.col("doc_id") % INCR_BATCH_MODULUS == 0)
+    hist = docs.filter(F.col("doc_id") % INCR_BATCH_MODULUS != 0)
+    hist_hashes = hist.select(F.md5("text").alias("hsh")).distinct()
+    exact = batch.select(
+        "doc_id", F.md5("text").alias("hsh")
+    ).join(
+        hist_hashes.withColumn("exact_dup", F.lit(True)), "hsh", "left"
+    ).select("doc_id", F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"))
+    sigs = minhash_signatures(spark)
+    bands = None
+    for b in range(LSH_BANDS):
+        part = sigs.select(
+            "doc_id", F.lit(b).alias("band_idx"), _band_expr(b).alias("band_hash")
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    b_bands = bands.filter(F.col("doc_id") % INCR_BATCH_MODULUS == 0).select(
+        F.col("doc_id").alias("batch_id"), "band_idx", "band_hash"
+    )
+    h_bands = bands.filter(F.col("doc_id") % INCR_BATCH_MODULUS != 0).select(
+        F.col("doc_id").alias("hist_id"), "band_idx", "band_hash"
+    )
+    cand = (
+        b_bands.join(h_bands, ["band_idx", "band_hash"])
+        .select("batch_id", "hist_id")
+        .distinct()
+        .cache()  # two consumers: candidate counts + Jaccard verification
+    )
+    sh = shingle_rows(spark)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("batch_id"), "s"), "batch_id")
+        .join(sh.select(F.col("doc_id").alias("hist_id"), "s"), ["hist_id", "s"])
+        .groupBy("batch_id", "hist_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    near = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("batch_id"), F.col("n").alias("na")),
+            "batch_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("hist_id"), F.col("n").alias("nb")),
+            "hist_id",
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+                    >= JACCARD_THRESHOLD,
+                    1,
+                ).otherwise(0)
+            ).alias("n_verified")
+        )
+    )
+    cand_counts = cand.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    return (
+        exact.join(
+            cand_counts.select(F.col("batch_id").alias("doc_id"), "n_cand"),
+            "doc_id",
+            "left",
+        )
+        .join(
+            near.select(F.col("batch_id").alias("doc_id"), "n_verified"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_band_candidates"),
+            F.coalesce("n_verified", F.lit(0)).cast("long").alias("n_near_verified"),
+            (
+                (~F.col("exact_dup"))
+                & (F.coalesce("n_verified", F.lit(0)) == 0)
+            ).alias("keep"),
+        )
+    )

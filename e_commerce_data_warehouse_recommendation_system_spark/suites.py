@@ -135,6 +135,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         "dedup_embedding_exact",
         # short-string entity resolution: blocked edit-distance join
         "dedup_fuzzy_names",
+        # continuous-crawl posture: new batch probed against the
+        # historical hash + band index, O(batch) not O(corpus)
+        "text_incremental_dedup",
         # regular-grid resampling: gap fill + forward fill per user
         "ts_resample_ffill",
         # Holt level+trend smoothing: per-series sequential state via
