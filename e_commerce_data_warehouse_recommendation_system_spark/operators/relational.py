@@ -3879,3 +3879,337 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("dev") * 1000000.0).cast("long").alias("dev_micro"),
         (F.col("dev") > ANOMALY_MAD_K * F.col("mad")).alias("is_anomaly"),
     )
+
+
+# ==========================================================================
+# Gaps-and-islands: consecutive-activity streaks (W ext)
+# ==========================================================================
+
+
+@component(
+    "w9_order_streaks",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym
+      FROM orders
+    ),
+    isl AS (
+      SELECT o_custkey, ym,
+             ym - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY ym)
+               AS island
+      FROM m
+    ),
+    runs AS (
+      SELECT o_custkey, island, CAST(COUNT(*) AS BIGINT) AS len
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT o_custkey,
+           CAST(SUM(len) AS BIGINT) AS n_active_months,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM runs GROUP BY o_custkey
+    """,
+    cols=[
+        ("o_custkey", "num"),
+        ("n_active_months", "num"),
+        ("n_streaks", "num"),
+        ("longest_streak", "num"),
+    ],
+)
+def w9_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each customer's longest streak of CONSECUTIVE
+    active months — the retention question ("how long do customers stay
+    habitual?") that no plain aggregation answers. The classic trick: for
+    the sorted distinct month indices of one customer, ``ym − row_number``
+    is constant exactly within a consecutive run, so one window plus two
+    aggregations recovers every island without self-joins or recursion.
+    Month index = year*12+month (integer, engine-identical); every value
+    in flight is an integer, so both engines agree bit-for-bit.
+
+    Scale: the distinct() keys on (customer, month) — strictly tighter
+    than orders — and the window, the island groupBy, and the final
+    per-customer rollup all share the o_custkey hash partitioning, so one
+    exchange serves the whole chain; per-partition window state is bounded
+    by the calendar (months per customer), never by order volume."""
+    prepare(spark, sf_dir)
+    m = (
+        spark.table("orders")
+        .select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("ym"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("ym")
+    isl = m.select("o_custkey", "ym", (F.col("ym") - F.row_number().over(w)).alias("island"))
+    runs = isl.groupBy("o_custkey", "island").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("o_custkey").agg(
+        F.sum("len").cast("long").alias("n_active_months"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )
+
+
+# ==========================================================================
+# OLS trend fit from exact integer moments (A ext)
+# ==========================================================================
+
+
+@component(
+    "a22_ols_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS y_cents
+      FROM orders GROUP BY 1
+    ),
+    centered AS (
+      SELECT ym - (SELECT MIN(ym) FROM monthly) AS x, y_cents AS y
+      FROM monthly
+    ),
+    mo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM centered
+    )
+    SELECT n AS n_months, sy AS total_cents,
+           CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+                      / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+             AS slope_micro,
+           CAST(FLOOR(CAST(sy * sxx - sx * sxy AS DOUBLE) * 1000000.0
+                      / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+             AS intercept_micro,
+           (n * sxy - sx * sy) > 0 AS rising
+    FROM mo
+    """,
+    cols=[
+        ("n_months", "num"),
+        ("total_cents", "num"),
+        ("slope_micro", "num"),
+        ("intercept_micro", "num"),
+        ("rising", "bool"),
+    ],
+)
+def a22_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares revenue trend: the closed-form OLS fit of monthly
+    revenue against a centered month index, computed entirely from the
+    five integer moments (n, Σx, Σy, Σxy, Σx²) — no MLlib, no float
+    accumulation, no second pass. slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and
+    intercept = (ΣyΣx²−ΣxΣxy)/(nΣx²−(Σx)²) cross the engine boundary
+    through the FLOOR-micro divide with the double op-tree EXPLICIT on
+    both sides: the intercept numerator exceeds 2^53 at sf0.01, and a
+    bare ``x * 1000000.0`` is a trap there — DuckDB types the literal
+    DECIMAL(8,1) so its product stays exact (ONE rounding at the divide)
+    while Spark rounds twice (int64→double, then ×1e6), a probed 1-unit
+    floor divergence. ``CAST(num AS DOUBLE) * 1e6 / CAST(den AS DOUBLE)``
+    pins both engines to the identical correctly-rounded IEEE sequence.
+    The ``rising`` flag binds to the sign of the exact integer numerator,
+    so the trend verdict can never disagree. Centering x at MIN(ym) keeps
+    every int64 product below ~1e17 at sf0.1 (documented bound; at 100 TB
+    the moment columns widen to DECIMAL(38,0), the algebra unchanged).
+
+    Scale: one map-side-combined month rollup (calendar-bounded), the
+    min(ym) scalar rides a broadcast cross join, then ONE single-row
+    moment aggregate — the regression itself costs O(months), not
+    O(orders)."""
+    prepare(spark, sf_dir)
+    monthly = (
+        spark.table("orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("ym")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("y_cents")
+        )
+    )
+    base = monthly.agg(F.min("ym").alias("ym0"))
+    centered = monthly.crossJoin(F.broadcast(base)).select(
+        (F.col("ym") - F.col("ym0")).alias("x"), F.col("y_cents").alias("y")
+    )
+    mo = centered.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return mo.select(
+        F.col("n").alias("n_months"),
+        F.col("sy").alias("total_cents"),
+        F.floor(num * 1000000.0 / den).cast("long").alias("slope_micro"),
+        F.floor(inum * 1000000.0 / den).cast("long").alias("intercept_micro"),
+        (num > 0).alias("rising"),
+    )
+
+
+# ==========================================================================
+# CUSUM mean-shift detection over the daily event series (TS ext)
+# ==========================================================================
+
+
+@component(
+    "ts_cusum_shift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(n_events) AS BIGINT) AS t
+      FROM daily
+    ),
+    cum AS (
+      SELECT day, n_events,
+             tot.nd * SUM(n_events) OVER (ORDER BY day)
+               - ROW_NUMBER() OVER (ORDER BY day) * tot.t AS s
+      FROM daily, tot
+    ),
+    mx AS (SELECT MAX(ABS(s)) AS peak FROM cum)
+    SELECT day, n_events, CAST(s AS BIGINT) AS cusum_scaled,
+           ABS(s) = mx.peak AS is_shift_peak
+    FROM cum, mx
+    """,
+    cols=[
+        ("day", "date"),
+        ("n_events", "num"),
+        ("cusum_scaled", "num"),
+        ("is_shift_peak", "bool"),
+    ],
+)
+def ts_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily event volume: the running
+    sum of deviations from the global mean peaks exactly where the series'
+    mean shifts — the standard first look for "did traffic step up/down,
+    and when?". Exactness: the textbook Σ(cᵢ−μ) is rational (μ=T/N), so
+    both sides compute the N-SCALED integer form N·prefixᵢ − i·T, which
+    is the same statistic times a positive constant — identical argmax,
+    zero division anywhere. Peak days are flagged by exact integer
+    equality against MAX(|S|); ties flag identically on both engines.
+
+    Scale: one map-side day rollup (calendar-bounded: ≤36.5k rows per
+    century regardless of event volume), one 2-scalar broadcast, one
+    ordered window over that bounded table — the same calendar-bounded
+    global-window posture as w8's month prefix. Nothing corpus-sized is
+    ever sorted or single-partitioned."""
+    prepare(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("n_events").cast("long").alias("t")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_events",
+        (
+            F.col("nd") * F.sum("n_events").over(w)
+            - F.row_number().over(Window.orderBy("day")) * F.col("t")
+        ).alias("s"),
+    )
+    mx = cum.agg(F.max(F.abs(F.col("s"))).alias("peak"))
+    return cum.crossJoin(F.broadcast(mx)).select(
+        "day",
+        "n_events",
+        F.col("s").cast("long").alias("cusum_scaled"),
+        (F.abs(F.col("s")) == F.col("peak")).alias("is_shift_peak"),
+    )
+
+
+# ==========================================================================
+# Benford first-digit conformance (DQ / fraud-analytics ext)
+# ==========================================================================
+
+#: FLOOR(log10(1 + 1/d) * 1e6) per leading digit — precomputed in Python so
+#: no libm call ever crosses an engine boundary (the NDCG log2 convention).
+BENFORD_MICRO = {
+    d: int(__import__("math").floor(__import__("math").log10(1 + 1 / d) * 1_000_000))
+    for d in range(1, 10)
+}
+
+
+@component(
+    "a23_benford_digits",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs)
+    SELECT digit, n,
+           CAST(FLOOR(n * 1000000.0 / tot.t) AS BIGINT) AS share_micro,
+           CAST(CASE digit
+             {' '.join(f'WHEN {d} THEN {m}' for d, m in BENFORD_MICRO.items())}
+           END AS BIGINT) AS benford_micro,
+           CAST(FLOOR(n * 1000000.0 / tot.t) - CASE digit
+             {' '.join(f'WHEN {d} THEN {m}' for d, m in BENFORD_MICRO.items())}
+           END AS BIGINT) AS dev_micro
+    FROM obs, tot
+    """,
+    cols=[
+        ("digit", "num"),
+        ("n", "num"),
+        ("share_micro", "num"),
+        ("benford_micro", "num"),
+        ("dev_micro", "num"),
+    ],
+)
+def a23_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance — the forensic-accounting screen on
+    a money column: organically-grown amounts follow P(d)=log10(1+1/d)
+    while fabricated or clamped ones don't, so the per-digit deviation
+    profile is a one-pass fraud/DQ signal (on this synthetic uniform-ish
+    corpus the screen CORRECTLY reports non-conformance — that deviation
+    vector is the checked value). The leading digit comes from the
+    DECIMAL(18,2) string rendering (identical plain notation both
+    engines, no sign/leading-zero cases at ≥1); the expected shares are
+    Python-precomputed integer micro-constants embedded in BOTH plans, so
+    no log10 ever crosses an engine boundary; observed shares go through
+    the FLOOR-micro divide.
+
+    Scale: one map-side-combined 9-key aggregation + a 1-row broadcast
+    total — O(scan) work, 9-row output at any data size."""
+    prepare(spark, sf_dir)
+    benford = F.create_map(
+        *[F.lit(x) for d, m in BENFORD_MICRO.items() for x in (d, m)]
+    )
+    obs = (
+        spark.table("orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").cast("long").alias("t"))
+    share = F.floor(F.col("n") * 1000000.0 / F.col("t")).cast("long")
+    expected = benford[F.col("digit")].cast("long")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        share.alias("share_micro"),
+        expected.alias("benford_micro"),
+        (share - expected).alias("dev_micro"),
+    )

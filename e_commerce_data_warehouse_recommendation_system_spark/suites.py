@@ -125,6 +125,10 @@ SUITE_SPECS: dict[str, list[str]] = {
         "supplier_scorecard",
         # §2.11 UDAF surface: grouped-agg pandas UDF (per-customer Gini)
         "a17_gini_udaf",
+        # closed-form OLS revenue trend from exact integer moments
+        "a22_ols_trend",
+        # forensic DQ: Benford first-digit conformance profile
+        "a23_benford_digits",
     ],
     # §2.5 dedup + §2.6 windows (+ near-dup cluster assignment)
     "rel_window_dedup_suite": [
@@ -157,6 +161,10 @@ SUITE_SPECS: dict[str, list[str]] = {
         "w7_windowed_distinct_count",
         # sweep-line interval concurrency (two-phase prefix sums)
         "w8_interval_concurrency",
+        # gaps-and-islands: longest consecutive-month activity streaks
+        "w9_order_streaks",
+        # CUSUM mean-shift detection (N-scaled integer form, exact argmax)
+        "ts_cusum_shift",
         # streaming twin of the batch dedup ladder: watermarked exactly-once
         # repair over a replayed source
         "stream_dedup_replay",
