@@ -4213,3 +4213,124 @@ def a23_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("benford_micro"),
         (share - expected).alias("dev_micro"),
     )
+
+
+# ==========================================================================
+# Privacy governance: k-anonymity audit + seeded noisy release
+# ==========================================================================
+
+#: minimum group size for a quasi-identifier cell to be releasable
+K_ANON_K = 5
+
+
+@component(
+    "dq_k_anonymity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, c_nationkey, n,
+           n < {K_ANON_K} AS suppressed,
+           CAST(FLOOR(1000000.0 / n) AS BIGINT) AS reident_risk_micro
+    FROM cells
+    """,
+    cols=[
+        ("c_mktsegment", "str"),
+        ("c_nationkey", "num"),
+        ("n", "num"),
+        ("suppressed", "bool"),
+        ("reident_risk_micro", "num"),
+    ],
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier grain
+    (market segment × nation): any cell smaller than k={K_ANON_K} is
+    re-identifiable by linkage and must be suppressed or generalized
+    before release — the check that sits between the pseudonymization
+    vault (wr_pseudonymize_vault) and any external data share. Emits per
+    cell the population, the suppression verdict (bound to the exact
+    integer count, engine-deterministic), and the worst-case
+    re-identification risk 1/n in FLOOR-micro units.
+
+    Scale: one map-side-combined aggregation on a grain bounded by
+    |segments|×|nations| (125 cells at any data size) — O(scan) work,
+    catalog-bounded output, no joins, no windows."""
+    prepare(spark, sf_dir)
+    cells = (
+        spark.table("customer")
+        .groupBy("c_mktsegment", F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cells.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "n",
+        (F.col("n") < K_ANON_K).alias("suppressed"),
+        F.floor(1000000.0 / F.col("n")).cast("long").alias("reident_risk_micro"),
+    )
+
+
+#: half-width of the seeded integer noise window for the noisy release
+NOISY_B = 10
+
+
+@component(
+    "dq_noisy_release",
+    oracle=f"""
+    WITH agg AS (
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM customer GROUP BY 1
+    ),
+    noised AS (
+      SELECT c_mktsegment, n_true,
+             ('0x' || substr(md5('noise#' || c_mktsegment), 1, 8))::BIGINT
+               % {2 * NOISY_B + 1} - {NOISY_B} AS noise
+      FROM agg
+    )
+    SELECT c_mktsegment, n_true, noise,
+           GREATEST(n_true + noise, 0) AS n_released
+    FROM noised
+    """,
+    cols=[
+        ("c_mktsegment", "str"),
+        ("n_true", "num"),
+        ("noise", "num"),
+        ("n_released", "num"),
+    ],
+)
+def dq_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy aggregate release — the privacy mechanism's PLUMBING: per-group
+    counts perturbed by seeded additive integer noise, clamped nonnegative,
+    with the true count retained engine-side for the audit trail. The noise
+    here is UNIFORM on [-{NOISY_B},{NOISY_B}], drawn deterministically from
+    md5(seed#group) through the probed hex→int bridge (Spark
+    ``conv(hex,16,10)`` ≡ DuckDB ``('0x'||hex)::BIGINT``) — deliberately
+    NOT a calibrated DP mechanism: a two-sided geometric sampler would make
+    it ε-DP, but its inverse-CDF needs ln(), which is not correctly-rounded
+    cross-engine; the swap is one expression on a 5-row frame, the
+    release pipeline (seeded draw → perturb → clamp → publish) is what
+    this operator pins. Determinism doubles as replayability: the same
+    release re-run yields byte-identical output, so publishing is
+    idempotent.
+
+    Scale: one map-side-combined aggregation to a catalog-bounded grain;
+    the noise draw is a pure column expression on the aggregate — zero
+    additional passes over the data."""
+    prepare(spark, sf_dir)
+    agg = spark.table("customer").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    noise = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("noise#"), F.col("c_mktsegment"))), 1, 8), 16, 10)
+        .cast("long")
+        % (2 * NOISY_B + 1)
+        - NOISY_B
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_true",
+        noise.alias("noise"),
+        F.greatest(F.col("n_true") + noise, F.lit(0)).cast("long").alias("n_released"),
+    )

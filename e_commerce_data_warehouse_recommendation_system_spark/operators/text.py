@@ -1928,3 +1928,88 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.floor(F.sum("term") / F.count(F.lit(1))).cast("long").alias("dsir_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Encoding-damage (mojibake) detection + repair
+# --------------------------------------------------------------------------
+
+#: damage markers: the Unicode replacement char (what a lossy decode leaves
+#: behind) and a C1 control byte (classic double-encoding debris). Built
+#: from escapes so no raw control byte lives in this source file.
+_REPL = "\ufffd"
+_CTRL = "\u0081"
+
+
+@component(
+    "text_mojibake_detect",
+    cols=[
+        ("doc_id", "num"),
+        ("n_repl", "num"),
+        ("n_ctrl", "num"),
+        ("is_damaged", "bool"),
+        ("detect_ok", "bool"),
+        ("clean_md5", "str"),
+    ],
+    oracle="""
+    WITH damaged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 5
+               THEN text || repeat(chr(65533), CAST(1 + doc_id % 3 AS INTEGER))
+                         || chr(129)
+               ELSE text
+             END AS etext
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(etext) - len(replace(etext, chr(65533), '')) AS BIGINT)
+             AS n_repl,
+           CAST(len(etext) - len(replace(etext, chr(129), '')) AS BIGINT)
+             AS n_ctrl,
+           len(etext) <> len(replace(replace(etext, chr(65533), ''), chr(129), ''))
+             AS is_damaged,
+           (len(etext) <> len(replace(replace(etext, chr(65533), ''), chr(129), '')))
+             = (doc_id % 17 = 5) AS detect_ok,
+           md5(replace(replace(etext, chr(65533), ''), chr(129), '')) AS clean_md5
+    FROM damaged
+    """,
+)
+def text_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage (mojibake) detection and repair — the ftfy-class
+    cleaning stage a web-crawl pipeline runs before tokenization: count
+    U+FFFD replacement characters (lossy-decode debris) and C1 control
+    bytes (double-encoding debris), flag damaged docs, and strip the
+    markers. The synthetic corpus is clean (probed: zero organic markers
+    at every SF), so damage is INJECTED deterministically (doc_id%17==5
+    gets 1-3 replacement chars + one C1 byte — identical construction in
+    the oracle, the text_pii_scrub pattern), which lets ``detect_ok``
+    assert per row that detection catches exactly the damaged set with
+    zero false positives. Counting is pure length arithmetic
+    (len − len(replace(...)) — no regex semantics to align across
+    engines), and the repaired text is value-checked by md5.
+
+    Scale: narrow codegen'd column expressions pipelined over the
+    documents scan — zero shuffles (the suite digest aggregation is the
+    only one), same posture as the PII scrub."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    etext = F.when(
+        F.col("doc_id") % 17 == 5,
+        F.concat(
+            F.col("text"),
+            F.repeat(F.lit(_REPL), (1 + F.col("doc_id") % 3).cast("int")),
+            F.lit(_CTRL),
+        ),
+    ).otherwise(F.col("text"))
+    cleaned = F.replace(F.replace(etext, F.lit(_REPL), F.lit("")), F.lit(_CTRL), F.lit(""))
+    n_repl = F.length(etext) - F.length(F.replace(etext, F.lit(_REPL), F.lit("")))
+    n_ctrl = F.length(etext) - F.length(F.replace(etext, F.lit(_CTRL), F.lit("")))
+    is_damaged = F.length(etext) != F.length(cleaned)
+    return d.select(
+        "doc_id",
+        n_repl.cast("long").alias("n_repl"),
+        n_ctrl.cast("long").alias("n_ctrl"),
+        is_damaged.alias("is_damaged"),
+        (is_damaged == (F.col("doc_id") % 17 == 5)).alias("detect_ok"),
+        F.md5(cleaned).alias("clean_md5"),
+    )

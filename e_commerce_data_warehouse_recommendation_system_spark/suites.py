@@ -205,6 +205,10 @@ SUITE_SPECS: dict[str, list[str]] = {
         "dq_observed_metrics",
         # the streaming half: per-micro-batch observe via progress events
         "stream_observed_metrics",
+        # privacy governance: k-anonymity audit over the QI grain
+        "dq_k_anonymity",
+        # privacy governance: seeded noisy-release mechanism plumbing
+        "dq_noisy_release",
     ],
     # the Kimball dims + end-to-end pipeline counts
     "etl_dims_suite": [
@@ -237,6 +241,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_repetition",
         "text_contamination",
         "text_pii_scrub",
+        # ftfy-class encoding-damage detection + repair (injected markers)
+        "text_mojibake_detect",
         "text_filter_funnel",
         # content-safety blocklist (the C4 bad-words rule the funnel lacks)
         "text_blocklist_filter",
