@@ -4334,3 +4334,202 @@ def dq_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         noise.alias("noise"),
         F.greatest(F.col("n_true") + noise, F.lit(0)).cast("long").alias("n_released"),
     )
+
+
+# ==========================================================================
+# Customer lifetime value heuristic per market segment (A ext)
+# ==========================================================================
+
+
+@component(
+    "a25_clv_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_mktsegment,
+             o.o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders_c,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS rev_cents_c,
+             CAST(MAX(year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                  - MIN(year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                  + 1 AS BIGINT) AS active_months_c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n_orders_c) AS BIGINT) AS n_orders,
+           CAST(SUM(rev_cents_c) AS BIGINT) AS revenue_cents,
+           CAST(SUM(active_months_c) AS BIGINT) AS active_months,
+           CAST(FLOOR(CAST(SUM(rev_cents_c) AS DOUBLE)
+                      / CAST(SUM(n_orders_c) AS DOUBLE)) AS BIGINT)
+             AS aov_cents,
+           CAST(FLOOR(CAST(SUM(rev_cents_c) AS DOUBLE) * 12.0
+                      / CAST(SUM(active_months_c) AS DOUBLE)) AS BIGINT)
+             AS clv12_cents
+    FROM per_cust GROUP BY 1
+    """,
+    cols=[
+        ("c_mktsegment", "str"),
+        ("n_customers", "num"),
+        ("n_orders", "num"),
+        ("revenue_cents", "num"),
+        ("active_months", "num"),
+        ("aov_cents", "num"),
+        ("clv12_cents", "num"),
+    ],
+)
+def a25_clv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value heuristic per market segment — the classic
+    CLV ≈ AOV × purchase-rate × horizon readout (reference scope: the
+    dashboard analytics family, dags/load_to_warehouse.py's
+    revenue-by-segment rollups imply but never compute a forward value).
+    Two-level plan: per-customer order count / exact revenue cents /
+    active-month span (first-to-last order month, inclusive), then one
+    segment rollup. AOV and the 12-month CLV projection cross the engine
+    boundary through the FLOOR-micro divide with the double op-tree
+    explicit on both sides; everything upstream is exact int64 cents
+    (sf0.1 total revenue ≈ 6e11 cents, three orders under 2^53).
+
+    Scale: the orders→customer join shuffles on custkey (dim broadcasts
+    when it fits — AQE decides); the per-customer rollup reuses that
+    partitioning (same key, no extra exchange); the segment rollup is
+    map-side-combined onto a 5-key grain. O(scan) work, catalog-bounded
+    output at any data size."""
+    prepare(spark, sf_dir)
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    per_cust = (
+        spark.table("orders")
+        .join(spark.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_c"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("rev_cents_c"),
+            (F.max(ym) - F.min(ym) + 1).cast("long").alias("active_months_c"),
+        )
+    )
+    seg = per_cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("n_orders_c").cast("long").alias("n_orders"),
+        F.sum("rev_cents_c").cast("long").alias("revenue_cents"),
+        F.sum("active_months_c").cast("long").alias("active_months"),
+    )
+    return seg.select(
+        "c_mktsegment",
+        "n_customers",
+        "n_orders",
+        "revenue_cents",
+        "active_months",
+        F.floor(
+            F.col("revenue_cents").cast("double") / F.col("n_orders").cast("double")
+        )
+        .cast("long")
+        .alias("aov_cents"),
+        F.floor(
+            F.col("revenue_cents").cast("double") * 12.0
+            / F.col("active_months").cast("double")
+        )
+        .cast("long")
+        .alias("clv12_cents"),
+    )
+
+
+# ==========================================================================
+# Inter-purchase interval distribution (W ext)
+# ==========================================================================
+
+#: (band label, inclusive upper bound in days) — last band is open-ended
+GAP_BANDS: tuple[tuple[str, int], ...] = (
+    ("within_week", 7),
+    ("within_month", 30),
+    ("within_quarter", 90),
+)
+
+
+@component(
+    "w10_interpurchase_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS d,
+             LAG(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ) AS prev_d
+      FROM orders
+    ),
+    gaps AS (
+      SELECT CAST(datediff('day', prev_d, d) AS BIGINT) AS gap_days
+      FROM seq WHERE prev_d IS NOT NULL
+    ),
+    banded AS (
+      SELECT CASE WHEN gap_days <= 7 THEN 'within_week'
+                  WHEN gap_days <= 30 THEN 'within_month'
+                  WHEN gap_days <= 90 THEN 'within_quarter'
+                  ELSE 'beyond_quarter' END AS band,
+             gap_days
+      FROM gaps
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+           CAST(FLOOR(CAST(SUM(gap_days) AS DOUBLE) * 1000000.0
+                      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_gap_micro
+    FROM banded GROUP BY band
+    """,
+    cols=[
+        ("band", "str"),
+        ("n_gaps", "num"),
+        ("total_gap_days", "num"),
+        ("min_gap_days", "num"),
+        ("max_gap_days", "num"),
+        ("avg_gap_micro", "num"),
+    ],
+)
+def w10_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution — the repeat-purchase cadence
+    signal behind replenishment reminders and churn scoring: per customer,
+    the day gap between consecutive orders (LAG over the per-customer
+    date sequence, orderkey tiebreak pins determinism; same-day repeat
+    orders contribute gap 0), banded into week/month/quarter/beyond
+    buckets. Band assignment binds to exact integer day counts, so the
+    histogram is engine-deterministic; the per-band mean gap crosses as
+    the FLOOR-micro divide.
+
+    Scale: one window shuffle on custkey (per-customer sequences are
+    order-count bounded), then a map-side-combined 4-key rollup — the
+    same partitioning pattern as w4_running_total; no joins, O(scan)
+    work, constant output."""
+    prepare(spark, sf_dir)
+    d = F.col("o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey").orderBy(d, F.col("o_orderkey"))
+    seq = spark.table("orders").select(
+        "o_custkey", d.alias("d"), F.lag(d).over(w).alias("prev_d")
+    )
+    gaps = seq.filter(F.col("prev_d").isNotNull()).select(
+        F.datediff(F.col("d"), F.col("prev_d")).cast("long").alias("gap_days")
+    )
+    band = F.when(F.col("gap_days") <= GAP_BANDS[0][1], F.lit(GAP_BANDS[0][0]))
+    for label, ub in GAP_BANDS[1:]:
+        band = band.when(F.col("gap_days") <= ub, F.lit(label))
+    band = band.otherwise(F.lit("beyond_quarter"))
+    return (
+        gaps.select(band.alias("band"), "gap_days")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_days").cast("long").alias("total_gap_days"),
+            F.min("gap_days").cast("long").alias("min_gap_days"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+            F.floor(
+                F.sum("gap_days").cast("double")
+                * 1000000.0
+                / F.count(F.lit(1)).cast("double")
+            )
+            .cast("long")
+            .alias("avg_gap_micro"),
+        )
+    )

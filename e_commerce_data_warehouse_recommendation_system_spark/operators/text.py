@@ -2013,3 +2013,101 @@ def text_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (is_damaged == (F.col("doc_id") % 17 == 5)).alias("detect_ok"),
         F.md5(cleaned).alias("clean_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Readability scoring (Flesch-style, integer-exact band classification)
+# --------------------------------------------------------------------------
+
+#: sentence terminators: runs of ./!/? count as ONE sentence boundary
+_SENT_RE = "[.!?]+"
+#: syllable proxy: maximal vowel groups (y counted as a vowel)
+_SYL_RE = "[aeiouyAEIOUY]+"
+#: Flesch reading-ease band thresholds (integer points)
+FLESCH_EASY = 60
+FLESCH_STANDARD = 30
+
+
+@component(
+    "text_readability",
+    cols=[
+        ("doc_id", "num"),
+        ("n_words", "num"),
+        ("n_sentences", "num"),
+        ("n_syllables", "num"),
+        ("flesch_micro", "num"),
+        ("band", "str"),
+    ],
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id,
+             GREATEST(CAST(len({_SQL_TOKENS}) AS BIGINT), 1) AS w,
+             GREATEST(CAST(len(regexp_extract_all(text, '{_SENT_RE}')) AS BIGINT), 1) AS s,
+             GREATEST(CAST(len(regexp_extract_all(text, '{_SYL_RE}')) AS BIGINT), 1) AS y
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, w, s, y,
+             206835 * s * w - 1015 * w * w - 84600 * y * s AS num
+      FROM counts
+    )
+    SELECT doc_id,
+           w AS n_words, s AS n_sentences, y AS n_syllables,
+           CAST(FLOOR(CAST(num AS DOUBLE) * 1000.0
+                      / CAST(s * w AS DOUBLE)) AS BIGINT) AS flesch_micro,
+           CASE WHEN num >= {FLESCH_EASY} * 1000 * s * w THEN 'easy'
+                WHEN num >= {FLESCH_STANDARD} * 1000 * s * w THEN 'standard'
+                ELSE 'hard' END AS band
+    FROM scored
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability scoring — the classic corpus-quality lens
+    beside stopword/length heuristics (text_quality_score): reading ease
+    = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    syllables approximated by maximal vowel groups (the standard
+    dictionary-free proxy) and sentences by terminator runs. The band
+    classification (easy ≥ 60 > standard ≥ 30 > hard) binds to the EXACT
+    integer inequality — multiplying the score by the positive 1000·s·w
+    clears both divisions, so the verdict is engine-deterministic with no
+    float compare anywhere; the score itself crosses as the FLOOR-micro
+    divide with the double op-tree explicit on both sides (num ≤ ~2e11
+    for 10k-word docs, far inside 2^53). Degenerate docs (no words /
+    terminators / vowels) clamp each count to 1 rather than dropping the
+    row — the funnel wants a verdict for every document.
+
+    Scale: three codegen'd regexp/split counts pipelined over the
+    documents scan, then pure integer arithmetic — zero shuffles, zero
+    UDFs, same posture as text_token_count."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    w = F.greatest(F.size(tokens("text")).cast("long"), F.lit(1))
+    s = F.greatest(F.regexp_count("text", F.lit(_SENT_RE)).cast("long"), F.lit(1))
+    y = F.greatest(F.regexp_count("text", F.lit(_SYL_RE)).cast("long"), F.lit(1))
+    counts = d.select("doc_id", w.alias("w"), s.alias("s"), y.alias("y"))
+    num = (
+        F.lit(206835) * F.col("s") * F.col("w")
+        - F.lit(1015) * F.col("w") * F.col("w")
+        - F.lit(84600) * F.col("y") * F.col("s")
+    )
+    scored = counts.withColumn("num", num)
+    band = (
+        F.when(F.col("num") >= FLESCH_EASY * 1000 * F.col("s") * F.col("w"), F.lit("easy"))
+        .when(
+            F.col("num") >= FLESCH_STANDARD * 1000 * F.col("s") * F.col("w"),
+            F.lit("standard"),
+        )
+        .otherwise(F.lit("hard"))
+    )
+    return scored.select(
+        "doc_id",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("y").alias("n_syllables"),
+        F.floor(
+            F.col("num").cast("double") * 1000.0 / (F.col("s") * F.col("w")).cast("double")
+        )
+        .cast("long")
+        .alias("flesch_micro"),
+        band.alias("band"),
+    )

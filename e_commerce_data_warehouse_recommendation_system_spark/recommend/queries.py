@@ -1203,6 +1203,142 @@ def rec_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Directional association rules (Apriori level-1: support/confidence/lift)
+# --------------------------------------------------------------------------
+
+#: minimum joint-support count for a rule to be emitted
+ASSOC_MIN_SUPPORT = 3
+#: rules kept, ordered by (confidence_micro DESC, antecedent, consequent)
+ASSOC_TOP_K = 20
+
+
+@component(
+    "rec_assoc_rules",
+    cols=[
+        ("antecedent", "num"),
+        ("consequent", "num"),
+        ("support", "num"),
+        ("cnt_ante", "num"),
+        ("confidence_micro", "num"),
+        ("lift", "dbl"),
+        ("rnk", "num"),
+    ],
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b, CAST(COUNT(*) AS BIGINT) AS sup
+      FROM baskets a JOIN baskets b
+        ON a.okey = b.okey AND a.part < b.part
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {ASSOC_MIN_SUPPORT}
+    ),
+    directional AS (
+      SELECT part_a AS antecedent, part_b AS consequent, sup FROM pairs
+      UNION ALL
+      SELECT part_b AS antecedent, part_a AS consequent, sup FROM pairs
+    ),
+    part_counts AS (
+      SELECT part, CAST(COUNT(*) AS BIGINT) AS cnt FROM baskets GROUP BY part
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM baskets),
+    scored AS (
+      SELECT d.antecedent, d.consequent, d.sup AS support, ca.cnt AS cnt_ante,
+             CAST(FLOOR(CAST(d.sup AS DOUBLE) * 1000000.0
+                        / CAST(ca.cnt AS DOUBLE)) AS BIGINT) AS confidence_micro,
+             CAST(d.sup * n.n_orders AS DOUBLE) / (ca.cnt * cc.cnt) AS lift
+      FROM directional d
+      JOIN part_counts ca ON d.antecedent = ca.part
+      JOIN part_counts cc ON d.consequent = cc.part
+      CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY confidence_micro DESC, antecedent, consequent
+      ) AS rnk
+      FROM scored
+    )
+    SELECT antecedent, consequent, support, cnt_ante, confidence_micro, lift,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {ASSOC_TOP_K}
+    """,
+)
+def rec_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules A→B — the Apriori level-1 output
+    (reference scope: the recommender family's "frequently bought
+    together" shelf; rec_copurchase_pairs materializes the symmetric
+    affinity, this adds the DIRECTED rule with its confidence
+    P(B|A) = sup(A,B)/cnt(A), which is what a PDP cross-sell slot
+    actually ranks by). Min-support pruning (sup ≥ {ASSOC_MIN_SUPPORT})
+    happens on the exact joint count BEFORE the direction fan-out, so the
+    candidate set is Apriori-bounded; confidence crosses as the
+    FLOOR-micro divide (deterministic ordering key); lift stays the exact
+    rational of integer counts with ONE IEEE division, engine-identical.
+    Top-{ASSOC_TOP_K} by (confidence_micro DESC, antecedent, consequent)
+    — an all-integer total order.
+
+    Scale: identical posture to rec_copurchase_pairs (per-order self-join
+    bounded by basket size, one shuffle per rollup); the direction
+    union doubles surviving pairs only AFTER min-support pruning; the
+    marginal joins shuffle on part (catalog-sized side broadcasts under
+    AQE); top-k is sort+limit."""
+    prepare(spark, sf_dir)
+    li = spark.table("lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.part") < F.col("b.part")))
+        .groupBy(F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= ASSOC_MIN_SUPPORT)
+    )
+    directional = pairs.select(
+        F.col("part_a").alias("antecedent"), F.col("part_b").alias("consequent"), "sup"
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("antecedent"), F.col("part_a").alias("consequent"), "sup"
+        )
+    )
+    part_counts = baskets.groupBy("part").agg(F.count(F.lit(1)).alias("cnt"))
+    n_orders = baskets.agg(F.countDistinct("okey").alias("n_orders"))
+    scored = (
+        directional.join(
+            part_counts.select(F.col("part").alias("antecedent"), F.col("cnt").alias("cnt_ante")),
+            "antecedent",
+        )
+        .join(
+            part_counts.select(F.col("part").alias("consequent"), F.col("cnt").alias("cnt_cons")),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("sup").alias("support"),
+            "cnt_ante",
+            F.floor(F.col("sup").cast("double") * 1000000.0 / F.col("cnt_ante").cast("double"))
+            .cast("long")
+            .alias("confidence_micro"),
+            (
+                (F.col("sup") * F.col("n_orders")).cast("double")
+                / (F.col("cnt_ante") * F.col("cnt_cons"))
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("confidence_micro"), F.asc("antecedent"), F.asc("consequent")
+    ).limit(ASSOC_TOP_K)
+    w = Window.orderBy(F.desc("confidence_micro"), F.asc("antecedent"), F.asc("consequent"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "antecedent", "consequent", "support", "cnt_ante", "confidence_micro", "lift", "rnk"
+    )
+
+
+# --------------------------------------------------------------------------
 # Item-item collaborative filtering (user-level cosine neighbors)
 # --------------------------------------------------------------------------
 

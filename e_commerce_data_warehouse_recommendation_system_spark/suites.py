@@ -129,6 +129,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "a22_ols_trend",
         # forensic DQ: Benford first-digit conformance profile
         "a23_benford_digits",
+        # customer-lifetime-value heuristic (AOV × rate × 12mo horizon)
+        "a25_clv_segments",
     ],
     # §2.5 dedup + §2.6 windows (+ near-dup cluster assignment)
     "rel_window_dedup_suite": [
@@ -163,6 +165,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "w8_interval_concurrency",
         # gaps-and-islands: longest consecutive-month activity streaks
         "w9_order_streaks",
+        # repeat-purchase cadence: banded inter-purchase day gaps (LAG)
+        "w10_interpurchase_gaps",
         # CUSUM mean-shift detection (N-scaled integer form, exact argmax)
         "ts_cusum_shift",
         # streaming twin of the batch dedup ladder: watermarked exactly-once
@@ -243,6 +247,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_pii_scrub",
         # ftfy-class encoding-damage detection + repair (injected markers)
         "text_mojibake_detect",
+        # Flesch-style readability (integer-exact band classification)
+        "text_readability",
         "text_filter_funnel",
         # content-safety blocklist (the C4 bad-words rule the funnel lacks)
         "text_blocklist_filter",
@@ -313,6 +319,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "rec_train_test_split",
         # item-item co-occurrence twin of the user-item recommender
         "rec_copurchase_pairs",
+        # directional Apriori rules: min-support + confidence + lift
+        "rec_assoc_rules",
         # cold-start popularity shelf (reference refuses unknown users)
         "rec_popular_fallback",
         # memory-based KNN: per-item cosine neighbor lists (user vectors)
