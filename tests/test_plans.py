@@ -552,6 +552,7 @@ def test_bm25_topk_is_takeordered_not_full_sort(spark):
 def test_lazy_components_stay_inside_shuffle_budget(spark):
     from e_commerce_data_warehouse_recommendation_system_spark import registry
 
+    spark.catalog.clearCache()
     comps = registry.components()
     over = {}
     for name, budget in COMPONENT_SHUFFLE_BUDGET.items():
@@ -566,9 +567,18 @@ def test_headline_queries_stay_inside_shuffle_budget(spark):
     """Every LAZY registered query (pure plan, no eager collect inside)
     must not exceed its pinned Exchange count — the cheapest regression
     guard for '100 TB posture' claims: at scale an extra shuffle is the
-    difference between a linear stage and a re-keyed terabyte move."""
+    difference between a linear stage and a re-keyed terabyte move.
+
+    Budgets are pinned against a CLEAN cache state: CacheManager matches
+    plan fragments globally, so caches registered by whichever tests ran
+    earlier in the session can splice their InMemoryRelation (and its
+    build exchanges) into these plans and shift the counts — running the
+    registry-contract test first flipped sim_cosine_topk 1→2 this way.
+    clearCache() makes the count a property of the query, not the test
+    order."""
     from e_commerce_data_warehouse_recommendation_system_spark import registry
 
+    spark.catalog.clearCache()
     qs = registry.queries()
     over = {}
     for name, budget in SHUFFLE_BUDGET.items():
