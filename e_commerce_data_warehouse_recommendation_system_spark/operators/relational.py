@@ -4533,3 +4533,95 @@ def w10_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_gap_micro"),
         )
     )
+
+
+# ==========================================================================
+# New vs returning customer revenue split by month (A ext)
+# ==========================================================================
+
+
+@component(
+    "a26_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS first_ym
+      FROM orders GROUP BY 1
+    ),
+    classified AS (
+      SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT) AS ym,
+             o.o_custkey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate)) = f.first_ym AS is_new
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT ym,
+           CAST(SUM(CASE WHEN is_new THEN cents ELSE 0 END) AS BIGINT)
+             AS new_rev_cents,
+           CAST(SUM(CASE WHEN is_new THEN 0 ELSE cents END) AS BIGINT)
+             AS returning_rev_cents,
+           CAST(COUNT(DISTINCT CASE WHEN is_new THEN o_custkey END) AS BIGINT)
+             AS n_new_customers,
+           CAST(COUNT(DISTINCT CASE WHEN NOT is_new THEN o_custkey END) AS BIGINT)
+             AS n_returning_customers,
+           CAST(FLOOR(CAST(SUM(CASE WHEN is_new THEN cents ELSE 0 END) AS DOUBLE)
+                      * 1000000.0
+                      / CAST(SUM(cents) AS DOUBLE)) AS BIGINT) AS new_share_micro
+    FROM classified GROUP BY ym
+    """,
+    cols=[
+        ("ym", "num"),
+        ("new_rev_cents", "num"),
+        ("returning_rev_cents", "num"),
+        ("n_new_customers", "num"),
+        ("n_returning_customers", "num"),
+        ("new_share_micro", "num"),
+    ],
+)
+def a26_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly new-vs-returning revenue split — the acquisition-vs-retention
+    lens every growth dashboard leads with: an order is "new" revenue iff
+    it lands in its customer's FIRST active calendar month (month-grain
+    first-touch — no same-day orderkey tiebreak needed, so the class is
+    engine-deterministic by construction), everything later is returning.
+    Exact int64 cents throughout; the monthly new-revenue share crosses as
+    the FLOOR-micro divide.
+
+    Scale: the first-month frame aggregates orders on custkey, then joins
+    back to orders on the same key — at 100 TB both sides shuffle once on
+    custkey and the rollup onto the calendar-bounded month grain is
+    map-side-combined. The distinct-customer counts shuffle on (ym,
+    custkey) — bounded by active customers per month. No windows over the
+    full fact, no broadcast of anything unbounded."""
+    prepare(spark, sf_dir)
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    firsts = spark.table("orders").groupBy("o_custkey").agg(F.min(ym).alias("first_ym"))
+    classified = (
+        spark.table("orders")
+        .join(firsts, "o_custkey")
+        .select(
+            ym.alias("ym"),
+            "o_custkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            (ym == F.col("first_ym")).alias("is_new"),
+        )
+    )
+    new_cents = F.sum(F.when(F.col("is_new"), F.col("cents")).otherwise(F.lit(0)))
+    ret_cents = F.sum(F.when(F.col("is_new"), F.lit(0)).otherwise(F.col("cents")))
+    return classified.groupBy("ym").agg(
+        new_cents.cast("long").alias("new_rev_cents"),
+        ret_cents.cast("long").alias("returning_rev_cents"),
+        F.countDistinct(F.when(F.col("is_new"), F.col("o_custkey")))
+        .cast("long")
+        .alias("n_new_customers"),
+        F.countDistinct(F.when(~F.col("is_new"), F.col("o_custkey")))
+        .cast("long")
+        .alias("n_returning_customers"),
+        F.floor(
+            new_cents.cast("double") * 1000000.0 / F.sum("cents").cast("double")
+        )
+        .cast("long")
+        .alias("new_share_micro"),
+    )

@@ -2111,3 +2111,97 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("flesch_micro"),
         band.alias("band"),
     )
+
+
+# --------------------------------------------------------------------------
+# Intra-document sentence dedup (CCNet-style line/sentence-level cleanup)
+# --------------------------------------------------------------------------
+
+#: unit separator — cannot appear in sentence text after trimming
+_SENT_SEP_ORD = 31
+
+
+@component(
+    "text_sentence_dedup",
+    cols=[
+        ("doc_id", "num"),
+        ("n_sentences", "num"),
+        ("n_unique", "num"),
+        ("dup_ratio_micro", "num"),
+        ("unique_fp", "str"),
+    ],
+    oracle=f"""
+    WITH sent AS (
+      SELECT doc_id,
+             regexp_replace(s, '^\\s+|\\s+$', '', 'g') AS s
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '{_SENT_RE}')) AS s
+        FROM documents
+      )
+    ),
+    clean AS (SELECT doc_id, s FROM sent WHERE s <> ''),
+    uniq AS (SELECT DISTINCT doc_id, s FROM clean),
+    cagg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sentences
+      FROM clean GROUP BY doc_id
+    ),
+    uagg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_unique,
+             md5(string_agg(s, chr({_SENT_SEP_ORD}) ORDER BY s)) AS fp
+      FROM uniq GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.n_sentences, 0) AS n_sentences,
+           COALESCE(u.n_unique, 0) AS n_unique,
+           CAST(FLOOR(CAST(COALESCE(c.n_sentences, 0) - COALESCE(u.n_unique, 0)
+                           AS DOUBLE) * 1000000.0
+                      / CAST(GREATEST(COALESCE(c.n_sentences, 0), 1) AS DOUBLE))
+             AS BIGINT) AS dup_ratio_micro,
+           COALESCE(u.fp, md5('')) AS unique_fp
+    FROM documents d
+    LEFT JOIN cagg c ON d.doc_id = c.doc_id
+    LEFT JOIN uagg u ON d.doc_id = u.doc_id
+    """,
+)
+def text_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document sentence dedup — the CCNet/RefinedWeb line-level
+    cleanup pass that removes boilerplate repeated WITHIN a page (nav
+    crumbs, cookie banners, chorus lines) before any cross-document
+    dedup runs: split on terminator runs, whitespace-trim each sentence,
+    drop empties, keep the distinct set. Emits per document the raw and
+    unique sentence counts, the duplication ratio (FLOOR-micro), and an
+    order-insensitive fingerprint — md5 over the SORTED distinct
+    sentences joined on an unprintable separator — so the cleaned content
+    itself is value-checked, not just counted (the deduped doc is a
+    deterministic function of the sentence SET; sorting makes the
+    fingerprint independent of both engines' aggregation order).
+
+    Scale: the whole operator is per-document array algebra — split /
+    transform / filter / array_distinct / array_sort / concat_ws are
+    codegen'd column expressions over the documents scan, ZERO shuffles
+    and zero explode (the oracle unnests; the engine never does). Fan-out
+    is bounded by sentences-per-doc, the same envelope as
+    text_chunk_windows."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    trimmed = F.transform(
+        F.split(F.col("text"), _SENT_RE),
+        lambda s: F.regexp_replace(s, r"^\s+|\s+$", ""),
+    )
+    clean = F.filter(trimmed, lambda s: s != "")
+    uniq = F.array_sort(F.array_distinct(clean))
+    n_sent = F.size(clean).cast("long")
+    n_uniq = F.size(uniq).cast("long")
+    return d.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_uniq.alias("n_unique"),
+        F.floor(
+            (n_sent - n_uniq).cast("double")
+            * 1000000.0
+            / F.greatest(n_sent, F.lit(1)).cast("double")
+        )
+        .cast("long")
+        .alias("dup_ratio_micro"),
+        F.md5(F.concat_ws(chr(_SENT_SEP_ORD), uniq)).alias("unique_fp"),
+    )

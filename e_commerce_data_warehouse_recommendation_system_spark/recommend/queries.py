@@ -2416,3 +2416,137 @@ def _bench_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench the 3-level BFS (edge build + repartition layout + per-level
     expand/dedup/prune) — the iterative-join pattern's end-to-end cost."""
     return graph_reach_bfs(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Triangle counting / local clustering over the co-purchase graph
+# --------------------------------------------------------------------------
+
+#: nodes reported, ordered by (n_triangles DESC, part)
+TRIANGLE_TOP_K = 20
+
+
+@component(
+    "graph_triangle_count",
+    cols=[
+        ("part", "num"),
+        ("degree", "num"),
+        ("n_triangles", "num"),
+        ("clustering_micro", "num"),
+        ("rnk", "num"),
+    ],
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    canon AS (
+      SELECT DISTINCT a.part AS u, b.part AS v
+      FROM baskets a JOIN baskets b
+        ON a.okey = b.okey AND a.part < b.part
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM canon e1
+      JOIN canon e2 ON e1.v = e2.u
+      JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    per_node AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri
+      ) GROUP BY node
+    ),
+    degrees AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT u AS node FROM canon UNION ALL SELECT v AS node FROM canon
+      ) GROUP BY node
+    ),
+    scored AS (
+      SELECT d.node AS part, d.degree,
+             COALESCE(t.n_triangles, 0) AS n_triangles,
+             CASE WHEN d.degree >= 2 THEN
+               CAST(FLOOR(CAST(COALESCE(t.n_triangles, 0) AS DOUBLE) * 2000000.0
+                          / CAST(d.degree * (d.degree - 1) AS DOUBLE)) AS BIGINT)
+             ELSE 0 END AS clustering_micro
+      FROM degrees d LEFT JOIN per_node t ON d.node = t.node
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_triangles DESC, part) AS rnk
+      FROM scored
+    )
+    SELECT part, degree, n_triangles, clustering_micro, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TRIANGLE_TOP_K}
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the
+    co-purchase graph — the fourth graph operator beside connected
+    components (dedup_clusters), PageRank (rec_pagerank_items), and BFS
+    (graph_reach_bfs): triangles measure how CLIQUISH an item's
+    neighborhood is (bundle detection, category coherence), and the local
+    coefficient 2·tri(v)/(deg(v)·(deg(v)−1)) is the standard normalized
+    form (FLOOR-micro crossing; the count itself is exact int64). Edges
+    are canonically oriented u<v, so each triangle a<b<c is enumerated
+    exactly once by the two-path join (a,b)+(b,c) closed by (a,c), then
+    fanned out to its three corners for the per-node count.
+
+    Scale: the canonical edge list is the basket self-join (O(k²) per
+    order, the documented rec_copurchase_pairs bound). The two-path join
+    partitions on the shared vertex; at 100 TB the standard refinement is
+    DEGREE-ORDERED orientation (orient each edge from the lower-degree
+    endpoint) which bounds the wedge count by arboricity — the canonical
+    u<v form used here keeps the oracle exact and the plan identical in
+    shape. Per-node rollups shuffle on the vertex key; top-k is
+    sort+limit."""
+    prepare(spark, sf_dir)
+    baskets = (
+        spark.table("lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    canon = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.part") < F.col("b.part")))
+        .select(F.col("a.part").alias("u"), F.col("b.part").alias("v"))
+        .distinct()
+        .cache()
+    )
+    e1, e2, e3 = canon.alias("e1"), canon.alias("e2"), canon.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    per_node = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    degrees = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    scored = degrees.join(per_node, "node", "left").select(
+        F.col("node").alias("part"),
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.floor(
+                F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                * 2000000.0
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("clustering_micro"),
+    )
+    top = scored.orderBy(F.desc("n_triangles"), F.asc("part")).limit(TRIANGLE_TOP_K)
+    w = Window.orderBy(F.desc("n_triangles"), F.asc("part"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "part", "degree", "n_triangles", "clustering_micro", "rnk"
+    )

@@ -131,6 +131,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "a23_benford_digits",
         # customer-lifetime-value heuristic (AOV × rate × 12mo horizon)
         "a25_clv_segments",
+        # monthly acquisition-vs-retention revenue split (first-month rule)
+        "a26_new_vs_returning",
     ],
     # §2.5 dedup + §2.6 windows (+ near-dup cluster assignment)
     "rel_window_dedup_suite": [
@@ -249,6 +251,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_mojibake_detect",
         # Flesch-style readability (integer-exact band classification)
         "text_readability",
+        # intra-document sentence dedup (set fingerprint, zero shuffles)
+        "text_sentence_dedup",
         "text_filter_funnel",
         # content-safety blocklist (the C4 bad-words rule the funnel lacks)
         "text_blocklist_filter",
@@ -329,6 +333,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "rec_decayed_popularity",
         # bounded-BFS co-purchase reachability (WITH RECURSIVE oracle)
         "graph_reach_bfs",
+        # triangle count + local clustering coefficient (oriented 2-path)
+        "graph_triangle_count",
         # reciprocal-rank-fusion hybrid (itemCF × popularity)
         "rec_rrf_hybrid",
         # user-user CF end-to-end: neighbors + neighborhood voting
