@@ -320,3 +320,81 @@ def dq_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_mismatched"),
         F.max("diff_units").cast("long").alias("max_diff_units"),
     )
+
+
+# --------------------------------------------------------------------------
+# Freshness SLA: per-source staleness against the corpus high-water mark
+# --------------------------------------------------------------------------
+
+#: staleness budget per event source, in hours behind the global max ts
+FRESHNESS_SLA_HOURS = 24
+
+
+@component(
+    "dq_freshness_sla",
+    oracle=f"""
+    WITH hwm AS (
+      SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us FROM events
+    ),
+    per_type AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+      FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, p.n_events,
+           CAST(p.last_us AS BIGINT) AS last_us,
+           CAST(FLOOR(CAST(h.max_us - p.last_us AS DOUBLE) / 3600000000.0)
+             AS BIGINT) AS lag_hours,
+           h.max_us - p.last_us <= {FRESHNESS_SLA_HOURS} * 3600000000
+             AS within_sla
+    FROM per_type p, hwm h
+    """,
+    cols=[
+        ("event_type", "str"),
+        ("n_events", "num"),
+        ("last_us", "num"),
+        ("lag_hours", "num"),
+        ("within_sla", "bool"),
+    ],
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness SLA — the pipeline-health check every warehouse
+    runs before trusting a downstream rollup: how far does each event
+    source's high-water mark lag the corpus-wide one, and is it inside the
+    {FRESHNESS_SLA_HOURS} h budget? The reference instant is the GLOBAL
+    max(ts), not wall-clock now(), so the check is deterministic and
+    replayable (the production swap to now() is one literal). Instants
+    cross as epoch-µs int64 (the r6-proven digest form); the lag floors to
+    whole hours in exact integer arithmetic, and the verdict binds to the
+    integer comparison.
+
+    The hour lag crosses through the explicit double-floor op-tree on
+    BOTH sides (an integer `//` on the oracle against a double FLOOR on
+    the engine can disagree by 1 at exact-multiple boundaries); the SLA
+    verdict itself binds to the pure int64 comparison in µs, so it can
+    never disagree regardless of the floor form.
+
+    Scale: two map-side-combined aggregations over one scan (global max
+    rides a 1-row broadcast cross join) — O(scan), output bounded by
+    |event types|."""
+    prepare(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    hwm = ev.agg(F.max("us").alias("max_us"))
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("us").alias("last_us")
+    )
+    lag_hours = F.floor(
+        (F.col("max_us") - F.col("last_us")).cast("double") / 3600000000.0
+    )
+    return per_type.crossJoin(F.broadcast(hwm)).select(
+        "event_type",
+        "n_events",
+        F.col("last_us").cast("long").alias("last_us"),
+        lag_hours.cast("long").alias("lag_hours"),
+        (
+            F.col("max_us") - F.col("last_us") <= FRESHNESS_SLA_HOURS * 3600000000
+        ).alias("within_sla"),
+    )

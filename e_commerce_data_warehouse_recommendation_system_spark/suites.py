@@ -215,6 +215,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "dq_k_anonymity",
         # privacy governance: seeded noisy-release mechanism plumbing
         "dq_noisy_release",
+        # pipeline health: per-source freshness lag vs the corpus HWM
+        "dq_freshness_sla",
     ],
     # the Kimball dims + end-to-end pipeline counts
     "etl_dims_suite": [
