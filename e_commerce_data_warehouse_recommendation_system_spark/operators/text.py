@@ -2183,7 +2183,14 @@ def text_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by sentences-per-doc, the same envelope as
     text_chunk_windows."""
     prepare(spark, sf_dir)
-    d = spark.table("documents")
+    return sentence_dedup(spark.table("documents"))
+
+
+def sentence_dedup(d: DataFrame) -> DataFrame:
+    """Pure transform behind text_sentence_dedup: (doc_id, text) →
+    per-document sentence-set profile. Exposed separately so invariant
+    tests can drive crafted frames without re-registering the corpus
+    views."""
     trimmed = F.transform(
         F.split(F.col("text"), _SENT_RE),
         lambda s: F.regexp_replace(s, r"^\s+|\s+$", ""),
