@@ -1348,3 +1348,68 @@ def wr_pseudonymize_vault(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+# --------------------------------------------------------------------------
+# binaryFile source: raw media/blob ingest (the first hop of any media lake)
+# --------------------------------------------------------------------------
+
+#: 1-in-N documents exported as standalone blob files (bounds the fixture)
+BINARYFILE_MODULUS = 25
+
+
+@component(
+    "s23_binaryfile_ingest",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id % {BINARYFILE_MODULUS} = 0
+    """,
+    cols=[("doc_id", "num"), ("n_bytes", "num"), ("content_md5", "str")],
+)
+def s23_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source ingest — the landing hop of a media lake:
+    opaque blobs on disk (images, audio, documents) read as
+    (path, length, content) rows without any parsing, the upstream of the
+    multimodal probe/decode family (mm_*). The fixture exports a
+    deterministic 1-in-{BINARYFILE_MODULUS} document subset as standalone
+    ``doc_<id>.bin`` files (driver-side write of a modulus-bounded list —
+    the write is fixture setup; the READ is the operator), then the
+    binaryFile scan recovers id from the path, byte length, and content
+    md5 — value-checked against the same bytes still sitting in the
+    parquet column (DuckDB hashes the UTF-8 string bytes; the files carry
+    exactly those bytes).
+
+    Scale: binaryFile is a standard FileScan — partitions by file,
+    predicate pushdown on path/length metadata, content streamed per
+    file. At 100 TB the pattern holds (one task per blob batch);
+    pathGlobFilter/recursiveFileLookup prune directories before any byte
+    is read. Small-file pressure is the known cost — the compaction op
+    (wr_compact_small_files) is the standing answer."""
+    prepare(spark, sf_dir)
+    subset = (
+        spark.table("documents")
+        .filter(F.col("doc_id") % BINARYFILE_MODULUS == 0)
+        .select("doc_id", "text")
+    )
+    rows = subset.collect()  # modulus-bounded fixture list, never the corpus
+    tmp = tempfile.mkdtemp(prefix="ecomdw_binf_")
+    try:
+        for r in rows:
+            with open(f"{tmp}/doc_{r['doc_id']:010d}.bin", "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+        back = spark.read.format("binaryFile").load(tmp)
+        result = (
+            back.select(
+                F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+                .cast("long")
+                .alias("doc_id"),
+                F.col("length").cast("long").alias("n_bytes"),
+                F.md5(F.col("content")).alias("content_md5"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result

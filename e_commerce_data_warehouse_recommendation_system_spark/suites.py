@@ -133,6 +133,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "a25_clv_segments",
         # monthly acquisition-vs-retention revenue split (first-month rule)
         "a26_new_vs_returning",
+        # bitmap-index distinct counting (exact + mergeable, HLL's twin)
+        "a27_bitmap_distinct",
     ],
     # §2.5 dedup + §2.6 windows (+ near-dup cluster assignment)
     "rel_window_dedup_suite": [
@@ -255,6 +257,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_readability",
         # intra-document sentence dedup (set fingerprint, zero shuffles)
         "text_sentence_dedup",
+        # Unicode NFC normalization (pandas UDF vs DuckDB utf8proc)
+        "text_unicode_nfc",
         "text_filter_funnel",
         # content-safety blocklist (the C4 bad-words rule the funnel lacks)
         "text_blocklist_filter",
@@ -360,6 +364,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "s19_corrupt_json_quarantine",
         # fixed-width byte-offset flat-file round trip (legacy feeds)
         "s21_fixed_width_roundtrip",
+        # binaryFile blob ingest (media-lake landing hop, md5-checked)
+        "s23_binaryfile_ingest",
         "wr_csv_roundtrip",
         "wr_orc_roundtrip",
         # B2B edge format: Spark 4 native XML round-trip (no external jar)
