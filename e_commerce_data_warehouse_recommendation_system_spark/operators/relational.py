@@ -4690,3 +4690,140 @@ def a27_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_exact",
         (F.col("n_distinct_bitmap") == F.col("n_distinct_exact")).alias("bitmap_matches"),
     )
+
+
+# ==========================================================================
+# Bag-semantics set operations: EXCEPT ALL / INTERSECT ALL (SO ext)
+# ==========================================================================
+
+#: survivors reported per op, ordered by (n DESC, part)
+SETALL_TOP_K = 20
+
+
+@component(
+    "so6_except_intersect_all",
+    oracle=f"""
+    WITH bag_a AS (
+      SELECT l_partkey AS part FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    bag_b AS (
+      SELECT l_partkey AS part FROM lineitem WHERE l_linestatus = 'F'
+    ),
+    exc AS (
+      SELECT 'except_all' AS op, part, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT part FROM bag_a EXCEPT ALL SELECT part FROM bag_b)
+      GROUP BY part
+    ),
+    ixn AS (
+      SELECT 'intersect_all' AS op, part, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT part FROM bag_a INTERSECT ALL SELECT part FROM bag_b)
+      GROUP BY part
+    ),
+    ranked AS (
+      SELECT op, part, n,
+             ROW_NUMBER() OVER (PARTITION BY op ORDER BY n DESC, part) AS rnk
+      FROM (SELECT * FROM exc UNION ALL SELECT * FROM ixn)
+    )
+    SELECT op, part, n, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {SETALL_TOP_K}
+    """,
+    cols=[("op", "str"), ("part", "num"), ("n", "num"), ("rnk", "num")],
+)
+def so6_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations — ``EXCEPT ALL`` / ``INTERSECT ALL``
+    (SO ext beside the distinct-semantics so1–so3): multiplicities carry
+    through, so `A EXCEPT ALL B` keeps max(count_A − count_B, 0) copies
+    per value and `INTERSECT ALL` keeps min(count_A, count_B) — the
+    semantics reconciliation and inventory-netting queries actually need
+    (distinct EXCEPT silently collapses quantity information). Both bags
+    are lineitem partkey streams under different predicates; survivors
+    fold to per-value counts and an all-integer top-{SETALL_TOP_K} per op.
+
+    Scale: Spark compiles exceptAll/intersectAll to the sum-of-signed-
+    counts rewrite (aggregate on the value with +1/−1 generators, then
+    replicate) — one shuffle on the value key per op, NEVER a row-by-row
+    anti join; the fold-up reuses the same key. At 100 TB both ops cost
+    one map-side-combined aggregation each."""
+    prepare(spark, sf_dir)
+    li = spark.table("lineitem")
+    bag_a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("part"))
+    bag_b = li.filter(F.col("l_linestatus") == "F").select(F.col("l_partkey").alias("part"))
+    exc = (
+        bag_a.exceptAll(bag_b)
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "part", "n")
+    )
+    ixn = (
+        bag_a.intersectAll(bag_b)
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "part", "n")
+    )
+    w = Window.partitionBy("op").orderBy(F.desc("n"), F.asc("part"))
+    return (
+        exc.unionAll(ixn)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= SETALL_TOP_K)
+    )
+
+
+# ==========================================================================
+# Bitwise aggregate rollups: flag masks per group (A ext)
+# ==========================================================================
+
+
+@component(
+    "a28_bitwise_flags",
+    oracle="""
+    WITH coded AS (
+      SELECT o_orderstatus,
+             CAST(1 AS BIGINT) << (CAST(substring(o_orderpriority, 1, 1) AS INT) - 1)
+               AS mask
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(bit_or(mask) AS BIGINT) AS priorities_seen,
+           CAST(bit_and(mask) AS BIGINT) AS priorities_common,
+           CAST(bit_xor(mask) AS BIGINT) AS priorities_parity
+    FROM coded GROUP BY o_orderstatus
+    """,
+    cols=[
+        ("o_orderstatus", "str"),
+        ("n_orders", "num"),
+        ("priorities_seen", "num"),
+        ("priorities_common", "num"),
+        ("priorities_parity", "num"),
+    ],
+)
+def a28_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate rollups — ``bit_or``/``bit_and``/``bit_xor`` over
+    per-row flag masks, the compact feature-presence pattern behind
+    permission audits and capability matrices: each order contributes the
+    one-hot bit of its priority class (bit p−1 for priority p), and per
+    status the OR mask answers "which priorities ever occur", the AND
+    mask "which occur in EVERY order" (degenerates to 0 the moment two
+    priorities mix), and the XOR mask the per-bit parity. All pure int64
+    bit algebra — associative, commutative, shuffle-order-independent by
+    construction, so the crossing needs no exactness machinery at all.
+
+    Scale: one map-side-combined aggregation onto the |status| grain —
+    bitwise aggregates are the cheapest mergeable state there is (8 bytes
+    per group per mask); the 100 TB form is identical."""
+    prepare(spark, sf_dir)
+    # shiftleft needs a literal bit count; the one-hot masks for the five
+    # priority classes are a 5-entry literal map instead
+    one_hot = F.create_map(*[F.lit(x) for p in range(1, 6) for x in (p, 1 << (p - 1))])
+    mask = one_hot[F.substring("o_orderpriority", 1, 1).cast("int")].cast("long")
+    return (
+        spark.table("orders")
+        .select("o_orderstatus", mask.alias("mask"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.bit_or("mask").cast("long").alias("priorities_seen"),
+            F.bit_and("mask").cast("long").alias("priorities_common"),
+            F.bit_xor("mask").cast("long").alias("priorities_parity"),
+        )
+    )

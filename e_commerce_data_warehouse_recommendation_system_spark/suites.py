@@ -135,6 +135,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "a26_new_vs_returning",
         # bitmap-index distinct counting (exact + mergeable, HLL's twin)
         "a27_bitmap_distinct",
+        # bitwise OR/AND/XOR flag-mask rollups (mergeable 8-byte state)
+        "a28_bitwise_flags",
     ],
     # §2.5 dedup + §2.6 windows (+ near-dup cluster assignment)
     "rel_window_dedup_suite": [
@@ -192,6 +194,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         # reshape: UNPIVOT/melt — the inverse of the pivot crosstab,
         # proven lossless against the long-form aggregation
         "so5_unpivot_metrics",
+        # bag-semantics EXCEPT ALL / INTERSECT ALL (multiplicity-aware)
+        "so6_except_intersect_all",
         "f_string_functions",
         "f_date_functions",
         "f_advanced_strings",
