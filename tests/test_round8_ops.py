@@ -144,3 +144,66 @@ def test_freshness_sla_anchor_source_has_zero_lag(spark):
     for r in rows:
         if r["lag_hours"] == 0:
             assert r["within_sla"]
+
+
+def test_bag_set_ops_multiplicity_identity(spark):
+    """|A EXCEPT ALL B| + |A INTERSECT ALL B| == |A| holds per value and
+    in total — the multiplicity identity max(a−b,0) + min(a,b) == a."""
+    from pyspark.sql import functions as F
+
+    df = _comp("so6_except_intersect_all")(spark, SF0001)
+    rows = df.collect()
+    assert rows
+    # per-value check against the base table for the surviving top-k values
+    li = spark.table("lineitem")
+    a_counts = {
+        r["part"]: r["n"]
+        for r in li.filter(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    b_counts = {
+        r["part"]: r["n"]
+        for r in li.filter(F.col("l_linestatus") == "F")
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        a = a_counts.get(r["part"], 0)
+        b = b_counts.get(r["part"], 0)
+        if r["op"] == "except_all":
+            assert r["n"] == max(a - b, 0)
+        else:
+            assert r["n"] == min(a, b)
+
+
+def test_bitwise_flags_algebra(spark):
+    """AND mask ⊆ OR mask, the OR mask only carries the five priority
+    bits, and single-priority groups (if any) have AND == OR."""
+    rows = _comp("a28_bitwise_flags")(spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert r["priorities_common"] & r["priorities_seen"] == r["priorities_common"]
+        assert r["priorities_parity"] & ~r["priorities_seen"] == 0
+        assert 0 < r["priorities_seen"] < 32
+
+
+def test_perceptual_hash_bits_and_buckets(spark):
+    """At least one block beats-or-meets the mean (some bit is set), the
+    hash stays in 16 bits, every bucket has exactly one keeper, and
+    bucket sizes reconcile to the corpus size."""
+    rows = _comp("mm_perceptual_hash")(spark, SF0001).collect()
+    assert rows
+    buckets = {}
+    for r in rows:
+        assert 0 < r["phash"] < (1 << 16)
+        buckets.setdefault(r["phash"], []).append(r)
+    n_docs = sum(len(v) for v in buckets.values())
+    assert n_docs == spark.table("documents").count()
+    for members in buckets.values():
+        assert sum(1 for m in members if m["is_keeper"]) == 1
+        assert all(m["bucket_size"] == len(members) for m in members)
+        keeper = min(m["doc_id"] for m in members)
+        assert next(m for m in members if m["is_keeper"])["doc_id"] == keeper
