@@ -2582,3 +2582,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
         "part", "degree", "n_triangles", "clustering_micro", "rnk"
     )
+
+
+@bench_workload("graph_triangle_count", warmup=lambda spark, sf_dir: prepare(spark, sf_dir))
+def _bench_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench the degree-oriented triangle enumeration (edge build + degree
+    orientation + wedge join + closure join) — the heaviest pure-join
+    graph pattern the engine runs; the orientation rework is what this
+    slot's trendline tracks."""
+    return graph_triangle_count(spark, sf_dir)
