@@ -4827,3 +4827,102 @@ def a28_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("mask").cast("long").alias("priorities_parity"),
         )
     )
+
+
+# ==========================================================================
+# Classical additive seasonal decomposition (TS ext)
+# ==========================================================================
+
+
+@component(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+             CAST(month(o_orderdate) AS INT) AS moy,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    windowed AS (
+      SELECT ym, moy, y,
+             LAG(y, 6)  OVER (ORDER BY ym) AS y_m6,
+             LEAD(y, 6) OVER (ORDER BY ym) AS y_p6,
+             SUM(y) OVER (ORDER BY ym ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+               AS s11
+      FROM monthly
+    ),
+    detrended AS (
+      SELECT moy,
+             24 * y - (y_m6 + 2 * s11 + y_p6) AS d24
+      FROM windowed WHERE y_m6 IS NOT NULL AND y_p6 IS NOT NULL
+    )
+    SELECT moy,
+           CAST(COUNT(*) AS BIGINT) AS n_months,
+           CAST(SUM(d24) AS BIGINT) AS sum_d24,
+           CAST(FLOOR(CAST(SUM(d24) AS DOUBLE) * 1000000.0
+                      / CAST(24 * COUNT(*) AS DOUBLE)) AS BIGINT)
+             AS seasonal_cents_micro
+    FROM detrended GROUP BY moy
+    """,
+    cols=[
+        ("moy", "num"),
+        ("n_months", "num"),
+        ("sum_d24", "num"),
+        ("seasonal_cents_micro", "num"),
+    ],
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly revenue — the
+    third time-series lens beside Holt smoothing (level+trend) and the
+    seasonal-naive baseline: trend is the CENTERED 12-month moving
+    average (even period, so the textbook half-weighted 13-point window
+    CMA = (y[t−6] + 2·Σy[t−5..t+5] + y[t+6]) / 24), the seasonal index
+    per calendar month is the mean of the detrended series. Everything
+    stays exact int64 by scaling through ×24 — d24 = 24y − (y[t−6] +
+    2·s11 + y[t+6]) is the detrended value in 24ths of a cent, summed
+    exactly, with ONE FLOOR-micro divide emitting the per-month seasonal
+    component in micro-cents. Edge months without a full ±6 window drop,
+    as in every classical decomposition.
+
+    Scale: the fact touches one map-side-combined month rollup; the
+    window and the 12-row seasonal rollup run on the calendar-bounded
+    month grid (~80 rows — a single-task frame at any corpus size, the
+    same posture as a22_ols_trend's moment aggregate)."""
+    prepare(spark, sf_dir)
+    monthly = (
+        spark.table("orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("ym"),
+            F.month("o_orderdate").cast("int").alias("moy"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("y")
+        )
+    )
+    w = Window.orderBy("ym")
+    windowed = monthly.select(
+        "moy",
+        "y",
+        F.lag("y", 6).over(w).alias("y_m6"),
+        F.lead("y", 6).over(w).alias("y_p6"),
+        F.sum("y").over(w.rowsBetween(-5, 5)).alias("s11"),
+    )
+    detrended = windowed.filter(
+        F.col("y_m6").isNotNull() & F.col("y_p6").isNotNull()
+    ).select(
+        "moy",
+        (24 * F.col("y") - (F.col("y_m6") + 2 * F.col("s11") + F.col("y_p6"))).alias("d24"),
+    )
+    return detrended.groupBy("moy").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("d24").cast("long").alias("sum_d24"),
+        F.floor(
+            F.sum("d24").cast("double")
+            * 1000000.0
+            / (24 * F.count(F.lit(1))).cast("double")
+        )
+        .cast("long")
+        .alias("seasonal_cents_micro"),
+    )

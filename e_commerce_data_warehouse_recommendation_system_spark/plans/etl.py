@@ -1015,3 +1015,77 @@ def etl_data_vault(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="structure string, n_rows bigint, min_hk string, integrity_ok boolean"
     )
+
+
+# --------------------------------------------------------------------------
+# Accumulating-snapshot fact (order lifecycle milestones)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "etl_accumulating_snapshot",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(MIN(l.l_shipdate) AS DATE) AS first_ship_date,
+           CAST(MAX(l.l_shipdate) AS DATE) AS last_ship_date,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(MIN(l.l_shipdate) AS DATE)) AS BIGINT)
+             AS days_to_first_ship,
+           CAST(datediff('day', CAST(MIN(l.l_shipdate) AS DATE),
+                         CAST(MAX(l.l_shipdate) AS DATE)) AS BIGINT)
+             AS ship_span_days
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+    cols=[
+        ("o_orderkey", "num"),
+        ("order_date", "date"),
+        ("first_ship_date", "date"),
+        ("last_ship_date", "date"),
+        ("n_lines", "num"),
+        ("days_to_first_ship", "num"),
+        ("ship_span_days", "num"),
+    ],
+)
+def etl_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot fact — the third Kimball fact style beside
+    the transaction fact (etl_fact_sales) and the SCD2 dimension history:
+    ONE row per order that accumulates lifecycle milestone dates (placed
+    → first shipment → last shipment) and the lag spans between them, the
+    shape fulfillment dashboards re-read instead of re-aggregating the
+    line grain. Milestones are exact MIN/MAX dates; spans are exact
+    integer day diffs — in production the row is UPDATED in place as
+    milestones land (the MERGE machinery of wr_upsert), here the
+    end-state is derived in one pass and value-checked.
+
+    Scale: one orderkey-join + one map-side-combined rollup on the same
+    key — at 100 TB both sides co-partition on orderkey (the bucketed-
+    join layout wr_bucketed_join pins), so the fact build is
+    exchange-free after layout."""
+    prepare(spark, sf_dir)
+    o = spark.table("orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("order_date")
+    )
+    li = spark.table("lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_date")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "order_date")
+        .agg(
+            F.min("ship_date").alias("first_ship_date"),
+            F.max("ship_date").alias("last_ship_date"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "o_orderkey",
+            "order_date",
+            "first_ship_date",
+            "last_ship_date",
+            "n_lines",
+            F.datediff("first_ship_date", "order_date").cast("long").alias("days_to_first_ship"),
+            F.datediff("last_ship_date", "first_ship_date").cast("long").alias("ship_span_days"),
+        )
+    )

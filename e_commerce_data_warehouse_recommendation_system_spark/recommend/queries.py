@@ -2591,3 +2591,113 @@ def _bench_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph pattern the engine runs; the orientation rework is what this
     slot's trendline tracks."""
     return graph_triangle_count(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Ranking AUC of the popularity scorer (Mann-Whitney rank-sum, tie-exact)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "rec_auc_popularity",
+    cols=[
+        ("n_pos", "num"),
+        ("n_neg", "num"),
+        ("u2", "num"),
+        ("auc_micro", "num"),
+    ],
+    oracle=f"""
+    WITH inter AS ({_SQL_INTERACTIONS}),
+    split AS (
+      SELECT user_id, item_id,
+             substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(item_id AS VARCHAR)), 1, 1)
+               IN ('0','1','2') AS held_out
+      FROM inter
+    ),
+    items AS (SELECT DISTINCT item_id FROM split),
+    pop AS (
+      SELECT item_id, CAST(COUNT(*) AS BIGINT) AS score FROM split
+      WHERE NOT held_out GROUP BY item_id
+    ),
+    labeled AS (
+      SELECT i.item_id,
+             COALESCE(p.score, 0) AS score,
+             EXISTS (SELECT 1 FROM split s
+                     WHERE s.held_out AND s.item_id = i.item_id) AS is_pos
+      FROM items i LEFT JOIN pop p ON i.item_id = p.item_id
+    ),
+    ranked AS (
+      SELECT is_pos,
+             2 * RANK() OVER (ORDER BY score)
+               + CAST(COUNT(*) OVER (PARTITION BY score) AS BIGINT) - 1 AS r2
+      FROM labeled
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+             CAST(SUM(CASE WHEN is_pos THEN r2 ELSE 0 END) AS BIGINT) AS r2_pos
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           CAST(r2_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+           CAST(FLOOR(CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE) * 1000000.0
+                      / CAST(2 * n_pos * n_neg AS DOUBLE)) AS BIGINT) AS auc_micro
+    FROM agg
+    """,
+)
+def rec_auc_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking AUC of the popularity scorer against the held-out split —
+    the threshold-free companion to NDCG@k (rec_ndcg_popularity) and the
+    P/R/F1 family: AUC = P(score(held-out item) > score(never-held-out
+    item)), computed EXACTLY as the Mann-Whitney rank-sum
+    U = R_pos − n_pos(n_pos+1)/2 with midrank tie handling. Ranks carry
+    as 2×midrank (2·RANK + tiecount − 1, an integer — no .5 ever
+    materializes), so U and the tie correction stay in exact int64 and
+    one FLOOR-micro divide emits the statistic; an AUC near 0.5 would
+    mean popularity carries no signal about what users actually buy next.
+
+    Scale: the item-level frame is catalog-bounded, so the global rank
+    window costs one small sort; the split/pop aggregations shuffle once
+    each on their keys over the interactions frame. The per-user sampled
+    AUC at 100 TB reuses rec_negative_samples' bounded candidate
+    generation — this operator pins the exact global form."""
+    prepare(spark, sf_dir)
+    inter = interactions(spark)
+    held = (
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("user_id"), F.col("item_id"))), 1, 1
+        ).isin("0", "1", "2")
+    )
+    split = inter.select("user_id", "item_id", held.alias("held_out")).cache()
+    items = split.select("item_id").distinct()
+    pop = (
+        split.filter(~F.col("held_out"))
+        .groupBy("item_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    pos_items = split.filter(F.col("held_out")).select("item_id").distinct()
+    labeled = (
+        items.join(pop, "item_id", "left")
+        .join(pos_items.withColumn("is_pos", F.lit(True)), "item_id", "left")
+        .select(
+            F.coalesce(F.col("score"), F.lit(0)).alias("score"),
+            F.coalesce(F.col("is_pos"), F.lit(False)).alias("is_pos"),
+        )
+    )
+    w_rank = Window.orderBy("score")
+    w_tie = Window.partitionBy("score")
+    r2 = (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1).cast("long")
+    agg = labeled.select("is_pos", r2.alias("r2")).agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("is_pos"), F.col("r2")).otherwise(0)).cast("long").alias("r2_pos"),
+    )
+    u2 = F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        u2.cast("long").alias("u2"),
+        F.floor(u2.cast("double") * 1000000.0 / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"))
+        .cast("long")
+        .alias("auc_micro"),
+    )

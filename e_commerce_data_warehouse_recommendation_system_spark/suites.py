@@ -175,6 +175,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "w10_interpurchase_gaps",
         # CUSUM mean-shift detection (N-scaled integer form, exact argmax)
         "ts_cusum_shift",
+        # classical additive decomposition (centered 12-mo MA, ×24 exact)
+        "ts_seasonal_decompose",
         # streaming twin of the batch dedup ladder: watermarked exactly-once
         # repair over a replayed source
         "stream_dedup_replay",
@@ -244,6 +246,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         # idempotent partition-range backfill (dynamic overwrite, file-set
         # stability of untouched partitions proven from listings)
         "etl_backfill_range",
+        # accumulating-snapshot fact: order lifecycle milestone dates
+        "etl_accumulating_snapshot",
     ],
     # text analysis: counting / quality / fingerprint / sampling / tf-idf
     "text_profile_suite": [
@@ -357,6 +361,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "rec_ndcg_popularity",
         # deterministic md5-indexed negative sampling (BPR-style prep)
         "rec_negative_samples",
+        # Mann-Whitney ranking AUC of the popularity scorer (tie-exact)
+        "rec_auc_popularity",
     ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [
