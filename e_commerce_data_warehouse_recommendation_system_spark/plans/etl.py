@@ -1029,14 +1029,14 @@ def etl_data_vault(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o.o_orderdate AS DATE) AS order_date,
            CAST(MIN(l.l_shipdate) AS DATE) AS first_ship_date,
            CAST(MAX(l.l_shipdate) AS DATE) AS last_ship_date,
-           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
            CAST(datediff('day', CAST(o.o_orderdate AS DATE),
                          CAST(MIN(l.l_shipdate) AS DATE)) AS BIGINT)
              AS days_to_first_ship,
            CAST(datediff('day', CAST(MIN(l.l_shipdate) AS DATE),
                          CAST(MAX(l.l_shipdate) AS DATE)) AS BIGINT)
              AS ship_span_days
-    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderkey, o.o_orderdate
     """,
     cols=[
@@ -1058,7 +1058,10 @@ def etl_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     line grain. Milestones are exact MIN/MAX dates; spans are exact
     integer day diffs — in production the row is UPDATED in place as
     milestones land (the MERGE machinery of wr_upsert), here the
-    end-state is derived in one pass and value-checked.
+    end-state is derived in one pass and value-checked. Orders with no
+    lines yet KEEP their row with NULL milestones (LEFT join) — that
+    not-yet-landed state is the defining property of the accumulating
+    snapshot, and the NULLs cross both engines identically.
 
     Scale: one orderkey-join + one map-side-combined rollup on the same
     key — at 100 TB both sides co-partition on orderkey (the bucketed-
@@ -1072,12 +1075,12 @@ def etl_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_date")
     )
     return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
         .groupBy("o_orderkey", "order_date")
         .agg(
             F.min("ship_date").alias("first_ship_date"),
             F.max("ship_date").alias("last_ship_date"),
-            F.count(F.lit(1)).alias("n_lines"),
+            F.count("l_orderkey").alias("n_lines"),
         )
         .select(
             "o_orderkey",

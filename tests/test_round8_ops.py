@@ -207,3 +207,55 @@ def test_perceptual_hash_bits_and_buckets(spark):
         assert all(m["bucket_size"] == len(members) for m in members)
         keeper = min(m["doc_id"] for m in members)
         assert next(m for m in members if m["is_keeper"])["doc_id"] == keeper
+
+
+def test_auc_popularity_bounds(spark):
+    """U is bounded by n_pos·n_neg, AUC lands in [0, 1e6], and the two
+    classes partition the item universe."""
+    row = _comp("rec_auc_popularity")(spark, SF0001).collect()[0]
+    assert 0 <= row["u2"] <= 2 * row["n_pos"] * row["n_neg"]
+    assert 0 <= row["auc_micro"] <= 1_000_000
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import interactions
+
+    n_items = interactions(spark).select("item_id").distinct().count()
+    assert row["n_pos"] + row["n_neg"] == n_items
+
+
+def test_seasonal_decompose_window_accounting(spark):
+    """Every interior month (full ±6 window) contributes to exactly one
+    calendar-month bucket: Σ n_months == total months − 12."""
+    from pyspark.sql import functions as F
+
+    df = _comp("ts_seasonal_decompose")(spark, SF0001)
+    rows = df.collect()
+    assert 1 <= len(rows) <= 12
+    total_interior = sum(r["n_months"] for r in rows)
+    n_months = (
+        spark.table("orders")
+        .select((F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"))
+        .distinct()
+        .count()
+    )
+    assert total_interior == n_months - 12
+
+
+def test_accumulating_snapshot_milestone_order(spark):
+    """One row per order (lineless orders keep a NULL-milestone row —
+    the accumulating-snapshot not-yet-landed state); shipped orders have
+    milestones in temporal order and nonnegative spans."""
+    df = _comp("etl_accumulating_snapshot")(spark, SF0001).cache()
+    assert df.count() == spark.table("orders").count()
+    from pyspark.sql import functions as F
+
+    # days_to_first_ship may be negative — the synthetic testdata does
+    # not enforce TPC-H's shipdate > orderdate; the operator reports the
+    # diff faithfully, so only the MIN≤MAX structure is an invariant
+    bad_shipped = df.filter(F.col("n_lines") >= 1).filter(
+        (F.col("first_ship_date") > F.col("last_ship_date"))
+        | (F.col("ship_span_days") < 0)
+    ).count()
+    assert bad_shipped == 0
+    bad_pending = df.filter(F.col("n_lines") == 0).filter(
+        F.col("first_ship_date").isNotNull() | F.col("ship_span_days").isNotNull()
+    ).count()
+    assert bad_pending == 0
