@@ -1139,6 +1139,16 @@ PQ_SEARCH_K = 16
 #: reranks — and shortlist-50 rerank 1.000 / 1.000.
 PQ_ADC_RECALL_FLOOR = 0.3
 PQ_RERANK_RECALL_FLOOR = 0.9
+#: rerank shortlist = max(PQ_SHORTLIST, corpus // PQ_SHORTLIST_DIV) — a
+#: corpus-proportional candidate budget: the fixed 50 covered 10% of the
+#: 500-vector corpora but only 2.5% at sf0.1's 2000 and rerank recall fell
+#: to 0.79 (shortlist containment IS the rerank ceiling). 10% restores
+#: containment 0.97 at sf0.1 (measured: 50→0.79, 100→0.93, 200→0.97,
+#: 500→1.0) while leaving the small-SF budgets at the 50 floor. The
+#: divisor is the tuning knob production trades against scan cost —
+#: near-isotropic synthetic vectors are ADC's worst case, so this corpus
+#: needs a fatter budget than a clustered real one would.
+PQ_SHORTLIST_DIV = 10
 
 
 def _sq_l2(a: Column, b: Column) -> Column:
@@ -1274,8 +1284,16 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str, rerank: bool) -> DataFrame:
         return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
             F.col("rnk") <= TOPK
         )
+    # corpus-proportional shortlist: a FIXED 50 covers 10% of a 500-vector
+    # corpus but 1% at 5k, and shortlist misses cap rerank recall (measured
+    # 0.79 at sf0.1 with the fixed form — the round-8 sf0.1 capstone catch).
+    # FAISS practice scales the candidate budget with the corpus; 2% with
+    # the old 50 as the floor keeps the small-SF behavior identical. The
+    # count is a catalog statistic at production scale, not a scan.
+    n_corpus = spark.table("embeddings").count()
+    shortlist_k = max(PQ_SHORTLIST, n_corpus // PQ_SHORTLIST_DIV)
     shortlist = scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= PQ_SHORTLIST
+        F.col("rnk") <= shortlist_k
     )
     vecs = spark.table("embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
