@@ -3980,12 +3980,14 @@ def w9_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM centered
     )
     SELECT n AS n_months, sy AS total_cents,
-           CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
-                      / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
-             AS slope_micro,
-           CAST(FLOOR(CAST(sy * sxx - sx * sxy AS DOUBLE) * 1000000.0
-                      / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
-             AS intercept_micro,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+                        / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+           END AS slope_micro,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             CAST(FLOOR(CAST(sy * sxx - sx * sxy AS DOUBLE) * 1000000.0
+                        / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+           END AS intercept_micro,
            (n * sxy - sx * sy) > 0 AS rising
     FROM mo
     """,
@@ -4045,11 +4047,18 @@ def a22_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    # den = 0 exactly when the table spans a single month (n=1, x≡0) —
+    # a degenerate fit: emit NULL slope/intercept instead of ±Infinity
+    # feeding floor() with engine-divergent results
     return mo.select(
         F.col("n").alias("n_months"),
         F.col("sy").alias("total_cents"),
-        F.floor(num * 1000000.0 / den).cast("long").alias("slope_micro"),
-        F.floor(inum * 1000000.0 / den).cast("long").alias("intercept_micro"),
+        F.when(den != 0, F.floor(num * 1000000.0 / den).cast("long")).alias(
+            "slope_micro"
+        ),
+        F.when(den != 0, F.floor(inum * 1000000.0 / den).cast("long")).alias(
+            "intercept_micro"
+        ),
         (num > 0).alias("rising"),
     )
 

@@ -1216,9 +1216,12 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str, rerank: bool) -> DataFrame:
     query-subvector-to-centroid squared distances) is computed once from
     the full-precision query, then every corpus vector's approximate
     distance is M table lookups on its 4-bit codes — no corpus float math.
-    With ``rerank`` the ADC order only builds a {PQ_SHORTLIST}-candidate
-    shortlist and exact L2 on the shortlist decides the final top-k (the
-    standard IVF-PQ serving pipeline).
+    With ``rerank`` the ADC order only builds a corpus-proportional
+    shortlist — max({PQ_SHORTLIST}, corpus // {PQ_SHORTLIST_DIV}) candidates
+    — and exact L2 on the shortlist decides the final top-k (the standard
+    IVF-PQ serving pipeline; the proportional budget keeps shortlist
+    containment, and thus rerank recall, from decaying as the corpus grows
+    past the fixed floor).
 
     Scale: the query set rides a broadcast (tables are M*K doubles per
     query — KBs); the corpus side is the shuffle-free PQ-encode projection,
@@ -1226,7 +1229,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str, rerank: bool) -> DataFrame:
     shuffle is the per-query window over n_queries x corpus candidate rows
     (bounded by the same budget as the exact baseline, but each row carried
     codes, not 64 doubles), and the rerank touches full vectors for
-    n_queries x {PQ_SHORTLIST} rows only."""
+    n_queries x shortlist rows only."""
     books = _pq_codebooks(spark, sf_dir, n_sub=PQ_SEARCH_M, k=PQ_SEARCH_K)
     n_sub = len(books)
     dsub = len(books[0][0])
@@ -1287,7 +1290,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str, rerank: bool) -> DataFrame:
     # corpus-proportional shortlist: a FIXED 50 covers 10% of a 500-vector
     # corpus but 1% at 5k, and shortlist misses cap rerank recall (measured
     # 0.79 at sf0.1 with the fixed form — the round-8 sf0.1 capstone catch).
-    # FAISS practice scales the candidate budget with the corpus; 2% with
+    # FAISS practice scales the candidate budget with the corpus; 10% with
     # the old 50 as the floor keeps the small-SF behavior identical. The
     # count is a catalog statistic at production scale, not a scan.
     n_corpus = spark.table("embeddings").count()
@@ -1331,15 +1334,17 @@ def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC search over the PQ codes — the serving path that completes the
     PQ story (sim_pq_codes certifies the layout; this certifies you can
     ANSWER QUERIES from it): code-only asymmetric-distance top-k, and the
-    production form with an exact rerank over the {PQ_SHORTLIST}-candidate
-    ADC shortlist. Same digest contract as sim_ann_digest: recall@{TOPK}
+    production form with an exact rerank over the corpus-proportional
+    max({PQ_SHORTLIST}, corpus // {PQ_SHORTLIST_DIV})-candidate ADC
+    shortlist. Same digest contract as sim_ann_digest: recall@{TOPK}
     against the exact squared-L2 brute force is measured from genuine
     results and checked against floors (ADC-only >=
     {PQ_ADC_RECALL_FLOOR} — code-only ranking is genuinely noisy on
     near-isotropic synthetic vectors, measured 0.36-0.40; rerank >=
-    {PQ_RERANK_RECALL_FLOOR}, measured 1.000 at both SFs with the
-    {PQ_SHORTLIST}-candidate shortlist — the floor that proves the
-    shortlist contains the true neighbors and the rerank recovers
+    {PQ_RERANK_RECALL_FLOOR}, measured 1.000 at sf0.001/0.01 where the
+    50 floor binds, and the proportional budget restores containment
+    0.97+ at sf0.1 where a fixed 50 measured 0.79 — the floor that proves
+    the shortlist contains the true neighbors and the rerank recovers
     them)."""
     prepare(spark, sf_dir)
     exact = _exact_l2_baseline(spark, sf_dir)
@@ -1368,14 +1373,16 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production ANN pipeline (FAISS IVFPQ class): IVF probe
     restricts the scan to the query's {IVF_PROBES} nearest cells, ADC on
     {PQ_SEARCH_M}x4-bit codes ranks the probed candidates without
-    touching corpus floats, and exact L2 reranks the
-    {PQ_SHORTLIST}-candidate shortlist. Composes the two memoized
+    touching corpus floats, and exact L2 reranks the corpus-proportional
+    max({PQ_SHORTLIST}, corpus // {PQ_SHORTLIST_DIV})-candidate shortlist
+    (same budget rule as pq_adc_topk — a fixed shortlist caps rerank
+    recall once the corpus outgrows it). Composes the two memoized
     index assets (IVF cell assignment, PQ codebooks) the standalone ops
     certify separately.
 
     Scale: candidate volume is corpus x probes/cells (the IVF knob),
     scanned at {PQ_SEARCH_M} bytes/vector (the PQ knob); full-precision
-    vectors are read for n_queries x {PQ_SHORTLIST} rows only. The
+    vectors are read for n_queries x shortlist rows only. The
     distance tables are per-query KBs riding the probe broadcast; the
     only corpus-sized shuffle is the candidate join on cell id."""
     idx = _ivf_index(spark, sf_dir)
@@ -1440,8 +1447,13 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["query_id", "neighbor_id"]
     )
     w_adc = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    # same corpus-proportional shortlist as pq_adc_topk: a fixed 50 caps
+    # rerank recall once the corpus outgrows it (the sf0.1 failure mode the
+    # ADC rerank already fixed); corpus // PQ_SHORTLIST_DIV with 50 as floor
+    n_corpus = spark.table("embeddings").count()
+    shortlist_k = max(PQ_SHORTLIST, n_corpus // PQ_SHORTLIST_DIV)
     shortlist = scored.withColumn("rnk", F.row_number().over(w_adc)).filter(
-        F.col("rnk") <= PQ_SHORTLIST
+        F.col("rnk") <= shortlist_k
     )
     vecs = assigned.select("vec_id", "v")
     qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))

@@ -2556,13 +2556,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     per_node = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
-    degrees = (
-        canon.select(F.col("u").alias("node"))
-        .unionAll(canon.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    scored = degrees.join(per_node, "node", "left").select(
+    # degrees_all is already cached above for the orientation step — reuse it
+    # here rather than paying a second identical union+groupBy shuffle
+    scored = degrees_all.join(per_node, "node", "left").select(
         F.col("node").alias("part"),
         "degree",
         F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
@@ -2640,8 +2636,10 @@ def _bench_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_pos, n_neg,
            CAST(r2_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
-           CAST(FLOOR(CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE) * 1000000.0
-                      / CAST(2 * n_pos * n_neg AS DOUBLE)) AS BIGINT) AS auc_micro
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(FLOOR(CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE) * 1000000.0
+                        / CAST(2 * n_pos * n_neg AS DOUBLE)) AS BIGINT)
+           END AS auc_micro
     FROM agg
     """,
 )
@@ -2693,11 +2691,18 @@ def rec_auc_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_pos"), F.col("r2")).otherwise(0)).cast("long").alias("r2_pos"),
     )
     u2 = F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    # AUC is undefined when either class is empty (0/0 or x/0 feeding
+    # floor() diverges across engines) — emit NULL like the oracle's CASE
     return agg.select(
         "n_pos",
         "n_neg",
         u2.cast("long").alias("u2"),
-        F.floor(u2.cast("double") * 1000000.0 / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"))
-        .cast("long")
-        .alias("auc_micro"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.floor(
+                u2.cast("double")
+                * 1000000.0
+                / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+            ).cast("long"),
+        ).alias("auc_micro"),
     )
