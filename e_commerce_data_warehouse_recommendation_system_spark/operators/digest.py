@@ -253,7 +253,16 @@ def digest_df(df: DataFrame, op: str, cols: tuple[tuple[str, str], ...]) -> Data
 
 def digest_sql(op: str, inner_sql: str, cols: tuple[tuple[str, str], ...]) -> str:
     """Digest oracle: aggregate the component's full-result oracle once,
-    then emit the same long-format rows."""
+    then emit the same long-format rows.
+
+    ``_src``/``_agg`` are declared ``AS MATERIALIZED``: the UNION ALL body
+    references ``_agg_{op}`` once per metric, and DuckDB's default CTE
+    inlining would re-evaluate the component's ENTIRE oracle per metric
+    branch (~13x work; the branches can also run concurrently — at sf0.1
+    that re-evaluation blew the rec_prep_suite sweep past the RAM/spill
+    budget on the rrf/itemcf members). Materialized, each component's
+    oracle runs exactly once per suite — the same single-evaluation shape
+    as the Spark side's one-pass digest aggregation."""
     ms = _metrics(cols)
     agg_exprs = ",\n         ".join(
         f"{sql} AS _m{i}" for i, (_, _, sql, _) in enumerate(ms)
@@ -267,8 +276,8 @@ def digest_sql(op: str, inner_sql: str, cols: tuple[tuple[str, str], ...]) -> st
         )
     body = "\n  UNION ALL ".join(selects)
     return (
-        f"(WITH _src_{op} AS ({inner_sql}),\n"
-        f"  _agg_{op} AS (SELECT {agg_exprs} FROM _src_{op})\n"
+        f"(WITH _src_{op} AS MATERIALIZED ({inner_sql}),\n"
+        f"  _agg_{op} AS MATERIALIZED (SELECT {agg_exprs} FROM _src_{op})\n"
         f"  {body})"
     )
 

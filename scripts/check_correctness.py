@@ -51,14 +51,12 @@ TABLES = (
 def duck_connect(sf_dir: str):
     con = duckdb.connect()
     # Give spills a real directory and a bounded budget (no effect at the
-    # driver SFs, which need none). Known limit at sf0.1: the PageRank
-    # oracle's ten chained-iteration CTEs materialize the full
-    # contribution join per iteration and blow past 40 GiB of DuckDB
-    # spill — a VERIFICATION-side wall (the Spark engine completes sf0.1
-    # fine; iterative SQL is exactly what single-node full-materialization
-    # evaluation is worst at). sf0.1 sweeps therefore skip
-    # rec_prep_suite; every other slot verifies bit-exactly at 10x the
-    # driver's scale.
+    # driver SFs, which need none). The round-8 sf0.1 wall (rec_prep_suite
+    # exceeding 40 GiB) was DuckDB's default CTE INLINING re-evaluating
+    # whole oracles: the PageRank iteration chain once per step, and every
+    # suite digest's _agg once per metric branch. Both are AS MATERIALIZED
+    # since round 9 (recommend/queries._pagerank_oracle, digest.digest_sql)
+    # and the full 50-slot sweep verifies at sf0.1 inside the budget.
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     con.execute("SET max_temp_directory_size='40GiB'")
     for t in TABLES:
