@@ -747,3 +747,144 @@ def mm_perceptual_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wb).cast("long").alias("bucket_size"),
         (F.col("doc_id") == F.min("doc_id").over(wb)).alias("is_keeper"),
     )
+
+
+# --------------------------------------------------------------------------
+# Image-text pair curation (CLIP-score-shaped keep/drop filter)
+# --------------------------------------------------------------------------
+
+#: alignment threshold on the pair cosine. Production CLIP filtering uses
+#: ~0.28 on real CLIP embeddings (the LAION-400M/5B recipe); these synthetic
+#: near-isotropic vectors concentrate near 0 (measured max pair cosine
+#: ~0.5), so the gate sits at a value that genuinely splits the corpus —
+#: the OPERATOR (exact per-pair cosine + joint text-quality gate) is what
+#: transfers, the constant is per-embedding-space tuning either way.
+CLIP_TAU = 0.05
+#: captions shorter than this many whitespace tokens are dropped regardless
+#: of alignment (the LAION text-length floor)
+CLIP_MIN_CAPTION_TOKENS = 5
+
+
+@component(
+    "mm_clip_pair_curation",
+    oracle=f"""
+    WITH elems AS MATERIALIZED (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    norms AS MATERIALIZED (
+      SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+      FROM elems GROUP BY vec_id
+    ),
+    prs AS MATERIALIZED (
+      SELECT a.vec_id AS img_id, b.vec_id AS txt_id,
+             CAST(FLOOR(a.vec_id / 2) AS BIGINT) AS pair_id
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 2 = 0
+    ),
+    dots AS MATERIALIZED (
+      SELECT p.pair_id, p.img_id, p.txt_id,
+             CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM prs p
+      JOIN elems ea ON ea.vec_id = p.img_id
+      JOIN elems eb ON eb.vec_id = p.txt_id AND eb.i = ea.i
+      GROUP BY 1, 2, 3
+    ),
+    cap AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS caption_tokens
+      FROM documents
+    ),
+    scored AS (
+      SELECT d.pair_id, d.img_id, d.txt_id,
+             d.dot / (na.nrm * nb.nrm) AS clip_cosine,
+             c.caption_tokens
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.img_id
+      JOIN norms nb ON nb.vec_id = d.txt_id
+      JOIN cap c ON c.doc_id = d.pair_id
+    )
+    SELECT pair_id, img_id, txt_id, clip_cosine, caption_tokens,
+           caption_tokens >= {CLIP_MIN_CAPTION_TOKENS} AS caption_ok,
+           (caption_tokens >= {CLIP_MIN_CAPTION_TOKENS}
+            AND clip_cosine >= {CLIP_TAU}) AS keep
+    FROM scored
+    """,
+    cols=[
+        ("pair_id", "num"),
+        ("img_id", "num"),
+        ("txt_id", "num"),
+        ("clip_cosine", "dbl"),
+        ("caption_tokens", "num"),
+        ("caption_ok", "bool"),
+        ("keep", "bool"),
+    ],
+)
+def mm_clip_pair_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair curation, the CLIP-score filter shape (LAION /
+    DataComp recipe): each (image embedding, caption embedding) pair gets
+    an exact cosine alignment score, jointly gated with a caption-quality
+    floor, and the keep/drop verdict + per-pair scores are emitted for the
+    downstream sampler. This closes the gap between the media ladder
+    (probe/decode/hash, which never sees text) and the text-quality ladder
+    (which never sees media): curation multiplies BOTH signals per pair.
+    Pairing is positional over the embeddings table (even vec_id = image
+    tower, odd = its caption's text tower, pair_id = vec_id/2 joined to
+    the caption's documents row) — the layout a contrastive-tower export
+    lands in.
+
+    Determinism: the dot accumulates through DECIMAL(30,12) (exact,
+    order-independent) and only the final divide + IEEE sqrt (correctly
+    rounded in both engines) happen in double, so the cosine — and thus
+    the threshold verdict — is bit-identical cross-engine (the
+    dedup_embedding_exact convention).
+
+    Scale: the image-caption pairing is a 1-1 equi-join on adjacent keys
+    (co-partitioned after one shuffle; at 100 TB the two towers arrive
+    pre-zipped per pair id and the join disappears), the dot/gate are
+    map-side array algebra, and the caption join is key-to-key — nothing
+    is ever all-pairs. When captions must be MATCHED rather than arriving
+    paired (retrieval-style curation), the existing ANN machinery
+    (sim_ann_lsh / ivf_pq_topk) swaps in as the candidate generator and
+    this operator scores the candidates."""
+    prepare(spark, sf_dir)
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
+        _dot,
+        vectors_with_norms,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import tokens
+
+    vecs = vectors_with_norms(spark)
+    imgs = vecs.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("img_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    txts = vecs.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("txt_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = imgs.join(txts, F.col("txt_id") == F.col("img_id") + 1).select(
+        F.floor(F.col("img_id") / 2).cast("long").alias("pair_id"),
+        "img_id",
+        "txt_id",
+        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "clip_cosine"
+        ),
+    )
+    cap = spark.table("documents").select(
+        F.col("doc_id").alias("pair_id"),
+        F.size(tokens("text")).cast("long").alias("caption_tokens"),
+    )
+    ok = F.col("caption_tokens") >= CLIP_MIN_CAPTION_TOKENS
+    return pairs.join(cap, "pair_id").select(
+        "pair_id",
+        "img_id",
+        "txt_id",
+        "clip_cosine",
+        "caption_tokens",
+        ok.alias("caption_ok"),
+        (ok & (F.col("clip_cosine") >= CLIP_TAU)).alias("keep"),
+    )

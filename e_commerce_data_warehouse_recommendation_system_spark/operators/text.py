@@ -1824,6 +1824,174 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE encode: apply a pretrained merge list to the corpus (tokenizer apply)
+# --------------------------------------------------------------------------
+
+#: The pretrained merge table, applied IN RANK ORDER — the artifact a real
+#: pipeline ships (tokenizer.json's `merges`): induction is
+#: text_bpe_pair_stats; application uses a pinned list exactly like
+#: production applies a frozen tokenizer to every new corpus batch rather
+#: than re-inducing per batch. Entries pair SYMBOLS (later rules consume
+#: earlier rules' outputs — ("th","e") merges merge-0's "th"), mirroring a
+#: genuine BPE ladder. Constants embedded on BOTH engine sides from this
+#: one list (the _NDCG_W convention), so the sides cannot drift.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("o", "r"),
+    ("s", "t"),
+]
+#: token delimiter inside the per-word fold state: ASCII unit separator,
+#: guaranteed absent from whitespace-split words
+_BPE_SEP = "\x1f"
+
+
+def _bpe_merge_fold_sql(rule_a: str, rule_b: str, inner: str) -> str:
+    """One merge rule as a DuckDB list_reduce over the token list of the
+    previous rule's encoding: merge iff the accumulated string's LAST token
+    is exactly ``rule_a`` (ends_with on the separator-bounded suffix — the
+    separator never occurs inside a token, so the check is exact) and the
+    incoming token is ``rule_b``."""
+    sep = "chr(31)"
+    return (
+        f"list_reduce(string_split({inner}, {sep}), (acc, x) -> CASE "
+        f"WHEN (acc = '{rule_a}' OR ends_with(acc, {sep} || '{rule_a}')) "
+        f"AND x = '{rule_b}' THEN acc || '{rule_b}' "
+        f"ELSE acc || {sep} || x END)"
+    )
+
+
+def _bpe_encode_sql() -> str:
+    enc = f"array_to_string(string_split(w, ''), chr(31))"
+    for a, b in BPE_MERGES:
+        enc = _bpe_merge_fold_sql(a, b, enc)
+    return f"""
+    WITH tw AS MATERIALIZED (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents
+      ) WHERE w <> ''
+    ),
+    words AS MATERIALIZED (SELECT DISTINCT w FROM tw),
+    enc AS MATERIALIZED (SELECT w, {enc} AS s FROM words),
+    wtok AS MATERIALIZED (
+      SELECT w, unnest(string_split(s, chr(31))) AS token FROM enc
+    ),
+    vocab AS MATERIALIZED (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS token_id
+      FROM (SELECT DISTINCT token FROM wtok)
+    ),
+    wstats AS MATERIALIZED (
+      SELECT w,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(v.token_id) AS BIGINT) AS id_sum
+      FROM wtok JOIN vocab v USING (token) GROUP BY w
+    )
+    SELECT tw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(tw.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(ws.n_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(ws.id_sum) AS BIGINT) AS ids_checksum
+    FROM tw JOIN wstats ws ON tw.w = ws.w
+    GROUP BY tw.doc_id
+    """
+
+
+@component(
+    "text_bpe_encode",
+    oracle=_bpe_encode_sql(),
+    cols=[
+        ("doc_id", "num"),
+        ("n_words", "num"),
+        ("n_chars", "num"),
+        ("n_bpe_tokens", "num"),
+        ("ids_checksum", "num"),
+    ],
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at scale — the missing rung between inducing
+    merge statistics (text_bpe_pair_stats) and consuming token counts
+    (text_pack_sequences): apply the pretrained {len(BPE_MERGES)}-rule
+    merge list to every document and emit per-doc BPE token lengths plus
+    an exact token-id checksum. Each rule is a LEFT FOLD over the word's
+    current token sequence (merge iff the last emitted token equals the
+    rule's left symbol and the incoming token equals its right symbol) —
+    the canonical greedy non-overlapping semantics ("aaa" under (a,a) →
+    [aa, a]), applied rule-by-rule in rank order so later rules consume
+    earlier rules' outputs. Token ids are the dense rank of the token
+    string over the realized vocabulary (the rec_label_encode convention),
+    and the per-doc id checksum pins the full id sequence cross-engine
+    without shipping arrays.
+
+    Scale: the merge fold runs on the DISTINCT word table (vocab-bounded,
+    pure Column expressions, zero Python); the realized vocabulary and its
+    id table are token-bounded; corpus-sized work is ONE token explode +
+    word groupBy and ONE per-doc rollup joining the broadcast word-stats
+    table — no corpus-scale shuffle beyond those two, and the merge table
+    itself rides the plan as literals (broadcast by construction). At
+    100 TB the word table is Zipf-bounded (vocabulary grows ~n^0.5), so
+    the fold cost is corpus-size-independent."""
+    prepare(spark, sf_dir)
+    toks = (
+        spark.table("documents")
+        .select("doc_id", F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    words = toks.select("w").distinct()
+
+    def merge_rule(a: str, b: str):
+        # bind the rule's symbols in a closure: PySpark introspects the
+        # lambda arity, so extra default args are not an option here
+        def step(acc, x):
+            return (
+                F.when(acc == "", x)
+                .when(
+                    ((acc == a) | acc.endswith(_BPE_SEP + a)) & (x == b),
+                    F.concat(acc, F.lit(b)),
+                )
+                .otherwise(F.concat(acc, F.lit(_BPE_SEP), x))
+            )
+
+        return step
+
+    enc = F.array_join(F.split("w", ""), _BPE_SEP)
+    for a, b in BPE_MERGES:
+        enc = F.aggregate(F.split(enc, _BPE_SEP), F.lit(""), merge_rule(a, b))
+    wtok = words.select("w", F.explode(F.split(enc, _BPE_SEP)).alias("token"))
+    vocab = (
+        wtok.select("token")
+        .distinct()
+        .withColumn(
+            "token_id", F.row_number().over(Window.orderBy("token")).cast("long")
+        )
+    )
+    wstats = (
+        wtok.join(F.broadcast(vocab), "token")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("token_id").cast("long").alias("id_sum"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(wstats), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.char_length("w")).cast("long").alias("n_chars"),
+            F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
+            F.sum("id_sum").cast("long").alias("ids_checksum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # DSIR-style importance weighting (target-vs-raw likelihood-ratio scoring)
 # --------------------------------------------------------------------------
 

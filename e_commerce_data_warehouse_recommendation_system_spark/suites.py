@@ -296,6 +296,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_lm_score",
         # BPE merge statistics (tokenizer-induction first-merge ranking)
         "text_bpe_pair_stats",
+        # BPE ENCODE: pretrained merge-list application -> token ids+lengths
+        "text_bpe_encode",
         # DSIR importance weights (target-vs-raw likelihood ratio)
         "text_dsir_weights",
     ],
@@ -329,6 +331,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "sim_ivf_pq_search",
         # per-dimension cohort mean-shift drift monitor (full oracle)
         "sim_embedding_drift",
+        # image-text pair curation: CLIP-score keep/drop + caption gate
+        "mm_clip_pair_curation",
         # topic-balanced sampling over the trained cells (shares the fit)
         "sim_cluster_balanced_sample",
     ],
