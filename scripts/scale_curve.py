@@ -102,6 +102,75 @@ def workloads(spark, ev):
     ]
 
 
+def _scaled_fixture_dir(spark, scale: int) -> str:
+    """Materialize a scaled testdata DIRECTORY (the form ``prepare()``
+    consumes, so the probes below drive the REAL registered operators, not
+    re-implementations): ``scale`` offset copies of lineitem (orderkey and
+    partkey shifted per copy -> disjoint co-purchase graph copies, work
+    linear by construction) and of embeddings (vec_id shifted by
+    ``k*10M + 1`` so only copy 0 satisfies ``vec_id % QUERY_MODULUS == 0``
+    — the QUERY SET stays fixed while the corpus grows, isolating the
+    per-corpus-row scan cost), all other tables symlinked."""
+    from pyspark.sql import functions as F
+
+    out = f"/tmp/scale_fixture_x{scale}"
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out)
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    for t in tables:
+        if t in ("lineitem", "embeddings"):
+            continue
+        os.symlink(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li_copies = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * 10_000_000))
+        .withColumn("l_partkey", F.col("l_partkey") + F.lit(k * 10_000_000))
+        for k in range(scale)
+    ]
+    li_all = li_copies[0]
+    for c in li_copies[1:]:
+        li_all = li_all.unionByName(c)
+    li_all.coalesce(8).write.parquet(f"{out}/lineitem.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb_copies = [
+        emb.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(k * 10_000_000 + (1 if k else 0))
+        )
+        for k in range(scale)
+    ]
+    emb_all = emb_copies[0]
+    for c in emb_copies[1:]:
+        emb_all = emb_all.unionByName(c)
+    emb_all.coalesce(4).write.parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def heavy_workloads(spark, scale: int) -> list[tuple[str, "object"]]:
+    """The round-8 heavies, driven end-to-end through their registered
+    entry points on a scaled fixture dir: triangle counting (disjoint graph
+    copies -> expected ratio ~N) and combined IVF-PQ search (fixed query
+    set, corpus xN, fixed cell count -> probe-bounded candidate volume xN
+    -> expected ratio ~N; at production scale cells grow ~sqrt(n), making
+    the per-query curve sub-linear — this probe pins the fixed-cell
+    worst case)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators import similarity
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend import queries as rq
+
+    fixture = _scaled_fixture_dir(spark, scale)
+
+    def triangles():
+        return rq.graph_triangle_count(spark, fixture).count()
+
+    def ivf_pq():
+        return similarity.ivf_pq_topk(spark, fixture).count()
+
+    return [("graph_triangles", triangles), ("ivf_pq_search", ivf_pq)]
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     from e_commerce_data_warehouse_recommendation_system_spark.session import get_spark
@@ -124,6 +193,26 @@ def main() -> None:
         ev.unpersist(blocking=True)
     for name, r in results.items():
         r["ratio"] = round(r[f"x{BASE * n}"] / max(r[f"x{BASE}"], 1e-9), 2)
+
+    # Heavies run at 1x vs n x (their 1x is already seconds at sf0.1 —
+    # no 16x floor needed to clear fixed overheads).
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
+        _ANN_INDEX_CACHE,
+    )
+
+    heavy: dict[str, dict] = {}
+    for scale in (1, n):
+        for name, fn in heavy_workloads(spark, scale):
+            fn()  # warm: index/k-means builds + cache population, off-clock
+            t0 = time.perf_counter()
+            fn()
+            dt = round(time.perf_counter() - t0, 3)
+            heavy.setdefault(name, {})[f"x{scale}"] = dt
+        spark.catalog.clearCache()
+        _ANN_INDEX_CACHE.clear()
+    for name, r in heavy.items():
+        r["ratio"] = round(r[f"x{n}"] / max(r["x1"], 1e-9), 2)
+    results.update(heavy)
     print(
         json.dumps(
             {"metric": "scale_curve", "n": n, "sf_dir": SF_DIR, "workloads": results}
