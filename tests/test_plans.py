@@ -535,6 +535,14 @@ COMPONENT_SHUFFLE_BUDGET = {
     # DSIR: two vocab-bounded LM count rollups + scalar agg + the
     # token-instance scoring join + per-doc rollup
     "text_dsir_weights": 5,
+    # round 9: BPE encode = corpus word distinct + vocab distinct + the
+    # single-partition vocab id window + vocab-bounded word-stats groupBy
+    # + the per-doc rollup (both joins broadcast — never a fact shuffle)
+    "text_bpe_encode": 5,
+    # CLIP pair curation: the tower pairing and the caption join both
+    # broadcast at test scale (production: co-partitioned 1-1 equi-joins);
+    # dot/gate are map-side — zero exchanges end to end
+    "mm_clip_pair_curation": 0,
 }
 
 
