@@ -62,11 +62,15 @@ def main() -> None:
             while fh.read(1 << 22):
                 pass
     for warm in (
-        lambda: qs["q1_pricing_summary"](spark, sf_dir).count(),
         # The FIRST streaming query in a session pays one-time engine init
         # (state-store + streaming codegen, ~5-8 s measured) — warm it on the
         # smallest SF so the streaming slot times the workload, not the engine.
+        # Streaming warm runs FIRST: q1 is the first TIMED slot, and warming
+        # it before the streaming bootstrap left its first timed run paying
+        # the post-bootstrap session churn (r9 idle: 1.25 s vs 0.35 s on
+        # identical plans — spread 3.6 on the one slot warmed out of order).
         lambda: qs["stream_incremental_ingest"](spark, "/root/testdata/sf0.001").count(),
+        lambda: qs["q1_pricing_summary"](spark, sf_dir).count(),
     ):
         try:
             warm()

@@ -1992,6 +1992,77 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE-aware sequence packing (the complete tokenize -> pack chain)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "text_pack_bpe",
+    oracle=f"""
+    WITH bpe AS MATERIALIZED ({_bpe_encode_sql()}),
+    counted AS (
+      SELECT d.doc_id, d.lang, b.n_bpe_tokens
+      FROM documents d JOIN bpe b ON d.doc_id = b.doc_id
+    ),
+    offsets AS (
+      SELECT doc_id, lang, n_bpe_tokens,
+             COALESCE(SUM(n_bpe_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+      FROM counted
+    )
+    SELECT lang, CAST(start_offset // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens
+    FROM offsets
+    GROUP BY 1, 2
+    """,
+    cols=[
+        ("lang", "str"),
+        ("seq_id", "num"),
+        ("n_docs", "num"),
+        ("n_bpe_tokens", "num"),
+    ],
+)
+def text_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE tokenize→pack chain: sequence packing driven by REAL
+    BPE token counts (text_bpe_encode's per-doc lengths) instead of the
+    whitespace proxy text_pack_sequences uses — the composition a training
+    pipeline actually runs (tokenizer application decides how many tokens
+    a doc costs; packing fills fixed context windows with those costs).
+    Same tape layout as text_pack_sequences: per-language shard, doc_id
+    order, fixed {PACK_BUDGET}-token budget, docs may straddle a boundary.
+
+    Scale: text_bpe_encode's corpus cost (one token groupBy + one rollup
+    over a broadcast vocab-bounded join) plus ONE running-sum window per
+    shard — parallel across shards, linear within, the sessionizer's cost
+    shape. Nothing new materializes beyond the per-doc length table."""
+    prepare(spark, sf_dir)
+    lengths = text_bpe_encode(spark, sf_dir).select("doc_id", "n_bpe_tokens")
+    counted = spark.table("documents").select("doc_id", "lang").join(
+        lengths, "doc_id"
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counted.withColumn(
+        "start_offset", F.coalesce(F.sum("n_bpe_tokens").over(w), F.lit(0))
+    )
+    return (
+        offsets.groupBy(
+            "lang", F.floor(F.col("start_offset") / PACK_BUDGET).alias("seq_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # DSIR-style importance weighting (target-vs-raw likelihood-ratio scoring)
 # --------------------------------------------------------------------------
 

@@ -298,6 +298,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_bpe_pair_stats",
         # BPE ENCODE: pretrained merge-list application -> token ids+lengths
         "text_bpe_encode",
+        # packing driven by REAL BPE lengths (the complete tokenize->pack)
+        "text_pack_bpe",
         # DSIR importance weights (target-vs-raw likelihood ratio)
         "text_dsir_weights",
     ],

@@ -543,6 +543,11 @@ COMPONENT_SHUFFLE_BUDGET = {
     # broadcast at test scale (production: co-partitioned 1-1 equi-joins);
     # dot/gate are map-side — zero exchanges end to end
     "mm_clip_pair_curation": 0,
+    # BPE packing composes the encode's 5 with a broadcast lang join +
+    # one per-shard running-sum window + the pack rollup (measured 5 —
+    # AQE folds the window/rollup exchanges into the encode's; ceiling 6
+    # leaves one partitioning-choice drift before the pin trips)
+    "text_pack_bpe": 6,
 }
 
 
