@@ -1342,8 +1342,8 @@ def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     {PQ_ADC_RECALL_FLOOR} — code-only ranking is genuinely noisy on
     near-isotropic synthetic vectors, measured 0.36-0.40; rerank >=
     {PQ_RERANK_RECALL_FLOOR}, measured 1.000 at sf0.001/0.01 where the
-    50 floor binds, and the proportional budget restores containment
-    0.97+ at sf0.1 where a fixed 50 measured 0.79 — the floor that proves
+    50 floor binds and 0.970 at sf0.1 where the proportional budget
+    takes over — a fixed 50 measured 0.79 there — the floor that proves
     the shortlist contains the true neighbors and the rerank recovers
     them)."""
     prepare(spark, sf_dir)
@@ -1488,7 +1488,8 @@ def sim_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses (IVF leg, standalone floor {IVF_RECALL_FLOOR}) or shortlist
     misses (ADC leg, standalone rerank floor {PQ_RERANK_RECALL_FLOOR})
     — so the combined floor sits below the IVF leg's. Measured
-    (sf0.001 / sf0.01): 0.880 / 0.960."""
+    (sf0.001 / sf0.01 / sf0.1): 0.880 / 0.960 / 0.920 — the sf0.1 figure
+    with the corpus-proportional rerank shortlist (r9)."""
     prepare(spark, sf_dir)
     exact = _exact_l2_baseline(spark, sf_dir)
     recall = _recall_vs_exact(exact, ivf_pq_topk(spark, sf_dir))
