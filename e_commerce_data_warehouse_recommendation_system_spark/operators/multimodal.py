@@ -888,3 +888,93 @@ def mm_clip_pair_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok.alias("caption_ok"),
         (ok & (F.col("clip_cosine") >= CLIP_TAU)).alias("keep"),
     )
+
+
+#: deterministic caption-query subset for cross-tower retrieval: ids ≡ 1
+#: (mod 20) are odd by construction, i.e. text-tower rows
+CLIP_QUERY_MOD = 20
+
+
+@component(
+    "mm_clip_retrieval_topk",
+    oracle=f"""
+    WITH elems AS MATERIALIZED (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    norms AS MATERIALIZED (
+      SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+      FROM elems GROUP BY vec_id
+    ),
+    queries AS (SELECT vec_id FROM embeddings
+                WHERE vec_id % {CLIP_QUERY_MOD} = 1),
+    dots AS MATERIALIZED (
+      SELECT q.vec_id AS txt_id, e.vec_id AS img_id,
+             CAST(SUM(CAST(qe.x * e.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM queries q
+      JOIN elems qe ON qe.vec_id = q.vec_id
+      JOIN elems e ON e.i = qe.i AND e.vec_id % 2 = 0
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT txt_id, img_id, dot / (na.nrm * nb.nrm) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY txt_id
+                                ORDER BY dot / (na.nrm * nb.nrm) DESC, img_id)
+               AS rnk
+      FROM dots
+      JOIN norms na ON txt_id = na.vec_id
+      JOIN norms nb ON img_id = nb.vec_id
+    )
+    SELECT txt_id, img_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM scored WHERE rnk <= 5
+    """,
+    cols=[("txt_id", "num"), ("img_id", "num"), ("cosine", "dbl"), ("rnk", "num")],
+)
+def mm_clip_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tower retrieval — the OTHER half of the CLIP curation story:
+    where mm_clip_pair_curation scores pairs that ARRIVE paired, this
+    answers "which images best match this caption?" — exact cosine top-5
+    from the text tower (deterministic query subset, odd ids ≡ 1 mod
+    {CLIP_QUERY_MOD}) against the ENTIRE image tower (even ids). The
+    text→image direction of CLIP retrieval evaluation (recall@k over
+    cross-modal neighbors), and the candidate generator this module's
+    pairing filter documents for retrieval-style curation.
+
+    Determinism: decimal-accumulated dots, IEEE sqrt norms, ties broken by
+    img_id — the sim_cosine_topk convention, restricted per tower.
+
+    Scale: this exact form is the VERIFICATION rung (query subset ×
+    tower scan, one per-query window). The production swap is the
+    module-shared ANN ladder — sign-LSH buckets or IVF-PQ cells built
+    over the image tower only — which bounds the candidate join exactly
+    as sim_ann_lsh / ivf_pq_topk document; recall is then measured
+    against THIS baseline, per the sim_ann_digest contract."""
+    prepare(spark, sf_dir)
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
+        _dot,
+        vectors_with_norms,
+    )
+    from pyspark.sql.window import Window
+
+    vecs = vectors_with_norms(spark).cache()
+    queries = vecs.filter(F.col("vec_id") % CLIP_QUERY_MOD == 1).select(
+        F.col("vec_id").alias("txt_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    corpus = vecs.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("img_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = F.broadcast(queries).join(corpus).select(
+        "txt_id",
+        "img_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("txt_id").orderBy(F.desc("cosine"), F.asc("img_id"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= 5
+    )

@@ -1070,6 +1070,90 @@ def text_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Temperature-based mixture weights (alpha = 0.5 sampling, mBERT/XLM-R)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "text_mixture_temperature",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    m AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS sqrt_micro
+      FROM s
+    ),
+    t AS (
+      SELECT CAST(SUM(sqrt_micro) AS BIGINT) AS tot,
+             CAST(SUM(n_docs) AS BIGINT) AS n
+      FROM m
+    )
+    SELECT source, n_docs,
+           CAST((1000000 * sqrt_micro) // t.tot AS BIGINT) AS share_micro,
+           CAST((t.n * ((1000000 * sqrt_micro) // t.tot)) // 1000000 AS BIGINT)
+             AS target_docs,
+           (t.n * ((1000000 * sqrt_micro) // t.tot)) // 1000000 > n_docs
+             AS upsampled
+    FROM m, t
+    """,
+    cols=[
+        ("source", "str"),
+        ("n_docs", "num"),
+        ("share_micro", "num"),
+        ("target_docs", "num"),
+        ("upsampled", "bool"),
+    ],
+)
+def text_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling weights, the multilingual
+    pre-training recipe (mBERT / XLM-R exponent alpha on source priors):
+    sampling share ∝ p_i^alpha flattens the source distribution — dominant
+    sources are downweighted, tail sources upweighted — at alpha = 0.5,
+    where p^alpha = sqrt(p) and the N denominators cancel, so the share is
+    sqrt(n_i)/Σ sqrt(n_j). This computes the WEIGHTS the fixed-constant
+    mixture (text_mixture_upsample) would consume; together they are the
+    plan-then-emit halves of mixture assembly.
+
+    Exactness without libm: p^alpha for general alpha is pow() (whose
+    rounding is libm-/platform-specific and never crosses the engine
+    boundary in this repo — the tf-idf/BM25/NDCG convention); alpha = 0.5
+    is exactly sqrt, which IEEE 754 REQUIRES correctly rounded in both
+    engines. Each sqrt is floored to integer micro-units before any
+    aggregation, so the cross-source sum, the share division, and the
+    target count are all exact int64 arithmetic (Spark ``div`` ≡ DuckDB
+    ``//``) — order-independent and bit-identical.
+
+    Scale: one map-side-combined source rollup (source domain is
+    catalog-bounded), one 2-scalar broadcast, integer math — O(sources)
+    after the single corpus aggregation."""
+    prepare(spark, sf_dir)
+    s = spark.table("documents").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    m = s.withColumn(
+        "sqrt_micro",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000.0).cast("long"),
+    )
+    t = m.agg(
+        F.sum("sqrt_micro").cast("long").alias("tot"),
+        F.sum("n_docs").cast("long").alias("n"),
+    )
+    share = F.expr("div(1000000 * sqrt_micro, tot)")
+    target = F.expr("div(n * div(1000000 * sqrt_micro, tot), 1000000)")
+    return m.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        share.cast("long").alias("share_micro"),
+        target.cast("long").alias("target_docs"),
+        (target > F.col("n_docs")).alias("upsampled"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Inverted-index conjunctive search (full-text AND query)
 # --------------------------------------------------------------------------
 

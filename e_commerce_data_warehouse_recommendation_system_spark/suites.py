@@ -274,6 +274,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_oov_rate",
         # mixture assembly: per-source epoch weights with real row fan-out
         "text_mixture_upsample",
+        # temperature (alpha=0.5) mixture weights: sqrt-prior shares
+        "text_mixture_temperature",
         # deterministic global shuffle -> fixed training shards
         "text_shuffle_shards",
         # per-domain doc cap (anti domain-dominance)
@@ -335,6 +337,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "sim_embedding_drift",
         # image-text pair curation: CLIP-score keep/drop + caption gate
         "mm_clip_pair_curation",
+        # cross-tower retrieval: caption -> image exact top-k baseline
+        "mm_clip_retrieval_topk",
         # topic-balanced sampling over the trained cells (shares the fit)
         "sim_cluster_balanced_sample",
     ],

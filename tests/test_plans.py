@@ -548,6 +548,12 @@ COMPONENT_SHUFFLE_BUDGET = {
     # AQE folds the window/rollup exchanges into the encode's; ceiling 6
     # leaves one partitioning-choice drift before the pin trips)
     "text_pack_bpe": 6,
+    # temperature mixture: one source rollup + the 2-scalar aggregate +
+    # its broadcast (integer math is map-side)
+    "text_mixture_temperature": 3,
+    # cross-tower retrieval: queries broadcast into the tower scan; the
+    # only exchange is the per-query top-k window
+    "mm_clip_retrieval_topk": 1,
 }
 
 
