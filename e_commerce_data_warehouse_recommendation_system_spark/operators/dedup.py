@@ -819,3 +819,142 @@ def text_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash Hamming-banded near-dup pair mining (the 64-bit-hash scale form)
+# --------------------------------------------------------------------------
+
+#: band layout over the 16-bit fingerprint: 4 bands x 4 bits. By the
+#: pigeonhole principle any pair within Hamming distance 3 agrees exactly
+#: on >= 1 band, so banding is LOSSLESS for the <=3 predicate (3 differing
+#: bits cannot touch all 4 bands) — candidates are verified, never trusted.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 4
+SIMHASH_HAMMING_MAX = 3
+
+
+def _sql_simhash_pairs() -> str:
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, substr(simhash, {b * SIMHASH_BAND_BITS + 1},"
+        f" {SIMHASH_BAND_BITS}) AS key FROM fp"
+        for b in range(SIMHASH_BANDS)
+    )
+    hamming = " + ".join(
+        f"CASE WHEN substr(a.simhash, {j + 1}, 1) <> substr(b.simhash, {j + 1}, 1)"
+        f" THEN 1 ELSE 0 END"
+        for j in range(16)
+    )
+    return f"""
+    WITH fp AS MATERIALIZED ({_sql_simhash()}),
+    bands AS MATERIALIZED (
+      {bands}
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id <> y.doc_id
+    ),
+    near AS MATERIALIZED (
+      SELECT c.doc_a AS doc_id, c.doc_b AS partner, CAST({hamming} AS BIGINT) AS hamming
+      FROM cand c
+      JOIN fp a ON a.doc_id = c.doc_a
+      JOIN fp b ON b.doc_id = c.doc_b
+      WHERE {hamming} <= {SIMHASH_HAMMING_MAX}
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(n.partner) AS BIGINT) AS n_near,
+           MIN(n.hamming) AS min_hamming,
+           COUNT(CASE WHEN n.partner < f.doc_id THEN 1 END) = 0 AS keep
+    FROM fp f LEFT JOIN near n ON n.doc_id = f.doc_id
+    GROUP BY f.doc_id
+    """
+
+
+@component(
+    "dedup_simhash_pairs",
+    oracle=_sql_simhash_pairs(),
+    cols=[
+        ("doc_id", "num"),
+        ("n_near", "num"),
+        ("min_hamming", "num"),
+        ("keep", "bool"),
+    ],
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup mining via Hamming banding — the missing rung
+    between dedup_simhash (which only emits fingerprints) and the MinHash
+    pair miner: split each 16-bit fingerprint into {SIMHASH_BANDS} bands
+    of {SIMHASH_BAND_BITS} bits, candidates collide on (band, key), exact
+    Hamming distance verifies collisions against the
+    <= {SIMHASH_HAMMING_MAX} threshold, and the result rolls up PER DOC
+    (near-dup partner count, closest distance, greedy keep-first verdict)
+    — the Manku et al. 2007 Google-crawl simhash plan. The banding is
+    LOSSLESS for the threshold by pigeonhole ({SIMHASH_HAMMING_MAX}
+    differing bits cannot touch all {SIMHASH_BANDS} bands), so the banded
+    rollup EQUALS the all-pairs rollup. Output is corpus-bounded (one row
+    per doc), never pair-sized: the 16-bit hash collides heavily on
+    same-distribution synthetic text, and emitting raw pairs would be
+    quadratic inside collision classes in exactly the way a production
+    pipeline avoids by rolling up to verdicts.
+
+    Scale: the candidate join shuffles on (band, key) buckets, never the
+    O(n²) pair space; at 100 TB the production form widens to 64-bit
+    fingerprints with {SIMHASH_BANDS}x16-bit bands (65k bucket values per
+    band, occupancy n/65k) and the identical plan — bit width is a
+    constant in the expressions, not a structural change. Hamming
+    verification touches candidate pairs only, as a pure Column
+    expression over the two fingerprint strings."""
+    prepare(spark, sf_dir)
+    fp = dedup_simhash(spark, sf_dir).cache()
+    band_frames = [
+        fp.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * SIMHASH_BAND_BITS + 1, SIMHASH_BAND_BITS).alias(
+                "key"
+            ),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    x = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    y = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    cand = (
+        x.join(y, ["band", "key"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    hamming = None
+    for j in range(16):
+        term = F.when(
+            F.substring("ha", j + 1, 1) != F.substring("hb", j + 1, 1), 1
+        ).otherwise(0)
+        hamming = term if hamming is None else hamming + term
+    near = (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("partner"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    )
+    return (
+        fp.select("doc_id")
+        .join(near, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("partner").cast("long").alias("n_near"),
+            F.min("hamming").alias("min_hamming"),
+            (
+                F.count(F.when(F.col("partner") < F.col("doc_id"), 1)) == 0
+            ).alias("keep"),
+        )
+    )

@@ -150,6 +150,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         # continuous-crawl posture: new batch probed against the
         # historical hash + band index, O(batch) not O(corpus)
         "text_incremental_dedup",
+        # SimHash Hamming-banded pair mining (lossless for <=3 by pigeonhole)
+        "dedup_simhash_pairs",
         # regular-grid resampling: gap fill + forward fill per user
         "ts_resample_ffill",
         # Holt level+trend smoothing: per-series sequential state via

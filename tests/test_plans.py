@@ -554,6 +554,10 @@ COMPONENT_SHUFFLE_BUDGET = {
     # cross-tower retrieval: queries broadcast into the tower scan; the
     # only exchange is the per-query top-k window
     "mm_clip_retrieval_topk": 1,
+    # simhash banding: fingerprint build (explode+groupBy) + the banded
+    # candidate self-join on (band, key) + pair distinct + the per-doc
+    # verdict rollup — every exchange bucket- or corpus-sized, never pairs
+    "dedup_simhash_pairs": 9,
 }
 
 
