@@ -958,3 +958,142 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring shared spans (the suffix-array dedup statistic, by index)
+# --------------------------------------------------------------------------
+
+#: shingle width: spans shorter than this never surface (Lee et al. use 50
+#: BPE tokens on web corpora; 8 whitespace tokens is the testdata-scaled
+#: equivalent — long enough that chance k-grams are rare, short enough
+#: that the planted near-dup spans are found)
+SPAN_SHINGLE_K = 8
+#: shingles occurring in more than this many docs are dropped BEFORE the
+#: pair join — they are boilerplate (text_boilerplate_ngrams' object) and
+#: would otherwise fan the join quadratically; the cap is what bounds the
+#: operator at corpus scale. Measured max doc-freq on the testdata is 3,
+#: so the cap changes nothing at test SFs — it exists for the 100 TB form.
+SPAN_SHINGLE_DF_CAP = 16
+
+
+def _sql_shared_spans() -> str:
+    k = SPAN_SHINGLE_K
+    return f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id, i AS pos,
+             array_to_string(t[i:i+{k - 1}], ' ') AS shingle
+      FROM tok, UNNEST(range(1, len(t) - {k - 2})) AS u(i)
+    ),
+    keepers AS MATERIALIZED (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {SPAN_SHINGLE_DF_CAP}
+    ),
+    prs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM sh a
+      JOIN keepers kp ON a.shingle = kp.shingle
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, pa - pb AS diag,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+      FROM prs
+    ),
+    spans AS (
+      SELECT doc_a, doc_b, CAST(COUNT(*) + {k - 1} AS BIGINT) AS span
+      FROM runs GROUP BY doc_a, doc_b, diag, isl
+    )
+    SELECT doc_a, doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(span) AS BIGINT) AS max_span_tokens,
+           CAST(SUM(span) AS BIGINT) AS total_span_tokens
+    FROM spans GROUP BY doc_a, doc_b
+    """
+
+
+@component(
+    "dedup_shared_spans",
+    oracle=_sql_shared_spans(),
+    cols=[
+        ("doc_a", "num"),
+        ("doc_b", "num"),
+        ("n_spans", "num"),
+        ("max_span_tokens", "num"),
+        ("total_span_tokens", "num"),
+    ],
+)
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING duplication between document pairs — the statistic
+    behind suffix-array dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): for every doc pair sharing at
+    least one {SPAN_SHINGLE_K}-token window, the maximal shared token
+    SPANS (length, count, total). This catches verbatim passage reuse
+    that whole-doc methods miss (MinHash needs global similarity;
+    sentence dedup needs sentence-aligned copies) and is the signal the
+    Lee et al. pipeline CUTS on (they excise spans ≥ the threshold).
+
+    Plan (the distributed replacement for a suffix array): positional
+    {SPAN_SHINGLE_K}-shingles → inverted index; shingles in >
+    {SPAN_SHINGLE_DF_CAP} docs are dropped before the pair join (they
+    are cross-corpus boilerplate — text_boilerplate_ngrams' object — and
+    the cap is what bounds the join at corpus scale, the whale-cap
+    convention); matching positions land on diagonals (pos_a − pos_b
+    constant), and a gaps-and-islands window turns consecutive diagonal
+    hits into maximal spans: a run of r consecutive matching windows is
+    a shared span of r + {SPAN_SHINGLE_K - 1} tokens.
+
+    Scale: the index join shuffles on the shingle hash (per-shingle
+    fan-out ≤ cap² by construction); the island window partitions on
+    (pair, diagonal) — span-bounded, never corpus-bounded; per-pair
+    rollups shuffle on the pair key. Nothing is ever all-pairs: pairs
+    exist only where an exact {SPAN_SHINGLE_K}-gram match exists."""
+    prepare(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    k = SPAN_SHINGLE_K
+    tok = spark.table("documents").select("doc_id", tokens("text").alias("t"))
+    # windows of width k in n tokens: i = 1 .. n-(k-1) — DuckDB's
+    # range(1, n-(k-2)) is END-EXCLUSIVE, so the Spark (inclusive)
+    # sequence bound is n-(k-1); one more would emit a truncated
+    # (k-1)-token end window that can spuriously extend runs by 1
+    sh = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {k - 1}, 0)),"
+                f" i -> struct(i AS pos, array_join(slice(t, i, {k}), ' ') AS shingle))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.shingle").alias("shingle"))
+    keepers = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= SPAN_SHINGLE_DF_CAP))
+        .select("shingle")
+    )
+    indexed = sh.join(keepers, "shingle")
+    a = indexed.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "shingle"
+    )
+    b = indexed.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "shingle"
+    )
+    prs = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", F.col("pa") - F.col("pb")).orderBy("pa")
+    runs = prs.select(
+        "doc_a", "doc_b", diag, (F.col("pa") - F.row_number().over(w)).alias("isl")
+    )
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "isl").agg(
+        (F.count(F.lit(1)) + (k - 1)).cast("long").alias("span")
+    )
+    return spans.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.max("span").cast("long").alias("max_span_tokens"),
+        F.sum("span").cast("long").alias("total_span_tokens"),
+    )

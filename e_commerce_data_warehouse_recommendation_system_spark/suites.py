@@ -152,6 +152,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_incremental_dedup",
         # SimHash Hamming-banded pair mining (lossless for <=3 by pigeonhole)
         "dedup_simhash_pairs",
+        # exact-substring shared spans (the suffix-array dedup statistic)
+        "dedup_shared_spans",
         # regular-grid resampling: gap fill + forward fill per user
         "ts_resample_ffill",
         # Holt level+trend smoothing: per-series sequential state via

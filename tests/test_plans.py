@@ -558,6 +558,10 @@ COMPONENT_SHUFFLE_BUDGET = {
     # candidate self-join on (band, key) + pair distinct + the per-doc
     # verdict rollup — every exchange bucket- or corpus-sized, never pairs
     "dedup_simhash_pairs": 9,
+    # shared spans: shingle df groupBy + the capped index join + the
+    # (pair, diagonal) island window + two rollups — pairs exist only
+    # where an exact k-gram match exists, never all-pairs
+    "dedup_shared_spans": 7,
 }
 
 
