@@ -977,10 +977,13 @@ SPAN_SHINGLE_K = 8
 SPAN_SHINGLE_DF_CAP = 16
 
 
-def _sql_shared_spans() -> str:
+def _sql_span_base() -> str:
+    """Shared CTE chain through per-island runs (pa AND pb retained):
+    tokenize → positional shingles → df-capped index → diagonal islands.
+    Consumed by both the span statistic and the excision oracles."""
     k = SPAN_SHINGLE_K
     return f"""
-    WITH tok AS MATERIALIZED (
+    tok AS MATERIALIZED (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
     ),
     sh AS MATERIALIZED (
@@ -998,12 +1001,64 @@ def _sql_shared_spans() -> str:
       JOIN keepers kp ON a.shingle = kp.shingle
       JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ),
-    runs AS (
-      SELECT doc_a, doc_b, pa - pb AS diag,
+    runs AS MATERIALIZED (
+      SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
              pa - ROW_NUMBER() OVER (
                PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
       FROM prs
-    ),
+    )"""
+
+
+def _span_runs(spark: SparkSession) -> DataFrame:
+    """Spark twin of :func:`_sql_span_base`: (doc_a, doc_b, pa, pb, diag,
+    isl) — one row per matching shingle-position pair, island-labelled.
+    Shared by the span statistic and the excision operator."""
+    from pyspark.sql.window import Window
+
+    k = SPAN_SHINGLE_K
+    tok = spark.table("documents").select("doc_id", tokens("text").alias("t"))
+    # windows of width k in n tokens: i = 1 .. n-(k-1) — DuckDB's
+    # range(1, n-(k-2)) is END-EXCLUSIVE, so the Spark (inclusive)
+    # sequence bound is n-(k-1); one more would emit a truncated
+    # (k-1)-token end window that can spuriously extend runs by 1
+    sh = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {k - 1}, 0)),"
+                f" i -> struct(i AS pos, array_join(slice(t, i, {k}), ' ') AS shingle))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.shingle").alias("shingle"))
+    keepers = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= SPAN_SHINGLE_DF_CAP))
+        .select("shingle")
+    )
+    indexed = sh.join(keepers, "shingle")
+    a = indexed.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "shingle"
+    )
+    b = indexed.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "shingle"
+    )
+    prs = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+    w = Window.partitionBy("doc_a", "doc_b", F.col("pa") - F.col("pb")).orderBy("pa")
+    return prs.select(
+        "doc_a",
+        "doc_b",
+        "pa",
+        "pb",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        (F.col("pa") - F.row_number().over(w)).alias("isl"),
+    )
+
+
+def _sql_shared_spans() -> str:
+    k = SPAN_SHINGLE_K
+    return f"""
+    WITH {_sql_span_base()},
     spans AS (
       SELECT doc_a, doc_b, CAST(COUNT(*) + {k - 1} AS BIGINT) AS span
       FROM runs GROUP BY doc_a, doc_b, diag, isl
@@ -1053,42 +1108,8 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollups shuffle on the pair key. Nothing is ever all-pairs: pairs
     exist only where an exact {SPAN_SHINGLE_K}-gram match exists."""
     prepare(spark, sf_dir)
-    from pyspark.sql.window import Window
-
     k = SPAN_SHINGLE_K
-    tok = spark.table("documents").select("doc_id", tokens("text").alias("t"))
-    # windows of width k in n tokens: i = 1 .. n-(k-1) — DuckDB's
-    # range(1, n-(k-2)) is END-EXCLUSIVE, so the Spark (inclusive)
-    # sequence bound is n-(k-1); one more would emit a truncated
-    # (k-1)-token end window that can spuriously extend runs by 1
-    sh = tok.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(t) - {k - 1}, 0)),"
-                f" i -> struct(i AS pos, array_join(slice(t, i, {k}), ' ') AS shingle))"
-            )
-        ).alias("w"),
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.shingle").alias("shingle"))
-    keepers = (
-        sh.groupBy("shingle")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
-        .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= SPAN_SHINGLE_DF_CAP))
-        .select("shingle")
-    )
-    indexed = sh.join(keepers, "shingle")
-    a = indexed.select(
-        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "shingle"
-    )
-    b = indexed.select(
-        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "shingle"
-    )
-    prs = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
-    diag = (F.col("pa") - F.col("pb")).alias("diag")
-    w = Window.partitionBy("doc_a", "doc_b", F.col("pa") - F.col("pb")).orderBy("pa")
-    runs = prs.select(
-        "doc_a", "doc_b", diag, (F.col("pa") - F.row_number().over(w)).alias("isl")
-    )
+    runs = _span_runs(spark)
     spans = runs.groupBy("doc_a", "doc_b", "diag", "isl").agg(
         (F.count(F.lit(1)) + (k - 1)).cast("long").alias("span")
     )
@@ -1096,4 +1117,115 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.max("span").cast("long").alias("max_span_tokens"),
         F.sum("span").cast("long").alias("total_span_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Span excision: CUT the duplicated spans from the later document
+# --------------------------------------------------------------------------
+
+
+def _sql_span_excision() -> str:
+    k = SPAN_SHINGLE_K
+    return f"""
+    WITH {_sql_span_base()},
+    drops AS MATERIALIZED (
+      SELECT doc_b AS doc_id, MIN(pb) AS p0,
+             COUNT(*) + {k - 1} AS len
+      FROM runs GROUP BY doc_a, doc_b, diag, isl
+    ),
+    tokpos AS MATERIALIZED (
+      SELECT doc_id, i AS pos, t[i] AS tok
+      FROM tok, UNNEST(range(1, len(t) + 1)) AS u(i)
+    ),
+    dropped AS MATERIALIZED (
+      SELECT DISTINCT tp.doc_id, tp.pos
+      FROM tokpos tp JOIN drops d
+        ON tp.doc_id = d.doc_id AND tp.pos BETWEEN d.p0 AND d.p0 + d.len - 1
+    ),
+    affected AS (SELECT DISTINCT doc_id FROM dropped)
+    SELECT tp.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens_before,
+           CAST(COUNT(dr.pos) AS BIGINT) AS n_tokens_dropped,
+           CAST(COUNT(*) - COUNT(dr.pos) AS BIGINT) AS n_tokens_after,
+           md5(COALESCE(string_agg(CASE WHEN dr.pos IS NULL THEN tp.tok END,
+                                   ' ' ORDER BY tp.pos), '')) AS clean_md5
+    FROM tokpos tp
+    JOIN affected af ON tp.doc_id = af.doc_id
+    LEFT JOIN dropped dr ON tp.doc_id = dr.doc_id AND tp.pos = dr.pos
+    GROUP BY tp.doc_id
+    """
+
+
+@component(
+    "dedup_span_excision",
+    oracle=_sql_span_excision(),
+    cols=[
+        ("doc_id", "num"),
+        ("n_tokens_before", "num"),
+        ("n_tokens_dropped", "num"),
+        ("n_tokens_after", "num"),
+        ("clean_md5", "str"),
+    ],
+)
+def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span EXCISION — the action half of exact-substring dedup
+    (dedup_shared_spans is the statistic; Lee et al. 2022 cut the
+    duplicated bytes, keeping one occurrence): for every document that
+    shares a maximal span with an EARLIER document (keep-first: doc_a
+    keeps its copy, doc_b loses its), drop the covered token range and
+    re-emit the cleaned document. Output per affected doc: token counts
+    before/dropped/after plus the md5 of the reassembled cleaned text —
+    the full cleaned string is pinned cross-engine, not just its length.
+
+    Overlapping ranges from different partners union naturally (a token
+    is dropped if ANY excision range covers it). The md5 crosses engines
+    because the token reassembly is order-pinned (positions) and the
+    tokenization is the shared whitespace convention.
+
+    Scale: everything through the island runs is dedup_shared_spans'
+    bounded plan; the excision adds one range join (token positions vs
+    per-doc drop ranges — ranges are span-bounded per doc) and one
+    per-doc ordered reassembly, partitioned on doc_id. Affected docs
+    only; untouched documents never shuffle."""
+    prepare(spark, sf_dir)
+    k = SPAN_SHINGLE_K
+    runs = _span_runs(spark)
+    drops = runs.groupBy("doc_a", "doc_b", "diag", "isl").agg(
+        F.min("pb").alias("p0"), (F.count(F.lit(1)) + (k - 1)).alias("len")
+    ).select(F.col("doc_b").alias("doc_id"), "p0", "len")
+    tokpos = (
+        spark.table("documents")
+        .select("doc_id", tokens("text").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t)),"
+                    " i -> struct(i AS pos, element_at(t, i) AS tok))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.tok").alias("tok"))
+    )
+    dropped = (
+        tokpos.join(drops, "doc_id")
+        .filter((F.col("pos") >= F.col("p0")) & (F.col("pos") <= F.col("p0") + F.col("len") - 1))
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    affected = dropped.select("doc_id").distinct()
+    marked = (
+        tokpos.join(affected, "doc_id")
+        .join(dropped.withColumn("is_drop", F.lit(True)), ["doc_id", "pos"], "left")
+    )
+    kept_sorted = F.expr(
+        "array_join(transform(array_sort(collect_list(CASE WHEN is_drop IS NULL"
+        " THEN struct(pos, tok) END)), x -> x.tok), ' ')"
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_before"),
+        F.count("is_drop").cast("long").alias("n_tokens_dropped"),
+        (F.count(F.lit(1)) - F.count("is_drop")).cast("long").alias("n_tokens_after"),
+        F.md5(kept_sorted).alias("clean_md5"),
     )

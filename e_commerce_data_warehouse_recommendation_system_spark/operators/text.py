@@ -2147,6 +2147,67 @@ def text_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Tokenizer fertility per language (tokenizer-fairness audit)
+# --------------------------------------------------------------------------
+
+
+@component(
+    "text_bpe_fertility",
+    oracle=f"""
+    WITH bpe AS MATERIALIZED ({_bpe_encode_sql()}),
+    j AS (
+      SELECT d.lang, b.n_words, b.n_bpe_tokens
+      FROM documents d JOIN bpe b ON d.doc_id = b.doc_id
+    )
+    SELECT lang,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST((1000000 * SUM(n_bpe_tokens)) // SUM(n_words) AS BIGINT)
+             AS fertility_micro
+    FROM j GROUP BY lang
+    """,
+    cols=[
+        ("lang", "str"),
+        ("n_words", "num"),
+        ("n_bpe_tokens", "num"),
+        ("fertility_micro", "num"),
+    ],
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — BPE tokens emitted per word, the
+    standard tokenizer-fairness audit from the multilingual literature
+    (mBERT/XLM-R analyses; high-fertility languages pay more context
+    budget and more compute per sentence, so a shared tokenizer's merge
+    list must be checked against every language it will serve). Computed
+    over text_bpe_encode's real per-doc lengths, rolled up per language;
+    the ratio crosses engines as exact integer micro-units (Spark ``div``
+    ≡ DuckDB ``//`` over exact int64 sums).
+
+    Scale: the encode's corpus cost plus one language-bounded rollup —
+    O(languages) rows out."""
+    prepare(spark, sf_dir)
+    lengths = text_bpe_encode(spark, sf_dir).select(
+        "doc_id", "n_words", "n_bpe_tokens"
+    )
+    j = spark.table("documents").select("doc_id", "lang").join(lengths, "doc_id")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe_tokens",
+            F.expr("div(1000000 * n_bpe_tokens, n_words)")
+            .cast("long")
+            .alias("fertility_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # DSIR-style importance weighting (target-vs-raw likelihood-ratio scoring)
 # --------------------------------------------------------------------------
 

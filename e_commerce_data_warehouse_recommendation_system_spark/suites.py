@@ -154,6 +154,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "dedup_simhash_pairs",
         # exact-substring shared spans (the suffix-array dedup statistic)
         "dedup_shared_spans",
+        # span EXCISION: cut duplicated spans from the later doc (keep-first)
+        "dedup_span_excision",
         # regular-grid resampling: gap fill + forward fill per user
         "ts_resample_ffill",
         # Holt level+trend smoothing: per-series sequential state via
@@ -306,6 +308,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_bpe_encode",
         # packing driven by REAL BPE lengths (the complete tokenize->pack)
         "text_pack_bpe",
+        # per-language tokenizer fertility (tokens/word fairness audit)
+        "text_bpe_fertility",
         # DSIR importance weights (target-vs-raw likelihood ratio)
         "text_dsir_weights",
     ],

@@ -562,6 +562,13 @@ COMPONENT_SHUFFLE_BUDGET = {
     # (pair, diagonal) island window + two rollups — pairs exist only
     # where an exact k-gram match exists, never all-pairs
     "dedup_shared_spans": 7,
+    # excision: the span base + drop-range rollup + the position range
+    # join + affected filter + the per-doc ordered reassembly — wide
+    # (16) but every exchange is span-, pair-, or affected-doc-bounded
+    "dedup_span_excision": 16,
+    # fertility: the encode's 5 + a language-bounded rollup (lang join
+    # broadcasts)
+    "text_bpe_fertility": 5,
 }
 
 
