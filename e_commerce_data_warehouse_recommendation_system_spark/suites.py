@@ -369,6 +369,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "graph_reach_bfs",
         # triangle count + local clustering coefficient (oriented 2-path)
         "graph_triangle_count",
+        # k-core decomposition: bounded peel, data-derived p5 threshold
+        "graph_kcore",
         # reciprocal-rank-fusion hybrid (itemCF × popularity)
         "rec_rrf_hybrid",
         # user-user CF end-to-end: neighbors + neighborhood voting

@@ -569,6 +569,10 @@ COMPONENT_SHUFFLE_BUDGET = {
     # fertility: the encode's 5 + a language-bounded rollup (lang join
     # broadcasts)
     "text_bpe_fertility": 5,
+    # k-core: checkpointed peel rounds bill their per-round degree
+    # groupBy/joins off-plan (the BFS/CC convention); the 12 on-plan
+    # exchanges are the final assembly joins over node-bounded frames
+    "graph_kcore": 12,
 }
 
 
