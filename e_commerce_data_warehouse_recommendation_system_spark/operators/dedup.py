@@ -1229,3 +1229,145 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("is_drop")).cast("long").alias("n_tokens_after"),
         F.md5(kept_sorted).alias("clean_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Span-level decontamination (the GPT-3 13-gram collision rule)
+# --------------------------------------------------------------------------
+
+#: minimum shared-span length (tokens) that flags a training doc — the
+#: GPT-3 appendix-C decontamination rule (13-gram collisions with eval
+#: data); a span of >= 13 tokens is >= 13-8+1 = 6 consecutive 8-windows
+DECONTAM_SPAN_TOKENS = 13
+
+
+def _sql_span_decontam() -> str:
+    k = SPAN_SHINGLE_K
+    return f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id, i AS pos,
+             array_to_string(t[i:i+{k - 1}], ' ') AS shingle
+      FROM tok, UNNEST(range(1, len(t) - {k - 2})) AS u(i)
+    ),
+    ev AS MATERIALIZED (
+      SELECT doc_id, pos, shingle FROM sh
+      WHERE doc_id % {CONTAM_PROBE_MODULUS} = 0
+    ),
+    tr AS MATERIALIZED (
+      SELECT doc_id, pos, shingle FROM sh
+      WHERE doc_id % {CONTAM_PROBE_MODULUS} <> 0
+    ),
+    prs AS MATERIALIZED (
+      SELECT tr.doc_id AS doc_id, ev.doc_id AS eval_doc,
+             tr.pos AS pt, ev.pos AS pe
+      FROM tr JOIN ev ON tr.shingle = ev.shingle
+    ),
+    runs AS MATERIALIZED (
+      SELECT doc_id, eval_doc, pt - pe AS diag,
+             pt - ROW_NUMBER() OVER (
+               PARTITION BY doc_id, eval_doc, pt - pe ORDER BY pt) AS isl
+      FROM prs
+    ),
+    spans AS MATERIALIZED (
+      SELECT doc_id, eval_doc, CAST(COUNT(*) + {k - 1} AS BIGINT) AS span
+      FROM runs GROUP BY doc_id, eval_doc, diag, isl
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(DISTINCT eval_doc) AS BIGINT) AS n_eval_docs,
+             CAST(MAX(span) AS BIGINT) AS max_span_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(p.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
+           p.max_span_tokens,
+           COALESCE(p.max_span_tokens, 0) >= {DECONTAM_SPAN_TOKENS}
+             AS contaminated
+    FROM (SELECT doc_id FROM tok
+          WHERE doc_id % {CONTAM_PROBE_MODULUS} <> 0) t
+    LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    """
+
+
+@component(
+    "text_span_decontamination",
+    oracle=_sql_span_decontam(),
+    cols=[
+        ("doc_id", "num"),
+        ("n_eval_docs", "num"),
+        ("max_span_tokens", "num"),
+        ("contaminated", "bool"),
+    ],
+)
+def text_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination — the GPT-3 rule (appendix C:
+    drop training documents sharing a 13-GRAM collision with eval data),
+    complementing text_contamination's 3-gram overlap RATIO: a ratio
+    filter catches near-copies of whole benchmark items, while the
+    long-span rule catches a single verbatim eval passage quoted inside
+    an otherwise-clean document (ratio ~0, but exactly the leak that
+    inflates benchmark scores). Eval set = every
+    {CONTAM_PROBE_MODULUS}th doc (the deterministic stand-in, same split
+    as text_contamination); a training doc is contaminated iff its
+    longest shared span with ANY eval doc reaches
+    {DECONTAM_SPAN_TOKENS} tokens (= {DECONTAM_SPAN_TOKENS - SPAN_SHINGLE_K + 1}
+    consecutive {SPAN_SHINGLE_K}-token windows on the match diagonal).
+    Emits every training doc with its verdict, hit count, and longest
+    matched span.
+
+    Scale: the shingle join's fan-out is bounded by the EVAL side
+    (benchmarks are MBs at any corpus size — the join broadcasts in
+    practice); islands partition on (train doc, eval doc, diagonal);
+    the per-doc rollup shuffles on doc_id. Same diagonal-island algebra
+    as dedup_shared_spans, pointed at a reference set instead of the
+    corpus itself."""
+    prepare(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    k = SPAN_SHINGLE_K
+    tok = spark.table("documents").select("doc_id", tokens("text").alias("t"))
+    sh = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {k - 1}, 0)),"
+                f" i -> struct(i AS pos, array_join(slice(t, i, {k}), ' ') AS shingle))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.shingle").alias("shingle"))
+    is_eval = F.col("doc_id") % CONTAM_PROBE_MODULUS == 0
+    ev = sh.filter(is_eval).select(
+        F.col("doc_id").alias("eval_doc"), F.col("pos").alias("pe"), "shingle"
+    )
+    tr = sh.filter(~is_eval).select(
+        "doc_id", F.col("pos").alias("pt"), "shingle"
+    )
+    prs = tr.join(F.broadcast(ev), "shingle")
+    w = Window.partitionBy(
+        "doc_id", "eval_doc", F.col("pt") - F.col("pe")
+    ).orderBy("pt")
+    runs = prs.select(
+        "doc_id",
+        "eval_doc",
+        (F.col("pt") - F.col("pe")).alias("diag"),
+        (F.col("pt") - F.row_number().over(w)).alias("isl"),
+    )
+    spans = runs.groupBy("doc_id", "eval_doc", "diag", "isl").agg(
+        (F.count(F.lit(1)) + (k - 1)).cast("long").alias("span")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.countDistinct("eval_doc").cast("long").alias("n_eval_docs"),
+        F.max("span").cast("long").alias("max_span_tokens"),
+    )
+    train_docs = tok.filter(~is_eval).select("doc_id")
+    return train_docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_eval_docs", F.lit(0)).cast("long").alias("n_eval_docs"),
+        F.col("max_span_tokens").cast("long").alias("max_span_tokens"),
+        (
+            F.coalesce("max_span_tokens", F.lit(0)) >= DECONTAM_SPAN_TOKENS
+        ).alias("contaminated"),
+    )

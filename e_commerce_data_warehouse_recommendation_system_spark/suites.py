@@ -264,6 +264,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_tfidf_topterms",
         "text_repetition",
         "text_contamination",
+        # span-level decontamination (the GPT-3 13-gram collision rule)
+        "text_span_decontamination",
         "text_pii_scrub",
         # ftfy-class encoding-damage detection + repair (injected markers)
         "text_mojibake_detect",

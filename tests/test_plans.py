@@ -573,6 +573,9 @@ COMPONENT_SHUFFLE_BUDGET = {
     # groupBy/joins off-plan (the BFS/CC convention); the 12 on-plan
     # exchanges are the final assembly joins over node-bounded frames
     "graph_kcore": 12,
+    # span decontamination: eval shingles broadcast into the train scan;
+    # islands window + two rollups — fan-out bounded by the eval side
+    "text_span_decontamination": 5,
 }
 
 
