@@ -1025,7 +1025,11 @@ def _span_runs(spark: SparkSession) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(t) - {k - 1}, 0)),"
+                # docs with < k tokens must yield NO windows: two-arg
+                # sequence(1, 0) DESCENDS to [1, 0] and slice(t, 0, k)
+                # throws, so the filter drops the out-of-range starts
+                f"transform(filter(sequence(1, greatest(size(t) - {k - 1}, 1)),"
+                f"                 i -> i <= size(t) - {k - 1}),"
                 f" i -> struct(i AS pos, array_join(slice(t, i, {k}), ' ') AS shingle))"
             )
         ).alias("w"),
@@ -1333,7 +1337,10 @@ def text_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(t) - {k - 1}, 0)),"
+                # same short-doc guard as _span_runs: no windows for
+                # docs under k tokens (two-arg sequence descends)
+                f"transform(filter(sequence(1, greatest(size(t) - {k - 1}, 1)),"
+                f"                 i -> i <= size(t) - {k - 1}),"
                 f" i -> struct(i AS pos, array_join(slice(t, i, {k}), ' ') AS shingle))"
             )
         ).alias("w"),

@@ -2672,8 +2672,10 @@ _SQL_KCORE_EDGES = """
 
 def _kcore_oracle() -> str:
     """Unrolled bounded peel: each round keeps nodes whose degree WITHIN
-    the remaining set is >= K (the median initial degree — data-derived so
-    the threshold adapts across SFs). MATERIALIZED per round (the
+    the remaining set is >= K (the 5th-PERCENTILE initial degree, rank
+    (n+19)//20 in the kval CTE — data-derived so the threshold adapts
+    across SFs; the median unravels this near-regular graph, see the
+    graph_kcore docstring). MATERIALIZED per round (the
     PageRank-oracle convention — DuckDB would otherwise re-inline the
     whole chain per step)."""
     steps = []
@@ -2797,7 +2799,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("d", "node")
     ranked = deg0.select("d", "node", F.row_number().over(w).alias("rn"))
     n_nodes = deg0.count()
-    # 1-row scalar: the median-degree threshold (the repo's documented
+    # 1-row scalar: the p5-degree threshold (the repo's documented
     # bounded-collect class — same as the decay anchor / CMS bounds)
     k = ranked.filter(F.col("rn") == (n_nodes + 19) // 20).collect()[0]["d"]
     remaining = deg0.select("node")

@@ -108,12 +108,17 @@ def _scaled_fixture_dir(spark, scale: int) -> str:
     re-implementations): ``scale`` offset copies of lineitem (orderkey and
     partkey shifted per copy -> disjoint co-purchase graph copies, work
     linear by construction) and of embeddings (vec_id shifted by
-    ``k*10M + 1`` so only copy 0 satisfies ``vec_id % QUERY_MODULUS == 0``
-    — the QUERY SET stays fixed while the corpus grows, isolating the
-    per-corpus-row scan cost), all other tables symlinked."""
+    ``k*10M + 1`` AND residue-filtered so only copy 0 satisfies
+    ``vec_id % QUERY_MODULUS == 0`` — the shift alone is NOT enough
+    (10M % 100 == 0, so +1 merely remaps residue 99 to 0); the explicit
+    filter on copies k>=1 plus the post-build count assertion keep the
+    QUERY SET fixed while the corpus grows, isolating the per-corpus-row
+    scan cost), all other tables symlinked."""
     from pyspark.sql import functions as F
 
-    out = f"/tmp/scale_fixture_x{scale}"
+    # v2: fixed-query-set filter (the k*10M+1 shift alone leaked residue-99
+    # ids into the query set); the version bump invalidates stale fixtures
+    out = f"/tmp/scale_fixture_v2_x{scale}"
     if os.path.isdir(out):
         return out
     os.makedirs(out)
@@ -135,17 +140,34 @@ def _scaled_fixture_dir(spark, scale: int) -> str:
     for c in li_copies[1:]:
         li_all = li_all.unionByName(c)
     li_all.coalesce(8).write.parquet(f"{out}/lineitem.parquet")
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
+        QUERY_MODULUS,
+    )
+
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    emb_copies = [
-        emb.withColumn(
+
+    def _copy(k: int):
+        c = emb.withColumn(
             "vec_id", F.col("vec_id") + F.lit(k * 10_000_000 + (1 if k else 0))
         )
-        for k in range(scale)
-    ]
+        if k:  # corpus-only copies: strip any id the probes treat as a query
+            c = c.filter(F.col("vec_id") % QUERY_MODULUS != 0)
+        return c
+
+    emb_copies = [_copy(k) for k in range(scale)]
     emb_all = emb_copies[0]
     for c in emb_copies[1:]:
         emb_all = emb_all.unionByName(c)
     emb_all.coalesce(4).write.parquet(f"{out}/embeddings.parquet")
+    n_queries = (
+        spark.read.parquet(f"{out}/embeddings.parquet")
+        .filter(F.col("vec_id") % QUERY_MODULUS == 0)
+        .count()
+    )
+    base_queries = emb.filter(F.col("vec_id") % QUERY_MODULUS == 0).count()
+    assert n_queries == base_queries, (
+        f"scaled fixture query set drifted: {n_queries} != base {base_queries}"
+    )
     return out
 
 
