@@ -1009,6 +1009,21 @@ def _sql_span_base() -> str:
     )"""
 
 
+def shingle_windows_expr(k: int) -> str:
+    """Spark SQL expression producing the positional k-token shingle windows
+    of a token array column ``t``: array<struct<pos:int, shingle:string>>,
+    1-based positions, EMPTY for docs under k tokens. The filter is the
+    short-doc guard: two-arg sequence(1, 0) DESCENDS on Spark (yielding
+    [1, 0], and slice(t, 0, k) then throws), so out-of-range starts are
+    filtered instead of relying on the sequence bound. Shared by the span
+    statistic, excision, decontamination, and the curation pipeline."""
+    return (
+        f"transform(filter(sequence(1, greatest(size(t) - {k - 1}, 1)),"
+        f"                 i -> i <= size(t) - {k - 1}),"
+        f" i -> struct(i AS pos, array_join(slice(t, i, {k}), ' ') AS shingle))"
+    )
+
+
 def _span_runs(spark: SparkSession) -> DataFrame:
     """Spark twin of :func:`_sql_span_base`: (doc_a, doc_b, pa, pb, diag,
     isl) — one row per matching shingle-position pair, island-labelled.
@@ -1022,17 +1037,7 @@ def _span_runs(spark: SparkSession) -> DataFrame:
     # sequence bound is n-(k-1); one more would emit a truncated
     # (k-1)-token end window that can spuriously extend runs by 1
     sh = tok.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                # docs with < k tokens must yield NO windows: two-arg
-                # sequence(1, 0) DESCENDS to [1, 0] and slice(t, 0, k)
-                # throws, so the filter drops the out-of-range starts
-                f"transform(filter(sequence(1, greatest(size(t) - {k - 1}, 1)),"
-                f"                 i -> i <= size(t) - {k - 1}),"
-                f" i -> struct(i AS pos, array_join(slice(t, i, {k}), ' ') AS shingle))"
-            )
-        ).alias("w"),
+        "doc_id", F.explode(F.expr(shingle_windows_expr(k))).alias("w")
     ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.shingle").alias("shingle"))
     keepers = (
         sh.groupBy("shingle")
@@ -1334,16 +1339,7 @@ def text_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = SPAN_SHINGLE_K
     tok = spark.table("documents").select("doc_id", tokens("text").alias("t"))
     sh = tok.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                # same short-doc guard as _span_runs: no windows for
-                # docs under k tokens (two-arg sequence descends)
-                f"transform(filter(sequence(1, greatest(size(t) - {k - 1}, 1)),"
-                f"                 i -> i <= size(t) - {k - 1}),"
-                f" i -> struct(i AS pos, array_join(slice(t, i, {k}), ' ') AS shingle))"
-            )
-        ).alias("w"),
+        "doc_id", F.explode(F.expr(shingle_windows_expr(k))).alias("w")
     ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.shingle").alias("shingle"))
     is_eval = F.col("doc_id") % CONTAM_PROBE_MODULUS == 0
     ev = sh.filter(is_eval).select(

@@ -1951,6 +1951,37 @@ def _bpe_merge_fold_sql(rule_a: str, rule_b: str, inner: str) -> str:
     )
 
 
+def bpe_segments(col: Column | str) -> Column:
+    """The pretrained BPE merge list applied to a word column: returns the
+    word's BPE token ARRAY. Each rule is a LEFT FOLD over the word's current
+    token sequence (merge iff the accumulated string's last token equals the
+    rule's left symbol and the incoming token equals its right symbol — the
+    canonical greedy non-overlapping semantics), applied rule-by-rule in
+    rank order. Pure Column expressions, zero Python; meant to run on the
+    Zipf-bounded DISTINCT word table. Shared by text_bpe_encode and the
+    curation pipeline."""
+
+    def merge_rule(a: str, b: str):
+        # bind the rule's symbols in a closure: PySpark introspects the
+        # lambda arity, so extra default args are not an option here
+        def step(acc, x):
+            return (
+                F.when(acc == "", x)
+                .when(
+                    ((acc == a) | acc.endswith(_BPE_SEP + a)) & (x == b),
+                    F.concat(acc, F.lit(b)),
+                )
+                .otherwise(F.concat(acc, F.lit(_BPE_SEP), x))
+            )
+
+        return step
+
+    enc = F.array_join(F.split(col, ""), _BPE_SEP)
+    for a, b in BPE_MERGES:
+        enc = F.aggregate(F.split(enc, _BPE_SEP), F.lit(""), merge_rule(a, b))
+    return F.split(enc, _BPE_SEP)
+
+
 def _bpe_encode_sql() -> str:
     enc = f"array_to_string(string_split(w, ''), chr(31))"
     for a, b in BPE_MERGES:
@@ -2028,26 +2059,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
     )
     words = toks.select("w").distinct()
-
-    def merge_rule(a: str, b: str):
-        # bind the rule's symbols in a closure: PySpark introspects the
-        # lambda arity, so extra default args are not an option here
-        def step(acc, x):
-            return (
-                F.when(acc == "", x)
-                .when(
-                    ((acc == a) | acc.endswith(_BPE_SEP + a)) & (x == b),
-                    F.concat(acc, F.lit(b)),
-                )
-                .otherwise(F.concat(acc, F.lit(_BPE_SEP), x))
-            )
-
-        return step
-
-    enc = F.array_join(F.split("w", ""), _BPE_SEP)
-    for a, b in BPE_MERGES:
-        enc = F.aggregate(F.split(enc, _BPE_SEP), F.lit(""), merge_rule(a, b))
-    wtok = words.select("w", F.explode(F.split(enc, _BPE_SEP)).alias("token"))
+    wtok = words.select("w", F.explode(bpe_segments("w")).alias("token"))
     vocab = (
         wtok.select("token")
         .distinct()

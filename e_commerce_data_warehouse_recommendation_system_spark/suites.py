@@ -25,6 +25,7 @@ import e_commerce_data_warehouse_recommendation_system_spark.plans.etl  # noqa: 
 import e_commerce_data_warehouse_recommendation_system_spark.plans.queries  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.operators.similarity  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.operators.text  # noqa: F401
+import e_commerce_data_warehouse_recommendation_system_spark.operators.curation  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.operators.multimodal  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.operators.quality  # noqa: F401
 import e_commerce_data_warehouse_recommendation_system_spark.recommend.queries  # noqa: F401
@@ -314,6 +315,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_bpe_fertility",
         # DSIR importance weights (target-vs-raw likelihood ratio)
         "text_dsir_weights",
+        # the CAPSTONE: funnel -> dedup -> excision -> decontam -> mixture
+        # -> BPE -> packing, chained with per-stage conservation columns
+        "text_curation_pipeline",
     ],
     # multimodal: frame sampling + decode->resize->sample chain + the
     # embedding-representation compression step (int8 quantization)

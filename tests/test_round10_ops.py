@@ -75,6 +75,49 @@ def test_span_family_survives_short_docs(spark, short_doc_dir):
     assert dec.count() > 0  # ran to completion on the short-doc corpus
 
 
+def test_curation_pipeline_conservation(spark):
+    """The capstone chain's conservation invariants: per-stage
+    kept + dropped = in (docs AND whitespace tokens), stage i+1 consumes
+    exactly stage i's survivors, BPE tokens are conserved through packing,
+    and no stage degenerates to an empty corpus."""
+    rows = sorted(
+        _comp("text_curation_pipeline")(spark, SF0001).collect(),
+        key=lambda r: r["stage_ord"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "c4_funnel",
+        "exact_dedup",
+        "span_excision",
+        "decontamination",
+        "mixture_downsample",
+        "bpe_encode",
+        "pack_sequences",
+    ]
+    prev = None
+    for r in rows:
+        assert r["docs_in"] == r["docs_kept"] + r["docs_dropped"], r
+        assert r["docs_kept"] > 0, r
+        if prev is not None:
+            assert r["docs_in"] == prev["docs_kept"], (prev, r)
+        if r["ws_tokens_out"] is not None and prev is not None and prev[
+            "ws_tokens_out"
+        ] is not None:
+            assert (
+                prev["ws_tokens_out"]
+                == r["ws_tokens_out"] + r["ws_tokens_dropped"]
+            ), (prev, r)
+        prev = r
+    by = {r["stage"]: r for r in rows}
+    # token-level stages actually moved tokens on this corpus
+    assert by["span_excision"]["ws_tokens_dropped"] > 0
+    assert by["mixture_downsample"]["docs_dropped"] > 0
+    # BPE token totals conserved through packing; packing emitted sequences
+    assert by["bpe_encode"]["bpe_tokens_out"] == by["pack_sequences"]["bpe_tokens_out"]
+    assert by["pack_sequences"]["n_sequences"] > 0
+    # checksum only changes when docs drop
+    assert by["bpe_encode"]["docs_checksum"] == by["mixture_downsample"]["docs_checksum"]
+
+
 def test_short_doc_emits_no_windows(spark):
     """Unit pin of the guarded expression itself: the filter must turn the
     descending sequence(1, 0) artifact into an empty window list."""
