@@ -944,11 +944,11 @@ def mm_clip_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     img_id — the sim_cosine_topk convention, restricted per tower.
 
     Scale: this exact form is the VERIFICATION rung (query subset ×
-    tower scan, one per-query window). The production swap is the
-    module-shared ANN ladder — sign-LSH buckets or IVF-PQ cells built
-    over the image tower only — which bounds the candidate join exactly
-    as sim_ann_lsh / ivf_pq_topk document; recall is then measured
-    against THIS baseline, per the sim_ann_digest contract."""
+    tower scan, one per-query window). The production swap is
+    :func:`mm_clip_retrieval_ann` below — sign-LSH buckets built over the
+    image tower only — which bounds the candidate join exactly as
+    sim_ann_lsh documents; its recall is measured against THIS baseline,
+    per the sim_ann_digest contract (floor {CLIP_ANN_RECALL_FLOOR})."""
     prepare(spark, sf_dir)
     from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
         _dot,
@@ -977,4 +977,92 @@ def mm_clip_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("txt_id").orderBy(F.desc("cosine"), F.asc("img_id"))
     return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
         F.col("rnk") <= 5
+    )
+
+
+#: recall@5 floor for the LSH-bucketed CLIP retrieval path, measured against
+#: the exact mm_clip_retrieval_topk baseline — the ivf_pq_topk convention
+#: (>= 0.7); measured 0.944/0.928/0.968 at sf0.001/0.01/0.1
+CLIP_ANN_RECALL_FLOOR = 0.7
+
+
+@component(
+    "mm_clip_retrieval_ann",
+    oracle=f"""
+    SELECT 'clip_lsh' AS method,
+           CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE vec_id % {CLIP_QUERY_MOD} = 1) AS BIGINT) AS n_queries,
+           TRUE AS recall_floor_met
+    """,
+    cols=[("method", "str"), ("n_queries", "num"), ("recall_floor_met", "bool")],
+)
+def mm_clip_retrieval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION rung under cross-tower CLIP retrieval — the ANN swap
+    :func:`mm_clip_retrieval_topk` documents: multi-table sign-LSH buckets
+    built over the IMAGE tower only (the side a retrieval index would be
+    built on), text-tower queries hashed against the SAME data-derived
+    hyperplanes (drawn from the image tower — cross-tower comparability is
+    exactly why the planes must come from the indexed side), candidates =
+    same-bucket collisions in ANY table, exact decimal cosine re-rank to
+    top-5. Recall@5 is measured against the exact baseline per the
+    sim_ann_digest contract and gated at >= {CLIP_ANN_RECALL_FLOOR} (the
+    ivf_pq recall-floor convention): the recall VALUE is
+    algorithm-specific (not SQL-expressible), the floor verdict is the
+    driver-checked contract, computed from genuine recall — a broken
+    bucket join or plane drift flips this digest red.
+
+    Scale: the index is per-tower membership (built once at ingest, the
+    sim_ann_lsh posture); the query path shuffles on (table, bucket) —
+    candidate volume is bucket-bounded, never |queries| x |tower|; the
+    exact baseline remains the verification rung at any SF."""
+    prepare(spark, sf_dir)
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
+        LSH_PLANES_PER_TABLE,
+        LSH_TABLES,
+        TOPK,
+        _dot,
+        _recall_vs_exact,
+        lsh_membership,
+        vectors_with_norms,
+    )
+    from pyspark.sql.window import Window
+
+    vecs = vectors_with_norms(spark).cache()
+    imgs = vecs.filter(F.col("vec_id") % 2 == 0)
+    txts = vecs.filter(F.col("vec_id") % CLIP_QUERY_MOD == 1)
+    membership = lsh_membership(
+        imgs.unionByName(txts), LSH_TABLES, LSH_PLANES_PER_TABLE, plane_source=imgs
+    ).cache()
+    qmem = membership.filter(F.col("vec_id") % CLIP_QUERY_MOD == 1).select(
+        F.col("vec_id").alias("txt_id"), "tbl", "bucket"
+    )
+    cmem = membership.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("img_id"), "tbl", "bucket"
+    )
+    candidates = (
+        qmem.join(cmem, ["tbl", "bucket"]).select("txt_id", "img_id").distinct()
+    )
+    q = txts.select(
+        F.col("vec_id").alias("txt_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = imgs.select(
+        F.col("vec_id").alias("img_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = candidates.join(q, "txt_id").join(c, "img_id").select(
+        "txt_id", "img_id", cos.alias("cosine")
+    )
+    w = Window.partitionBy("txt_id").orderBy(F.desc("cosine"), F.asc("img_id"))
+    approx = scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= TOPK
+    )
+    exact = mm_clip_retrieval_topk(spark, sf_dir)
+    rename = lambda d: d.select(  # noqa: E731 — _recall_vs_exact's column contract
+        F.col("txt_id").alias("query_id"), F.col("img_id").alias("neighbor_id")
+    )
+    recall = _recall_vs_exact(rename(exact), rename(approx))
+    n_queries = txts.count()
+    return spark.createDataFrame(
+        [("clip_lsh", n_queries, bool(recall >= CLIP_ANN_RECALL_FLOOR))],
+        schema="method string, n_queries bigint, recall_floor_met boolean",
     )

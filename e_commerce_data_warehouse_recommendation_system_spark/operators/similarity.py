@@ -304,7 +304,12 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_membership(vecs: DataFrame, n_tables: int, planes_per_table: int) -> DataFrame:
+def lsh_membership(
+    vecs: DataFrame,
+    n_tables: int,
+    planes_per_table: int,
+    plane_source: DataFrame | None = None,
+) -> DataFrame:
     """Multi-table sign-LSH bucket membership: (vec_id, tbl, bucket).
 
     Hyperplanes are data-derived deterministically (the ``n_tables *
@@ -313,10 +318,16 @@ def lsh_membership(vecs: DataFrame, n_tables: int, planes_per_table: int) -> Dat
     bit-for-bit: the sign decision runs on the decimal-exact dot product in
     both engines. Shared by the ANN top-k path and the embedding near-dup
     candidate generator. Shuffles (vec_id, plane_id, bit) rows only — never
-    float arrays."""
+    float arrays.
+
+    ``plane_source`` optionally draws the hyperplanes from a DIFFERENT
+    frame than the one being hashed — the cross-tower case (CLIP retrieval
+    indexes the image tower but must hash text queries against the SAME
+    planes so query and corpus buckets are comparable)."""
     n_planes = n_tables * planes_per_table
     planes = (
-        vecs.orderBy("vec_id")
+        (plane_source if plane_source is not None else vecs)
+        .orderBy("vec_id")
         .limit(n_planes)
         .select(F.col("vec_id").alias("plane_id"), F.col("v").alias("pv"))
     )

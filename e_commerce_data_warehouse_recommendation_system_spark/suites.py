@@ -353,6 +353,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "mm_clip_pair_curation",
         # cross-tower retrieval: caption -> image exact top-k baseline
         "mm_clip_retrieval_topk",
+        # its production ANN twin: image-tower sign-LSH, recall-floor gated
+        "mm_clip_retrieval_ann",
         # topic-balanced sampling over the trained cells (shares the fit)
         "sim_cluster_balanced_sample",
     ],

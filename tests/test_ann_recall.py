@@ -52,3 +52,18 @@ def test_ivf_recall_floor(spark, exact_pairs):
 
     assert IVF_RECALL_FLOOR >= 0.8
     assert _recall(spark, sim_ann_ivf_topk, exact_pairs) >= IVF_RECALL_FLOOR
+
+
+def test_clip_retrieval_ann_floor(spark):
+    """The cross-tower CLIP ANN rung gates itself (recall computed inside
+    the component against the exact baseline, measured 0.928-0.968 across
+    SFs); this pins that the gate really passes AND that the floor stays a
+    serving-quality bar."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.multimodal import (
+        CLIP_ANN_RECALL_FLOOR,
+        mm_clip_retrieval_ann,
+    )
+
+    assert CLIP_ANN_RECALL_FLOOR >= 0.7
+    row = mm_clip_retrieval_ann(spark, SF0001).collect()[0]
+    assert row["method"] == "clip_lsh" and row["recall_floor_met"]
