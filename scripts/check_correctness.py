@@ -55,7 +55,7 @@ def duck_connect(sf_dir: str):
     # exceeding 40 GiB) was DuckDB's default CTE INLINING re-evaluating
     # whole oracles: the PageRank iteration chain once per step, and every
     # suite digest's _agg once per metric branch. Both are AS MATERIALIZED
-    # since round 9 (recommend/queries._pagerank_oracle, digest.digest_sql)
+    # since round 9 (recommend/graph._pagerank_oracle, digest.digest_sql)
     # and the full 50-slot sweep verifies at sf0.1 inside the budget.
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     con.execute("SET max_temp_directory_size='40GiB'")
