@@ -2088,6 +2088,139 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE decode round-trip: decode(encode(x)) = x, through the ID space
+# --------------------------------------------------------------------------
+
+
+def _bpe_roundtrip_sql() -> str:
+    enc = "array_to_string(string_split(w, ''), chr(31))"
+    for a, b in BPE_MERGES:
+        enc = _bpe_merge_fold_sql(a, b, enc)
+    return f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    tw AS MATERIALIZED (
+      SELECT doc_id, i AS pos, t[i] AS w
+      FROM tok, UNNEST(range(1, len(t) + 1)) AS u(i)
+      WHERE t[i] <> ''
+    ),
+    words AS MATERIALIZED (SELECT DISTINCT w FROM tw),
+    encw AS MATERIALIZED (SELECT w, string_split({enc}, chr(31)) AS segs FROM words),
+    wtok AS MATERIALIZED (
+      SELECT w, j AS sp, segs[j] AS token
+      FROM encw, UNNEST(range(1, len(segs) + 1)) AS u(j)
+    ),
+    vocab AS MATERIALIZED (
+      SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS token_id
+      FROM (SELECT DISTINCT token FROM wtok)
+    ),
+    encids AS MATERIALIZED (
+      SELECT w, sp, v.token_id FROM wtok JOIN vocab v USING (token)
+    ),
+    dec AS MATERIALIZED (
+      SELECT e.w, e.sp, v.token AS dtok FROM encids e JOIN vocab v USING (token_id)
+    ),
+    rw AS MATERIALIZED (
+      SELECT w, string_agg(dtok, '' ORDER BY sp) AS rw,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM dec GROUP BY w
+    )
+    SELECT tw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(r.n_tokens) AS BIGINT) AS n_bpe_tokens,
+           md5(string_agg(tw.w, ' ' ORDER BY tw.pos)) AS original_md5,
+           md5(string_agg(r.rw, ' ' ORDER BY tw.pos)) AS reconstructed_md5,
+           md5(string_agg(tw.w, ' ' ORDER BY tw.pos))
+             = md5(string_agg(r.rw, ' ' ORDER BY tw.pos)) AS roundtrip_ok
+    FROM tw JOIN rw r USING (w)
+    GROUP BY tw.doc_id
+    """
+
+
+@component(
+    "text_bpe_roundtrip",
+    oracle=_bpe_roundtrip_sql(),
+    cols=[
+        ("doc_id", "num"),
+        ("n_words", "num"),
+        ("n_bpe_tokens", "num"),
+        ("original_md5", "str"),
+        ("reconstructed_md5", "str"),
+        ("roundtrip_ok", "bool"),
+    ],
+)
+def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-usability invariant text_bpe_encode's checksum can't
+    pin: decode(encode(x)) = x per document, THROUGH THE ID SPACE — words
+    are segmented by the merge fold, segments mapped to vocabulary ids,
+    ids mapped BACK to token strings via the same vocab table, and the
+    per-position concatenation reassembles each word and then the whole
+    document; the md5 of the reassembled text must equal the original's.
+    A fold that drops, duplicates, or reorders characters (or a vocab
+    whose id mapping isn't a bijection) flips roundtrip_ok — and because
+    the oracle replays the identical inverse on the bounded vocab, a
+    consistent-but-lossy engine still fails the cross-engine hash.
+
+    Scale: everything except the per-doc rollup is vocab-bounded — the
+    fold, the segment explode, the id table, and the decode join all run
+    on the DISTINCT word/token tables (Zipf-bounded); corpus-sized work is
+    the one token explode and the one per-doc ordered reassembly
+    (text_bpe_encode's exact cost shape plus one broadcast join)."""
+    prepare(spark, sf_dir)
+    tw = (
+        spark.table("documents")
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos0", "w"))
+        .filter(F.col("w") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    wtok = (
+        tw.select("w")
+        .distinct()
+        .select("w", F.posexplode(bpe_segments("w")).alias("sp", "token"))
+    )
+    vocab = (
+        wtok.select("token")
+        .distinct()
+        .withColumn(
+            "token_id", F.row_number().over(Window.orderBy("token")).cast("long")
+        )
+    )
+    encids = wtok.join(F.broadcast(vocab), "token").select("w", "sp", "token_id")
+    dec = encids.join(
+        F.broadcast(vocab.select("token_id", F.col("token").alias("dtok"))),
+        "token_id",
+    )
+    rw = dec.groupBy("w").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(sp, dtok))),"
+            " x -> x.dtok), '')"
+        ).alias("rw"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+    joined = tw.join(F.broadcast(rw), "w")
+    orig = F.md5(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, w))),"
+            " x -> x.w), ' ')"
+        )
+    )
+    recon = F.md5(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, rw))),"
+            " x -> x.rw), ' ')"
+        )
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
+        orig.alias("original_md5"),
+        recon.alias("reconstructed_md5"),
+        (orig == recon).alias("roundtrip_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
 # BPE-aware sequence packing (the complete tokenize -> pack chain)
 # --------------------------------------------------------------------------
 

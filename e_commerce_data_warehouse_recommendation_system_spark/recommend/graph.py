@@ -718,3 +718,22 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(converged).alias("converged"),
         )
     )
+
+
+def _warm_kcore(spark: SparkSession, sf_dir: str) -> None:
+    """Off-clock warmup: one full peel run pays the parquet scan, the edge
+    materialization, and the per-round codegen (the kcore loop rebuilds its
+    localCheckpoints per call, so the warm run buys page cache + codegen,
+    not cached frames) — the warmed-slot protocol every r9 bench slot
+    follows."""
+    prepare(spark, sf_dir)
+    graph_kcore(spark, sf_dir).count()
+
+
+@bench_workload("graph_kcore", warmup=_warm_kcore)
+def _bench_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench the level-synchronous k-core peel (per-round semi-join edge
+    reductions + degree rollups + localCheckpoint truncation, data-derived
+    p5 threshold) — the heaviest previously-unbenched operator (VERDICT
+    r9 item 3); a regression in the peel-loop plan shape lands here."""
+    return graph_kcore(spark, sf_dir)

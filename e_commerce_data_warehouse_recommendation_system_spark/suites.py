@@ -309,6 +309,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_bpe_pair_stats",
         # BPE ENCODE: pretrained merge-list application -> token ids+lengths
         "text_bpe_encode",
+        # decode(encode(x)) = x through the id space (per-doc md5 pin)
+        "text_bpe_roundtrip",
         # packing driven by REAL BPE lengths (the complete tokenize->pack)
         "text_pack_bpe",
         # per-language tokenizer fertility (tokens/word fairness audit)

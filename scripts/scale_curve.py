@@ -127,9 +127,31 @@ def _scaled_fixture_dir(spark, scale: int) -> str:
         "documents embeddings"
     ).split()
     for t in tables:
-        if t in ("lineitem", "embeddings"):
+        if t in ("lineitem", "embeddings", "documents"):
             continue
         os.symlink(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")
+    # documents: copies must be textually DISJOINT (every token prefixed
+    # with the copy tag, copy 0 included so 1x and Nx have identical
+    # per-copy shingle statistics) — otherwise each copy pair shares
+    # full-length spans and the probe measures an N^2 content-duplication
+    # artifact instead of corpus growth at a constant dup rate.
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    doc_copies = [
+        doc.select(
+            (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+            F.regexp_replace(
+                F.concat(F.lit(f"x{k}"), F.col("text")), " ", f" x{k}"
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for k in range(scale)
+    ]
+    doc_all = doc_copies[0]
+    for c in doc_copies[1:]:
+        doc_all = doc_all.unionByName(c)
+    doc_all.coalesce(4).write.parquet(f"{out}/documents.parquet")
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     li_copies = [
         li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * 10_000_000))
@@ -172,25 +194,80 @@ def _scaled_fixture_dir(spark, scale: int) -> str:
 
 
 def heavy_workloads(spark, scale: int) -> list[tuple[str, "object"]]:
-    """The round-8 heavies, driven end-to-end through their registered
-    entry points on a scaled fixture dir: triangle counting (disjoint graph
-    copies -> expected ratio ~N) and combined IVF-PQ search (fixed query
-    set, corpus xN, fixed cell count -> probe-bounded candidate volume xN
-    -> expected ratio ~N; at production scale cells grow ~sqrt(n), making
-    the per-query curve sub-linear — this probe pins the fixed-cell
-    worst case)."""
-    from e_commerce_data_warehouse_recommendation_system_spark.operators import similarity
-    from e_commerce_data_warehouse_recommendation_system_spark.recommend import queries as rq
+    """The iterative/pair-mining heavies, driven end-to-end through their
+    registered entry points on a scaled fixture dir:
+
+    - triangle counting: disjoint graph copies -> expected ratio ~N;
+    - combined IVF-PQ search: fixed query set, corpus xN, fixed cell count
+      -> probe-bounded candidate volume xN -> expected ratio ~N (at
+      production scale cells grow ~sqrt(n), making the per-query curve
+      sub-linear — this probe pins the fixed-cell worst case);
+    - k-core peel (round 10): disjoint identical copies -> same p5
+      threshold, same peel depth, per-round semi-joins linear in edges ->
+      expected ratio ~N;
+    - shared-span mining (round 10): copy-disjoint token prefixes keep the
+      dup rate constant as the corpus grows -> within-copy pairs only ->
+      expected ratio ~N (the DF-cap drop fraction is logged alongside —
+      no silent caps)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators import dedup, similarity
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend import graph as rg
 
     fixture = _scaled_fixture_dir(spark, scale)
 
     def triangles():
-        return rq.graph_triangle_count(spark, fixture).count()
+        return rg.graph_triangle_count(spark, fixture).count()
 
     def ivf_pq():
         return similarity.ivf_pq_topk(spark, fixture).count()
 
-    return [("graph_triangles", triangles), ("ivf_pq_search", ivf_pq)]
+    def kcore():
+        return rg.graph_kcore(spark, fixture).count()
+
+    def shared_spans():
+        return dedup.dedup_shared_spans(spark, fixture).count()
+
+    return [
+        ("graph_triangles", triangles),
+        ("ivf_pq_search", ivf_pq),
+        ("graph_kcore", kcore),
+        ("dedup_shared_spans", shared_spans),
+    ]
+
+
+def shared_span_cap_evidence(spark, scale: int) -> dict:
+    """The shared-spans DF cap's drop evidence at this scale: what fraction
+    of shingle OCCURRENCES belong to shingles the cap excludes from the
+    pair join (doc-freq > SPAN_SHINGLE_DF_CAP). Logged per scale so the
+    curve's interpretation can't hide a cap-driven speedup."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.dedup import (
+        SPAN_SHINGLE_DF_CAP,
+        SPAN_SHINGLE_K,
+        shingle_windows_expr,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import tokens
+
+    fixture = _scaled_fixture_dir(spark, scale)
+    docs = spark.read.parquet(f"{fixture}/documents.parquet")
+    sh = docs.select(
+        "doc_id", tokens("text").alias("t")
+    ).select("doc_id", F.explode(F.expr(shingle_windows_expr(SPAN_SHINGLE_K))).alias("w"))
+    per_shingle = sh.groupBy(F.col("w.shingle")).agg(
+        F.count(F.lit(1)).alias("occ"), F.countDistinct("doc_id").alias("nd")
+    )
+    row = per_shingle.agg(
+        F.sum("occ").alias("total"),
+        F.sum(F.when(F.col("nd") > SPAN_SHINGLE_DF_CAP, F.col("occ")).otherwise(0)).alias(
+            "capped"
+        ),
+    ).collect()[0]
+    total, capped = int(row["total"]), int(row["capped"])
+    return {
+        "total_shingle_occurrences": total,
+        "df_capped_occurrences": capped,
+        "capped_fraction": round(capped / max(total, 1), 6),
+    }
 
 
 def main() -> None:
@@ -234,6 +311,9 @@ def main() -> None:
         _ANN_INDEX_CACHE.clear()
     for name, r in heavy.items():
         r["ratio"] = round(r[f"x{n}"] / max(r["x1"], 1e-9), 2)
+    heavy["dedup_shared_spans"]["cap_evidence"] = {
+        f"x{s}": shared_span_cap_evidence(spark, s) for s in (1, n)
+    }
     results.update(heavy)
     print(
         json.dumps(

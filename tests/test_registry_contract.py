@@ -69,6 +69,42 @@ def test_every_component_is_covered_by_a_suite():
     )
 
 
+def test_suite_digest_rows_match_member_specs():
+    """Suite-member drift canary (VERDICT r9 item 7): re-derive each
+    suite's member list from the registry and assert the REGISTERED suite
+    oracle carries exactly the expected digest rows per member — one
+    `'{member}' AS op` select per metric, where the metric count derives
+    from the member's col spec via the same _metrics() table the Spark
+    digest uses. A member silently dropped from one side of the digest
+    machinery (or a one-sided digest_sql/digest_df change) fails loudly
+    here instead of shadowing its suite's innocents on the scoreboard."""
+    import re
+
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.digest import _metrics
+    from e_commerce_data_warehouse_recommendation_system_spark.suites import SUITE_SPECS
+
+    comps = registry.components()
+    oracles = registry.oracles()
+    # the digest wrapper's exact row shape (digest_sql) — member oracles may
+    # legitimately contain their own `'x' AS op` strings, so anchor on the
+    # op+metric pair only the wrapper emits
+    digest_row = r"SELECT '([^']+)' AS op, '[^']+' AS metric"
+    for suite, members in SUITE_SPECS.items():
+        oracle = oracles[suite]
+        ops_in_oracle = re.findall(digest_row, oracle)
+        assert set(ops_in_oracle) == set(members), (
+            f"{suite}: oracle ops {sorted(set(ops_in_oracle) ^ set(members))} "
+            "differ from SUITE_SPECS members"
+        )
+        for m in members:
+            expected = len(_metrics(comps[m].cols))
+            got = sum(1 for op in ops_in_oracle if op == m)
+            assert got == expected, (
+                f"{suite}/{m}: {got} digest rows in the oracle, "
+                f"{expected} expected from its col spec"
+            )
+
+
 def test_bench_queries_are_registered():
     qs = registry.queries()
     missing = [n for n in registry.bench_queries() if n not in qs]

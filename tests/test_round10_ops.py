@@ -118,6 +118,22 @@ def test_curation_pipeline_conservation(spark):
     assert by["bpe_encode"]["docs_checksum"] == by["mixture_downsample"]["docs_checksum"]
 
 
+def test_bpe_roundtrip_holds(spark):
+    """decode(encode(x)) = x for every document — the property that makes
+    the tokenizer usable for training data. The oracle comparison pins the
+    md5s cross-engine; this pins that the verdict is actually TRUE."""
+    df = _comp("text_bpe_roundtrip")(spark, SF0001).cache()
+    n_docs = (
+        spark.table("documents").filter(F.trim("text") != "").count()
+    )
+    rows = df.collect()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["roundtrip_ok"], r
+        assert r["original_md5"] == r["reconstructed_md5"]
+        assert r["n_bpe_tokens"] >= r["n_words"] > 0
+
+
 def test_short_doc_emits_no_windows(spark):
     """Unit pin of the guarded expression itself: the filter must turn the
     descending sequence(1, 0) artifact into an empty window list."""
