@@ -246,8 +246,8 @@ def _sql_curation_pipeline() -> str:
         (SELECT CAST(COUNT(*) AS BIGINT) FROM tok0)
           - (SELECT COUNT(*) FROM s1) AS docs_dropped,
         (SELECT CAST(SUM(len(t)) AS BIGINT) FROM s1) AS ws_tokens_out,
-        (SELECT CAST(SUM(len(t)) AS BIGINT) FROM tok0)
-          - (SELECT SUM(len(t)) FROM s1) AS ws_tokens_dropped,
+        CAST((SELECT SUM(len(t)) FROM tok0)
+          - (SELECT SUM(len(t)) FROM s1) AS BIGINT) AS ws_tokens_dropped,
         CAST(NULL AS BIGINT) AS bpe_tokens_out,
         CAST(NULL AS BIGINT) AS n_sequences,
         (SELECT CAST(SUM(doc_id) AS BIGINT) FROM s1) AS docs_checksum
@@ -255,44 +255,44 @@ def _sql_curation_pipeline() -> str:
       SELECT 2, 'exact_dedup',
         (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2),
         (SELECT COUNT(*) FROM s1) - (SELECT COUNT(*) FROM s2),
-        (SELECT SUM(len(t)) FROM s2),
-        (SELECT SUM(len(t)) FROM s1) - (SELECT SUM(len(t)) FROM s2),
-        NULL, NULL, (SELECT SUM(doc_id) FROM s2)
+        CAST((SELECT SUM(len(t)) FROM s2) AS BIGINT),
+        CAST((SELECT SUM(len(t)) FROM s1) - (SELECT SUM(len(t)) FROM s2) AS BIGINT),
+        NULL, NULL, CAST((SELECT SUM(doc_id) FROM s2) AS BIGINT)
       UNION ALL
       SELECT 3, 'span_excision',
         (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s3),
         (SELECT COUNT(*) FROM s2) - (SELECT COUNT(*) FROM s3),
-        (SELECT SUM(len(t)) FROM s3),
-        (SELECT SUM(len(t)) FROM s2) - (SELECT SUM(len(t)) FROM s3),
-        NULL, NULL, (SELECT SUM(doc_id) FROM s3)
+        CAST((SELECT SUM(len(t)) FROM s3) AS BIGINT),
+        CAST((SELECT SUM(len(t)) FROM s2) - (SELECT SUM(len(t)) FROM s3) AS BIGINT),
+        NULL, NULL, CAST((SELECT SUM(doc_id) FROM s3) AS BIGINT)
       UNION ALL
       SELECT 4, 'decontamination',
         (SELECT COUNT(*) FROM s3), (SELECT COUNT(*) FROM s4),
         (SELECT COUNT(*) FROM s3) - (SELECT COUNT(*) FROM s4),
-        (SELECT SUM(len(t)) FROM s4),
-        (SELECT SUM(len(t)) FROM s3) - (SELECT SUM(len(t)) FROM s4),
-        NULL, NULL, (SELECT SUM(doc_id) FROM s4)
+        CAST((SELECT SUM(len(t)) FROM s4) AS BIGINT),
+        CAST((SELECT SUM(len(t)) FROM s3) - (SELECT SUM(len(t)) FROM s4) AS BIGINT),
+        NULL, NULL, CAST((SELECT SUM(doc_id) FROM s4) AS BIGINT)
       UNION ALL
       SELECT 5, 'mixture_downsample',
         (SELECT COUNT(*) FROM s4), (SELECT COUNT(*) FROM s5),
         (SELECT COUNT(*) FROM s4) - (SELECT COUNT(*) FROM s5),
-        (SELECT SUM(len(t)) FROM s5),
-        (SELECT SUM(len(t)) FROM s4) - (SELECT SUM(len(t)) FROM s5),
-        NULL, NULL, (SELECT SUM(doc_id) FROM s5)
+        CAST((SELECT SUM(len(t)) FROM s5) AS BIGINT),
+        CAST((SELECT SUM(len(t)) FROM s4) - (SELECT SUM(len(t)) FROM s5) AS BIGINT),
+        NULL, NULL, CAST((SELECT SUM(doc_id) FROM s5) AS BIGINT)
       UNION ALL
       SELECT 6, 'bpe_encode',
         (SELECT COUNT(*) FROM s5), (SELECT COUNT(*) FROM s6),
         (SELECT COUNT(*) FROM s5) - (SELECT COUNT(*) FROM s6),
         NULL, NULL,
-        (SELECT SUM(n_bpe_tokens) FROM s6), NULL,
-        (SELECT SUM(doc_id) FROM s6)
+        CAST((SELECT SUM(n_bpe_tokens) FROM s6) AS BIGINT), NULL,
+        CAST((SELECT SUM(doc_id) FROM s6) AS BIGINT)
       UNION ALL
       SELECT 7, 'pack_sequences',
         (SELECT COUNT(*) FROM s6), (SELECT COUNT(*) FROM s6), 0,
         NULL, NULL,
-        (SELECT SUM(n_toks) FROM packs),
+        CAST((SELECT SUM(n_toks) FROM packs) AS BIGINT),
         (SELECT CAST(COUNT(*) AS BIGINT) FROM packs),
-        (SELECT SUM(doc_id) FROM s6)
+        CAST((SELECT SUM(doc_id) FROM s6) AS BIGINT)
     ) ORDER BY stage_ord
     """
 
