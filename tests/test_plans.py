@@ -576,6 +576,11 @@ COMPONENT_SHUFFLE_BUDGET = {
     # span decontamination: eval shingles broadcast into the train scan;
     # islands window + two rollups — fan-out bounded by the eval side
     "text_span_decontamination": 5,
+    # BPE round-trip: the encode's word/token distincts + single-partition
+    # vocab window + the vocab-bounded decode join/groupBy (broadcast) +
+    # the per-doc ordered reassembly (measured 8; ceiling 9 leaves one
+    # partitioning-choice drift before the pin trips)
+    "text_bpe_roundtrip": 9,
 }
 
 
