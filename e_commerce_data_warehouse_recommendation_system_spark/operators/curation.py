@@ -577,3 +577,150 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("stage_ord")
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer TRAINING (iterative merge induction from corpus statistics)
+# --------------------------------------------------------------------------
+
+#: learned merge rules — bounded like the PageRank/kcore iterations so the
+#: oracle is a finite unrolled CTE chain; real tokenizers run the same loop
+#: to 32k-100k merges
+BPE_TRAIN_MERGES = 8
+
+
+def _sql_bpe_train() -> str:
+    """Unrolled trainer oracle: per round, pair supports over the CURRENT
+    segmentations (corpus-frequency-weighted), deterministic argmax
+    (support DESC, left, right), then the merge applied via the same
+    greedy left-fold as the encoder — with the pair captured from the
+    round's 1-row argmax CTE instead of a literal (DuckDB lambdas close
+    over in-scope columns). MATERIALIZED per round (the PageRank-oracle
+    convention)."""
+    steps = []
+    for r in range(BPE_TRAIN_MERGES):
+        steps.append(f"""
+    , p{r} AS MATERIALIZED (
+      SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS support FROM (
+        SELECT cnt, segs[i] AS a, segs[i+1] AS b
+        FROM seg{r}, UNNEST(range(1, len(segs))) AS u(i)
+      ) GROUP BY a, b
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT a, b, support FROM p{r} ORDER BY support DESC, a, b LIMIT 1
+    ),
+    seg{r + 1} AS MATERIALIZED (
+      SELECT w, cnt,
+        string_split(list_reduce(segs, (acc, x) -> CASE
+          WHEN (acc = m.a OR ends_with(acc, chr(31) || m.a)) AND x = m.b
+          THEN acc || m.b ELSE acc || chr(31) || x END), chr(31)) AS segs
+      FROM seg{r}, m{r} m
+    )""")
+    final = "\n      UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS rank, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, support FROM m{r}"
+        for r in range(BPE_TRAIN_MERGES)
+    )
+    return rf"""
+    WITH wf AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ),
+    seg0 AS MATERIALIZED (
+      SELECT w, cnt, string_split(w, '') AS segs FROM wf
+    )
+    {''.join(steps)}
+    SELECT * FROM ({final}) ORDER BY rank
+    """
+
+
+@component(
+    "text_bpe_train",
+    oracle=_sql_bpe_train(),
+    cols=[
+        ("rank", "num"),
+        ("left_sym", "str"),
+        ("right_sym", "str"),
+        ("merged", "str"),
+        ("support", "num"),
+    ],
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — the iterative merge INDUCTION the encode
+    family was missing: text_bpe_pair_stats ranks only the FIRST merge and
+    text_bpe_encode applies a pretrained list; this runs the actual
+    Sennrich et al. loop — per round, count adjacent-pair supports over
+    the current segmentations (weighted by corpus word frequency, so
+    overlapping adjacencies count as they occur), take the deterministic
+    argmax (support DESC, then lexicographic), apply it with the SAME
+    greedy left-fold the encoder uses, repeat. {BPE_TRAIN_MERGES} bounded
+    rounds (the PageRank/kcore convention; production tokenizers run this
+    identical loop to 32k+ merges). Emits the learned merge table —
+    second-order merges (rules consuming earlier rules' outputs) appear by
+    round 6 on the testdata, so the oracle genuinely checks the ITERATION,
+    not just one argmax.
+
+    Determinism: supports are exact integer sums; the argmax tie-break is
+    total (support, left, right); the fold application is the proven
+    encoder parity (text_bpe_encode / text_bpe_roundtrip).
+
+    Scale: every round runs on the word-frequency table (Zipf-bounded,
+    ~n^0.5 of the corpus) — one pair explode + groupBy + a 1-row argmax
+    (the repo's documented bounded-collect class, like kcore's threshold)
+    + one map-side fold, with per-round localCheckpoint truncating the
+    fold-expression lineage. The corpus is scanned ONCE (the initial
+    word-frequency rollup); training cost is corpus-size-independent
+    after that — exactly how production BPE trainers run."""
+    prepare(spark, sf_dir)
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        _BPE_SEP,
+        bpe_merge_rule,
+    )
+
+    wf = (
+        spark.table("documents")
+        .select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    seg = wf.withColumn("segs", F.split("w", "")).localCheckpoint(eager=True)
+    learned = []
+    for r in range(1, BPE_TRAIN_MERGES + 1):
+        pairs = (
+            seg.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(segs, 1, size(segs) - 1),"
+                        "         slice(segs, 2, size(segs) - 1),"
+                        "         (a, b) -> struct(a, b))"
+                    )
+                ).alias("p"),
+            )
+            .select("cnt", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").cast("long").alias("support"))
+        )
+        # 1-row argmax (bounded-collect class): the learned rule must come
+        # back to the driver to be applied as fold literals next round —
+        # the same round-scalar shape as kcore's threshold
+        best = pairs.orderBy(F.desc("support"), F.asc("a"), F.asc("b")).limit(1).collect()[0]
+        learned.append(
+            (r, best["a"], best["b"], best["a"] + best["b"], int(best["support"]))
+        )
+        folded = F.aggregate(
+            F.split(F.array_join("segs", _BPE_SEP), _BPE_SEP),
+            F.lit(""),
+            bpe_merge_rule(best["a"], best["b"]),
+        )
+        seg = seg.withColumn("segs", F.split(folded, _BPE_SEP)).localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(
+        learned,
+        schema="rank bigint, left_sym string, right_sym string, "
+        "merged string, support bigint",
+    )

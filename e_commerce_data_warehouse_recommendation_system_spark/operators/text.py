@@ -1951,6 +1951,29 @@ def _bpe_merge_fold_sql(rule_a: str, rule_b: str, inner: str) -> str:
     )
 
 
+def bpe_merge_rule(a: str, b: str):
+    """One BPE merge rule as a fold step for ``F.aggregate`` over a
+    separator-joined token string: merge iff the accumulated string's LAST
+    token is exactly ``a`` and the incoming token is ``b`` (the canonical
+    greedy non-overlapping left-fold). Shared by the pretrained encoder
+    (:func:`bpe_segments`) and the trainer (curation.text_bpe_train),
+    which applies it with DATA-DERIVED symbols."""
+
+    # bind the rule's symbols in a closure: PySpark introspects the
+    # lambda arity, so extra default args are not an option here
+    def step(acc, x):
+        return (
+            F.when(acc == "", x)
+            .when(
+                ((acc == a) | acc.endswith(_BPE_SEP + a)) & (x == b),
+                F.concat(acc, F.lit(b)),
+            )
+            .otherwise(F.concat(acc, F.lit(_BPE_SEP), x))
+        )
+
+    return step
+
+
 def bpe_segments(col: Column | str) -> Column:
     """The pretrained BPE merge list applied to a word column: returns the
     word's BPE token ARRAY. Each rule is a LEFT FOLD over the word's current
@@ -1960,25 +1983,9 @@ def bpe_segments(col: Column | str) -> Column:
     rank order. Pure Column expressions, zero Python; meant to run on the
     Zipf-bounded DISTINCT word table. Shared by text_bpe_encode and the
     curation pipeline."""
-
-    def merge_rule(a: str, b: str):
-        # bind the rule's symbols in a closure: PySpark introspects the
-        # lambda arity, so extra default args are not an option here
-        def step(acc, x):
-            return (
-                F.when(acc == "", x)
-                .when(
-                    ((acc == a) | acc.endswith(_BPE_SEP + a)) & (x == b),
-                    F.concat(acc, F.lit(b)),
-                )
-                .otherwise(F.concat(acc, F.lit(_BPE_SEP), x))
-            )
-
-        return step
-
     enc = F.array_join(F.split(col, ""), _BPE_SEP)
     for a, b in BPE_MERGES:
-        enc = F.aggregate(F.split(enc, _BPE_SEP), F.lit(""), merge_rule(a, b))
+        enc = F.aggregate(F.split(enc, _BPE_SEP), F.lit(""), bpe_merge_rule(a, b))
     return F.split(enc, _BPE_SEP)
 
 

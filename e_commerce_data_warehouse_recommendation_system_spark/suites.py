@@ -307,6 +307,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_lm_score",
         # BPE merge statistics (tokenizer-induction first-merge ranking)
         "text_bpe_pair_stats",
+        # BPE tokenizer TRAINING: the iterative Sennrich merge-induction
+        # loop (bounded rounds, data-derived rules, unrolled oracle)
+        "text_bpe_train",
         # BPE ENCODE: pretrained merge-list application -> token ids+lengths
         "text_bpe_encode",
         # decode(encode(x)) = x through the id space (per-doc md5 pin)

@@ -134,6 +134,27 @@ def test_bpe_roundtrip_holds(spark):
         assert r["n_bpe_tokens"] >= r["n_words"] > 0
 
 
+def test_bpe_train_invariants(spark):
+    """The trainer's structural contract: one rule per bounded round,
+    merged = left||right, positive corpus-weighted supports, and —
+    the part that proves the ITERATION matters — at least one learned
+    rule consumes an earlier rule's output (a multi-char symbol)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.curation import (
+        BPE_TRAIN_MERGES,
+    )
+
+    rows = sorted(
+        _comp("text_bpe_train")(spark, SF0001).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["rank"] for r in rows] == list(range(1, BPE_TRAIN_MERGES + 1))
+    for r in rows:
+        assert r["merged"] == r["left_sym"] + r["right_sym"]
+        assert r["support"] > 0
+    assert any(
+        len(r["left_sym"]) > 1 or len(r["right_sym"]) > 1 for r in rows
+    ), "no second-order merge learned — the loop degenerated to round 1"
+
+
 def test_short_doc_emits_no_windows(spark):
     """Unit pin of the guarded expression itself: the filter must turn the
     descending sequence(1, 0) artifact into an empty window list."""
