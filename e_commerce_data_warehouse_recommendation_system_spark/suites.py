@@ -323,6 +323,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         # the CAPSTONE: funnel -> dedup -> excision -> decontam -> mixture
         # -> BPE -> packing, chained with per-stage conservation columns
         "text_curation_pipeline",
+        # the streaming half: micro-batch funnel + min-wins hash-dedup
+        # upsert (order-independent terminal corpus, per-shard audit)
+        "stream_curation_ingest",
     ],
     # multimodal: frame sampling + decode->resize->sample chain + the
     # embedding-representation compression step (int8 quantization)

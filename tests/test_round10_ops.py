@@ -155,6 +155,46 @@ def test_bpe_train_invariants(spark):
     ), "no second-order merge learned — the loop degenerated to round 1"
 
 
+def test_stream_curation_ingest_conservation(spark):
+    """Order-independent streaming-curation contract: per-shard funnel
+    survivors bounded by shard inputs, the published corpus bounded by the
+    funnel total, and the published set exactly equal to the BATCH
+    funnel + keep-first dedup (recomputed here independently)."""
+    rows = {r["label"]: r for r in _comp("stream_curation_ingest")(spark, SF0001).collect()}
+    total_funnel = 0
+    for s in range(3):
+        i, f = rows[f"in_shard_{s}"], rows[f"funnel_kept_{s}"]
+        assert 0 < f["n_docs"] <= i["n_docs"]
+        assert f["checksum"] <= i["checksum"]
+        total_funnel += f["n_docs"]
+    pub = rows["published"]
+    assert 0 < pub["n_docs"] <= total_funnel
+    # independent batch replay of the terminal-state contract
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        FUNNEL_LANG,
+        FUNNEL_MEAN_TOKLEN,
+        FUNNEL_MIN_CHARS,
+        FUNNEL_MIN_STOPWORD_FRAC,
+        FUNNEL_TOKENS,
+        STOPWORDS,
+        tokens,
+    )
+
+    d = spark.table("documents")
+    L, T = F.length("text"), F.size(tokens("text"))
+    SW = F.size(F.filter(tokens("text"), lambda x: x.isin(*STOPWORDS)))
+    f = d.filter(
+        (L >= FUNNEL_MIN_CHARS)
+        & T.between(*FUNNEL_TOKENS)
+        & (L.cast("double") / T).between(*FUNNEL_MEAN_TOKLEN)
+        & ((SW.cast("double") / T) >= FUNNEL_MIN_STOPWORD_FRAC)
+        & (F.col("lang") == FUNNEL_LANG)
+    )
+    want = f.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    want_row = want.agg(F.count(F.lit(1)), F.sum("doc_id")).collect()[0]
+    assert (pub["n_docs"], pub["checksum"]) == (want_row[0], want_row[1])
+
+
 def test_short_doc_emits_no_windows(spark):
     """Unit pin of the guarded expression itself: the filter must turn the
     descending sequence(1, 0) artifact into an empty window list."""
