@@ -1326,11 +1326,14 @@ def _sql_stream_curation() -> str:
             f" FROM documents WHERE doc_id % 3 = {s}"
         )
         parts.append(
-            f"SELECT 'funnel_kept_{s}', COUNT(*), CAST(SUM(doc_id) AS BIGINT)"
+            # COALESCE: a shard with zero funnel survivors must read 0, not
+            # NULL — the Spark side's audit accumulator starts at 0
+            f"SELECT 'funnel_kept_{s}', COUNT(*),"
+            f" CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)"
             f" FROM documents WHERE doc_id % 3 = {s} AND ({_curation_funnel_sql()})"
         )
     parts.append(f"""
-    SELECT 'published', COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM (
+    SELECT 'published', COUNT(*), CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM (
       SELECT doc_id FROM documents
       WHERE ({_curation_funnel_sql()})
         AND doc_id IN (
@@ -1452,7 +1455,7 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((f"in_shard_{s}", n, ck))
             n, ck = audit.get((s, "funnel"), [0, 0])
             rows.append((f"funnel_kept_{s}", n, ck))
-        rows.append(("published", int(pub["n"]), int(pub["ck"])))
+        rows.append(("published", int(pub["n"]), int(pub["ck"] or 0)))
         return spark.createDataFrame(
             rows, schema="label string, n_docs bigint, checksum bigint"
         )
