@@ -707,7 +707,16 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1-row argmax (bounded-collect class): the learned rule must come
         # back to the driver to be applied as fold literals next round —
         # the same round-scalar shape as kcore's threshold
-        best = pairs.orderBy(F.desc("support"), F.asc("a"), F.asc("b")).limit(1).collect()[0]
+        top = pairs.orderBy(F.desc("support"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top:
+            # every word fully merged before the round bound — impossible on
+            # any real corpus at this K (vocabularies have thousands of
+            # multi-char words); fail loudly rather than emit a short merge
+            # table the fixed-K oracle cannot match
+            raise ValueError(
+                f"corpus exhausted at merge round {r}/{BPE_TRAIN_MERGES}"
+            )
+        best = top[0]
         learned.append(
             (r, best["a"], best["b"], best["a"] + best["b"], int(best["support"]))
         )
