@@ -1,0 +1,112 @@
+"""Adversarial differential test for the near-dup mining family.
+
+Constructed corpus with HAND-COMPUTABLE overlap: docs built from disjoint
+token vocabularies so their distinct 3-gram shingle sets are exactly
+countable — one pair at jaccard 18/22 (above the 0.7 threshold), one at
+9/31 (below), and one exact duplicate (jaccard 1). Each miner is compared
+row-exactly against its DuckDB oracle on this corpus AND against the
+hand-derived truth: the exact n-gram miner must report exactly the
+above-threshold pairs with exact rational jaccards; MinHash+LSH must find
+the exact duplicate (all 4 bands provably collide at J=1 — the planted
+0.818 pair is only probabilistically a candidate, so it is asserted only
+in the exact miner); exact dedup must collapse exactly the one dup group.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from e_commerce_data_warehouse_recommendation_system_spark import registry
+
+
+def _toks(tag: str, n: int) -> list[str]:
+    return [f"{tag}{i:02d}" for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def dedup_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("dedup_diff")
+    out = str(base / "fixture")
+    os.makedirs(out)
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{out}/{t}.parquet")
+    T = _toks("t", 22)  # t00..t21
+    U = _toks("u", 2)
+    V = _toks("v", 11)
+    texts = {
+        # A: 22 tokens -> 20 distinct shingles
+        10: " ".join(T),
+        # B: first 20 of A + 2 new -> shares shingles 1..18: J = 18/22
+        11: " ".join(T[:20] + U),
+        # C: first 11 of A + 11 new -> shares shingles 1..9: J = 9/31 < 0.7
+        12: " ".join(T[:11] + V),
+        # D: exact copy of A (larger id -> A keeps)
+        13: " ".join(T),
+        # unrelated filler on disjoint vocabularies
+        20: " ".join(_toks("w", 15)),
+        21: " ".join(_toks("x", 15)),
+        22: " ".join(_toks("y", 15)),
+        23: " ".join(_toks("z", 15)),
+    }
+    rows = [(i, s, "en", "diff", len(s)) for i, s in sorted(texts.items())]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def _duck(dedup_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        path = f"{dedup_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    return con
+
+
+def _differential(spark, dedup_dir, name):
+    comp = registry.components().get(name)
+    if comp is None:
+        fn, oracle = registry.queries()[name], registry.oracles()[name]
+    else:
+        fn, oracle = comp.fn, comp.oracle
+    got = sorted(tuple(r) for r in fn(spark, dedup_dir).collect())
+    want = sorted(tuple(r) for r in _duck(dedup_dir).execute(oracle).fetchall())
+    assert got == want, (name, got, want)
+    return got
+
+
+def test_exact_jaccard_pairs_exact_values(spark, dedup_dir):
+    got = _differential(spark, dedup_dir, "dedup_ngram_jaccard")
+    pairs = {(a, b): j for a, b, j in got}
+    assert set(pairs) == {(10, 11), (10, 13), (11, 13)}
+    assert pairs[(10, 13)] == 1.0
+    assert pairs[(10, 11)] == pairs[(11, 13)] == 18 / 22
+
+
+def test_exact_dedup_collapses_the_dup_group(spark, dedup_dir):
+    got = _differential(spark, dedup_dir, "dedup_exact")
+    by_keeper = {r[1]: r[2] for r in got}  # keeper_doc_id -> n_copies
+    assert by_keeper[10] == 2  # A keeps; D collapsed into it
+    assert 13 not in by_keeper
+    assert all(n == 1 for k, n in by_keeper.items() if k != 10)
+
+
+def test_minhash_lsh_finds_the_exact_duplicate(spark, dedup_dir):
+    got = _differential(spark, dedup_dir, "dedup_minhash_lsh")
+    pairs = {(r[0], r[1]): r[-1] for r in got}
+    assert (10, 13) in pairs and pairs[(10, 13)] == 1.0
+    # nothing below the threshold ever surfaces
+    assert (10, 12) not in pairs and (12, 13) not in pairs
+
+
+def test_simhash_pairs_match_oracle(spark, dedup_dir):
+    _differential(spark, dedup_dir, "dedup_simhash_pairs")
