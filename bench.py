@@ -82,11 +82,23 @@ def main() -> None:
     # plans back-to-back), and min-of-N is the standard steady-state
     # estimator for plan cost — it removes one-sided noise without hiding
     # real regressions (a worse plan is worse in every iteration).
+    # Round 11 (VERDICT item 5): slots at >= EXTRA_ITER_FLOOR seconds get a
+    # THIRD iteration, and every slot records the 1-min loadavg at its
+    # start — together with the spread this makes round-over-round deltas
+    # self-adjudicating (rule in COVERAGE.md: a riser is a REAL regression
+    # only if spread < 1.1 AND its loadavg was flat; anything else is box
+    # state). Three rounds running (r8 ALS, r9 bm25, r10 whole-sweep +18%)
+    # the deltas were box noise that cost manual A/B archaeology.
     ITERS = 2
+    EXTRA_ITER_FLOOR = 2.0
 
     def timed(fn) -> tuple[list[float], int]:
         runs, n = [], 0
         for _ in range(ITERS):
+            t0 = time.perf_counter()
+            n = fn().count()
+            runs.append(round(time.perf_counter() - t0, 3))
+        if min(runs) >= EXTRA_ITER_FLOOR:
             t0 = time.perf_counter()
             n = fn().count()
             runs.append(round(time.perf_counter() - t0, 3))
@@ -105,6 +117,7 @@ def main() -> None:
     errors: dict[str, str] = {}
 
     def run_slot(name: str, fn) -> None:
+        la = round(os.getloadavg()[0], 2)
         try:
             runs, n = timed(fn)
             timings[name] = min(runs)
@@ -112,6 +125,7 @@ def main() -> None:
                 "runs": runs,
                 "max": max(runs),
                 "spread": round(max(runs) / max(min(runs), 1e-9), 2),
+                "loadavg_1m": la,
             }
             print(f"# {name}: {timings[name]:.2f}s ({n} rows; runs={runs})", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — per-slot fault isolation
@@ -159,7 +173,10 @@ def main() -> None:
         "query_stats": stats,
         "slot_history": SLOT_HISTORY,
         "iterations": ITERS,
+        "extra_iteration_floor_sec": EXTRA_ITER_FLOOR,
         "estimator": "min",
+        "adjudication": "riser is real only if spread < 1.1 and loadavg_1m "
+        "comparable to the idle baseline; see COVERAGE.md round 11",
     }
     sidecar_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_stats.json")
     try:

@@ -46,9 +46,14 @@ Pipeline semantics (training-corpus curation):
 Scale: each stage keeps its solo rung's bounded plan — the funnel is one
 map-side scan; dedup one hash shuffle; span mining is DF-capped
 band-collision joins (never all-pairs); decontamination's probe side is
-eval-bounded and broadcast; mixture is O(sources) after one rollup; the BPE
-fold runs on the Zipf-bounded distinct-word table; packing is one window per
-language shard. Stage frames are localCheckpointed between phases — the
+eval-bounded and broadcast; mixture TARGETS are O(sources) after one rollup
+and the SELECTION is the two-phase range-bucketed md5 rank (text.py's
+``two_phase_md5_rank`` — no per-source window over raw rows, the quota is
+variable so the salted top-K form doesn't apply); the BPE fold runs on the
+Zipf-bounded distinct-word table; packing is the two-phase tape prefix sum
+(``two_phase_tape_offsets`` — no per-language window; bounded
+within-bucket cumsums + a broadcast bucket prefix). Stage frames are
+localCheckpointed between phases — the
 lineage-truncation analog of the parquet staging a 100 TB run would use
 between pipeline phases (the WAP convention), and each stage's result is
 computed exactly once even though both the next stage and the conservation
@@ -79,9 +84,15 @@ from e_commerce_data_warehouse_recommendation_system_spark.operators.text import
     STOPWORDS,
     _bpe_merge_fold_sql,
     bpe_segments,
+    pack_seq_id,
     tokens,
+    two_phase_md5_rank,
+    two_phase_tape_offsets,
 )
-from e_commerce_data_warehouse_recommendation_system_spark.registry import component
+from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+    bench_workload,
+    component,
+)
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
 
 _STAGES = [
@@ -460,11 +471,13 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("target_docs"),
         )
     )
-    w5 = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
+    # selection rank via the two-phase md5-rank plan (text.py): the quota
+    # here is variable and can approach |source|, so neither a per-source
+    # window (one corpus-sized task for a dominant source) nor the salted
+    # top-K (phase 2 would sort SALTS x quota rows) survives 100 TB —
+    # range-bucketed exact rank does, row-identically (oracle unchanged)
     s5 = (
-        s4.withColumn("rk", F.row_number().over(w5))
+        two_phase_md5_rank(s4, "source")
         .join(F.broadcast(targets), "source")
         .filter(F.col("rk") <= F.least("n_docs", "target_docs"))
         .select("doc_id", "lang", "source", "t")
@@ -487,18 +500,13 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # -- stage 7: fixed-budget per-language packing on the real BPE lengths
-    w7 = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # (two-phase tape prefix sum + integer-div seq_id, same plan as
+    # text_pack_bpe: the per-language window form would push a dominant
+    # language through one task at 100 TB; seq_id in integer arithmetic so
+    # Spark and the oracle's ``//`` agree past 2^53 offsets)
     packs = (
-        s6.withColumn(
-            "start_offset", F.coalesce(F.sum("n_bpe_tokens").over(w7), F.lit(0))
-        )
-        .groupBy(
-            "lang", F.floor(F.col("start_offset") / PACK_BUDGET).alias("seq_id")
-        )
+        two_phase_tape_offsets(s6, "lang", "n_bpe_tokens")
+        .groupBy("lang", pack_seq_id().alias("seq_id"))
         .agg(F.sum("n_bpe_tokens").cast("long").alias("n_toks"))
     )
 
@@ -733,3 +741,47 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="rank bigint, left_sym string, right_sym string, "
         "merged string, support bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Bench slots (round 11): the capstone measured 16 s at sf0.1 during the
+# round-10 oracle sweeps — heavier than every then-current bench slot — and
+# the streaming ingest was likewise unbenched, so a regression in either
+# was invisible to BENCH_rN. Warmups pay the documents scan / streaming
+# bootstrap off the clock (the warmed-slot protocol).
+# --------------------------------------------------------------------------
+
+
+def _warm_curation(spark: SparkSession, sf_dir: str) -> None:
+    prepare(spark, sf_dir)
+    spark.table("documents").count()
+
+
+@bench_workload("text_curation_pipeline", warmup=_warm_curation)
+def _bench_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench the 7-stage curation capstone end to end (funnel -> dedup ->
+    span excision -> decontamination -> two-phase mixture downsample ->
+    BPE encode -> two-phase packing)."""
+    return text_curation_pipeline(spark, sf_dir)
+
+
+def _warm_stream_curation(spark: SparkSession, sf_dir: str) -> None:
+    """Pay the per-session streaming engine init + shard-file staging off
+    the clock at the smallest SF (bench.py's global streaming warm covers
+    the engine; this covers this query's own fixture staging)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.streaming.queries import (
+        stream_curation_ingest,
+    )
+
+    stream_curation_ingest(spark, "/root/testdata/sf0.001").count()
+
+
+@bench_workload("stream_curation_ingest", warmup=_warm_stream_curation)
+def _bench_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench the streaming curation ingest (3 micro-batches through the C4
+    funnel into the min-wins content-hash dedup upsert + per-shard audits)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.streaming.queries import (
+        stream_curation_ingest,
+    )
+
+    return stream_curation_ingest(spark, sf_dir)

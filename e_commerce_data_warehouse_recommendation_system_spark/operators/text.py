@@ -192,6 +192,91 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PACK_BUDGET = 2048  # tokens per packed training sequence
 
+#: docs per tape bucket for the two-phase packing prefix sum. doc_ids are
+#: dense, so ``doc_id div WIDTH`` yields ordered, bounded range buckets.
+#: Tuned low so the local SFs exercise MANY buckets per language (500 docs
+#: -> 4 buckets, 5000 -> 40); a 100 TB run sets this to the window-buffer
+#: scale (~1e6 docs/bucket -> ~1e4 bucket rows per shard in phase 1, still
+#: a broadcastable prefix table).
+PACK_TAPE_BUCKET_DOCS = 128
+
+
+def two_phase_tape_offsets(
+    counted: DataFrame, shard_col: str = "lang", count_col: str = "n_tokens"
+) -> DataFrame:
+    """Per-shard running start offsets (tape layout) WITHOUT a corpus-sized
+    single-partition sort.
+
+    The naive plan — ``SUM(count) OVER (PARTITION BY shard ORDER BY doc_id
+    ROWS UNBOUNDED PRECEDING .. 1 PRECEDING)`` — puts one task per shard
+    over the whole shard; with a low-cardinality Zipf-skewed shard key
+    (language), that is ~90% of a 100 TB corpus through ONE task. This is
+    the same two-phase integer prefix sum as ``w8_interval_concurrency``
+    (relational.py) and the W1b surrogate keys, keyed on doc_id range
+    buckets:
+
+    - phase 1: per-(shard, bucket) token sums (one hash groupBy), then the
+      exclusive bucket prefix per shard via a window over the BUCKET table
+      — |corpus| / PACK_TAPE_BUCKET_DOCS rows per shard, broadcastable;
+    - phase 2: within-(shard, bucket) exclusive cumsum — every window
+      partition is at most PACK_TAPE_BUCKET_DOCS rows.
+
+    prefix(shard, bucket) + within-bucket cumsum == the global per-shard
+    cumsum, exactly, in integers: bucket = ``doc_id div WIDTH`` is monotone
+    in doc_id, so (bucket, doc_id) order IS doc_id order. Row-identical to
+    the single-window form (oracle-checked at sf0.01/sf0.1; plan-pinned in
+    tests/test_plans.py).
+
+    Cost shape: phase 1's bucket sums partial-aggregate MAP-SIDE (only
+    bucket-count rows cross its exchange); the one corpus-sized shuffle is
+    phase 2's (shard, bucket) clustering — well-spread keys, no skew. The
+    input plan is scanned by both phases (pruned to the three tape columns)
+    — callers whose input is expensive to recompute stage it first: the
+    packing queries cache the fixed-width per-doc length table (the table
+    their docstrings already name as what materializes), the capstone's
+    stage frames are localCheckpointed."""
+    bucketed = counted.withColumn(
+        "_tb", F.expr(f"doc_id div {PACK_TAPE_BUCKET_DOCS}")
+    )
+    w_buckets = (
+        Window.partitionBy(shard_col)
+        .orderBy("_tb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_prefix = (
+        bucketed.groupBy(shard_col, "_tb")
+        .agg(F.sum(count_col).alias("_bsum"))
+        .select(
+            shard_col,
+            "_tb",
+            F.coalesce(F.sum("_bsum").over(w_buckets), F.lit(0)).alias("_prefix"),
+        )
+    )
+    w_within = (
+        Window.partitionBy(shard_col, "_tb")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.join(F.broadcast(bucket_prefix), [shard_col, "_tb"])
+        .withColumn(
+            "start_offset",
+            (
+                F.col("_prefix")
+                + F.coalesce(F.sum(count_col).over(w_within), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("_tb", "_prefix")
+    )
+
+
+def pack_seq_id(offset_col: str = "start_offset"):
+    """seq_id = start_offset div PACK_BUDGET in INTEGER arithmetic —
+    ``F.floor(col / budget)`` goes through doubles and diverges from the
+    oracle's ``//`` once cumulative offsets pass 2^53 (a real number at
+    100 TB tape scale)."""
+    return F.expr(f"{offset_col} div {PACK_BUDGET}").cast("long")
+
 
 @register(
     "text_pack_sequences",
@@ -219,25 +304,24 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     contiguous token tape per shard (here: per language, ordered by doc_id)
     and assigned to fixed-budget sequences by their start offset — the
     streaming-tokenizer packing scheme (docs may straddle a boundary; the
-    tokenizer splits them at materialization). Cumulative offsets are one
-    running-sum window per shard — parallel across shards, linear within,
-    exactly the sessionizer's cost shape. Digest = docs and tokens per
-    packed sequence."""
+    tokenizer splits them at materialization). Cumulative offsets use the
+    TWO-PHASE tape prefix sum (:func:`two_phase_tape_offsets`): the shard
+    key is language — low-cardinality and Zipf-skewed, so the single
+    per-shard window the oracle writes would push ~90% of a 100 TB corpus
+    through one task; the two-phase plan is row-identical with every
+    window partition bounded by PACK_TAPE_BUCKET_DOCS. Digest = docs and
+    tokens per packed sequence."""
     prepare(spark, sf_dir)
     d = spark.table("documents")
-    counted = d.select("doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens"))
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counted.withColumn(
-        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    )
+    # cache: the fixed-width per-doc length table (3 ints/doc, ~1/1000 of
+    # corpus bytes) feeds both tape phases — uncached, the tokenize scan
+    # replays per phase (the w8 net.cache() convention)
+    counted = d.select(
+        "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
+    ).cache()
+    offsets = two_phase_tape_offsets(counted, "lang", "n_tokens")
     return (
-        offsets.groupBy(
-            "lang", F.floor(F.col("start_offset") / PACK_BUDGET).alias("seq_id")
-        )
+        offsets.groupBy("lang", pack_seq_id().alias("seq_id"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
@@ -482,6 +566,73 @@ def _domain_cap_two_phase(docs: DataFrame) -> DataFrame:
         cand.withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= DOMAIN_CAP)
         .select("doc_id", "source", "rnk")
+    )
+
+
+#: hex-prefix width of the md5 rank-bucket key for the two-phase exact
+#: rank: 1 hex char = 16 range buckets. Local SFs (25 docs/source at
+#: sf0.01, 250 at sf0.1) exercise multi-row buckets AND the bucket-prefix
+#: arithmetic; a 100 TB run widens to 3-4 chars (4096-65536 buckets) so the
+#: largest (group, bucket) window partition stays ~|group|/65536 rows. The
+#: phase-1 stats table is |groups| x 16^width rows — broadcastable at any
+#: realistic width.
+MD5_RANK_BUCKET_HEX = 1
+
+
+def two_phase_md5_rank(df: DataFrame, group_col: str = "source") -> DataFrame:
+    """EXACT per-group rank by the md5 order key (the M10 deterministic
+    selection convention: ORDER BY md5(doc_id), doc_id) with NO group-sized
+    window — the variable-quota companion to ``_domain_cap_two_phase``.
+
+    The salted two-phase cap is exact only for a SMALL FIXED K (the global
+    top-K lives in the union of per-salt top-Ks, ≤ K·SALTS candidates); a
+    mixture downsample keeps a per-group quota that can approach |group|,
+    so its phase-2 window would sort SALTS×quota ≈ corpus-sized rows in one
+    task — worse than the window it replaces. Instead this is the
+    range-partitioned selection form of the w8 two-phase prefix sum: bucket
+    the rank key by its leading hex chars (bucket order IS key order, since
+    the bucket is a monotone prefix of the key), count per (group, bucket)
+    — one hash groupBy — take the exclusive bucket prefix over the tiny
+    per-group bucket table, broadcast it, and rank within each
+    (group, bucket) window: global_rank = bucket_prefix + within_bucket
+    row_number, exactly, for EVERY row. Each window partition holds
+    ~|group|/16^width rows; nothing group-sized crosses one task.
+
+    Returns the input frame + an ``rk`` column identical to
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY md5(doc_id), doc_id)``
+    (oracle-checked via the curation capstone; plan-pinned in
+    tests/test_plans.py). Phase 1 is the bucket HISTOGRAM — it reads only
+    (group, doc_id), partial-counts map-side, and shuffles bucket-count
+    rows; phase 2's (group, bucket) clustering is the one corpus-sized
+    shuffle, on well-spread keys. The input is scanned by both phases
+    (phase 1 column-pruned to the two key columns) — expensive inputs are
+    staged by the caller (the capstone's frames are localCheckpointed)."""
+    keyed = df.withColumn(
+        "_k", F.md5(F.col("doc_id").cast("string"))
+    ).withColumn(
+        "_rb",
+        F.conv(F.substring("_k", 1, MD5_RANK_BUCKET_HEX), 16, 10).cast("int"),
+    )
+    w_buckets = (
+        Window.partitionBy(group_col)
+        .orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        keyed.select(group_col, "_rb")
+        .groupBy(group_col, "_rb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            group_col,
+            "_rb",
+            F.coalesce(F.sum("_c").over(w_buckets), F.lit(0)).alias("_off"),
+        )
+    )
+    w_within = Window.partitionBy(group_col, "_rb").orderBy("_k", "doc_id")
+    return (
+        keyed.join(F.broadcast(offsets), [group_col, "_rb"])
+        .withColumn("rk", F.col("_off") + F.row_number().over(w_within))
+        .drop("_k", "_rb", "_off")
     )
 
 
@@ -2271,26 +2422,21 @@ def text_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, fixed {PACK_BUDGET}-token budget, docs may straddle a boundary.
 
     Scale: text_bpe_encode's corpus cost (one token groupBy + one rollup
-    over a broadcast vocab-bounded join) plus ONE running-sum window per
-    shard — parallel across shards, linear within, the sessionizer's cost
-    shape. Nothing new materializes beyond the per-doc length table."""
+    over a broadcast vocab-bounded join) plus the TWO-PHASE tape prefix sum
+    (:func:`two_phase_tape_offsets` — the per-language single-window form
+    the oracle writes would serialize a skewed shard through one task at
+    100 TB; the two-phase plan is row-identical with bounded windows).
+    Nothing new materializes beyond the per-doc length table."""
     prepare(spark, sf_dir)
     lengths = text_bpe_encode(spark, sf_dir).select("doc_id", "n_bpe_tokens")
-    counted = spark.table("documents").select("doc_id", "lang").join(
-        lengths, "doc_id"
-    )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counted.withColumn(
-        "start_offset", F.coalesce(F.sum("n_bpe_tokens").over(w), F.lit(0))
-    )
+    # cache: both tape phases consume the per-doc length table — uncached,
+    # the whole encode chain (token groupBy + vocab join) replays per phase
+    counted = (
+        spark.table("documents").select("doc_id", "lang").join(lengths, "doc_id")
+    ).cache()
+    offsets = two_phase_tape_offsets(counted, "lang", "n_bpe_tokens")
     return (
-        offsets.groupBy(
-            "lang", F.floor(F.col("start_offset") / PACK_BUDGET).alias("seq_id")
-        )
+        offsets.groupBy("lang", pack_seq_id().alias("seq_id"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),

@@ -510,7 +510,17 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(item_factors, "item_idx")
         .select("user_id", "item_id", F.col("score").alias("relevance"), "features")
     )
-    lam, k = MMR_LAMBDA, TOP_K
+    return mmr_diversify_frame(cand)
+
+
+def mmr_diversify_frame(
+    cand: DataFrame, lam: float = MMR_LAMBDA, k: int = TOP_K
+) -> DataFrame:
+    """The greedy MMR core over any (user_id, item_id, relevance, features)
+    candidate frame — split from :func:`mmr_rerank` so the pick SEQUENCE is
+    testable on constructed geometry (tests/test_recommend.py pins the
+    exact ordered pick list on hand-derivable cosines, the round-11
+    differential; the ALS-backed query keeps its invariant contract)."""
 
     def mmr(pdf):
         import numpy as np

@@ -1320,9 +1320,11 @@ def _sql_stream_curation() -> str:
     parts = []
     for s in range(3):
         parts.append(
+            # COALESCE here too: an EMPTY shard (degenerate corpus) must
+            # checksum 0, not NULL — the Spark audit reports 0 for it
             f"SELECT 'in_shard_{s}' AS label,"
             f" CAST(COUNT(*) AS BIGINT) AS n_docs,"
-            f" CAST(SUM(doc_id) AS BIGINT) AS checksum"
+            f" CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS checksum"
             f" FROM documents WHERE doc_id % 3 = {s}"
         )
         parts.append(

@@ -464,7 +464,12 @@ SHUFFLE_BUDGET = {
     "etl_scd2_customer_priority": 2,
     "sim_cosine_topk": 1,
     "text_lang_id": 3,
-    "text_pack_sequences": 1,
+    # two-phase tape layout (round 11): bucket-sum rollup (map-side
+    # partial, bucket rows only) + tiny bucket-prefix window + the ONE
+    # corpus exchange on well-spread (lang, bucket) + the pack rollup.
+    # The old budget of 1 was one corpus exchange on BARE lang — fewer
+    # exchanges, but a single task sorting ~90% of a skewed corpus.
+    "text_pack_sequences": 4,
     "dedup_exact": 1,
     "dedup_ngram_jaccard": 7,
     "dedup_simhash": 2,
@@ -543,11 +548,13 @@ COMPONENT_SHUFFLE_BUDGET = {
     # broadcast at test scale (production: co-partitioned 1-1 equi-joins);
     # dot/gate are map-side — zero exchanges end to end
     "mm_clip_pair_curation": 0,
-    # BPE packing composes the encode's 5 with a broadcast lang join +
-    # one per-shard running-sum window + the pack rollup (measured 5 —
-    # AQE folds the window/rollup exchanges into the encode's; ceiling 6
-    # leaves one partitioning-choice drift before the pin trips)
-    "text_pack_bpe": 6,
+    # BPE packing composes the encode's 5 with the two-phase tape (round
+    # 11): the cached per-doc length table is built once (its encode
+    # exchanges counted once by _shuffle_count's InMemoryRelation dedup),
+    # then bucket rollup + tiny prefix window + one (lang, bucket) corpus
+    # exchange + pack rollup — measured 8; the old 6 bought a per-language
+    # single-task sort
+    "text_pack_bpe": 8,
     # temperature mixture: one source rollup + the 2-scalar aggregate +
     # its broadcast (integer math is map-side)
     "text_mixture_temperature": 3,
@@ -689,3 +696,102 @@ def test_governed_view_rls_predicate_pushes_into_scan(spark):
     )
     assert "LessThan(c_nationkey,12)" in plan, "RLS predicate not pushed to scan"
     assert "Exchange" not in _plan(df), "governed view must stay narrow"
+
+
+# ---------------------------------------------------------------------------
+# Round 11: the two-phase tape / md5-rank plans must never run a
+# corpus-sized single-partition window on a skewed shard key
+# ---------------------------------------------------------------------------
+
+
+def _window_partition_spec(line: str) -> str:
+    """Partition-key bracket group of a printed Window node. Format:
+    ``Window [exprs...], [part keys], [order keys]`` — an UNORDERED
+    whole-partition window omits the third group. The windowspec inside
+    exprs also holds brackets, so split from the RIGHT and take the group
+    after the exprs."""
+    parts = line.rsplit("], [", 2)
+    if len(parts) == 3:
+        return parts[1]
+    if len(parts) == 2:  # no order spec: the last group IS the partition
+        return parts[1].rstrip("]")
+    return ""
+
+
+def _assert_no_full_shard_window(plan: str, bucket_key: str) -> None:
+    """Every Window node must either include the range-bucket key in its
+    PARTITION spec (bounded within-bucket window) or consume a
+    HashAggregate (the bucket-prefix window over the tiny per-bucket
+    table) — never the raw corpus partitioned on the shard key alone."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window " not in ln:
+            continue
+        if bucket_key in _window_partition_spec(ln):
+            continue
+        d = _node_depth(ln)
+        j = i + 1
+        subtree = []
+        while j < len(lines) and _node_depth(lines[j]) > d:
+            subtree.append(lines[j])
+            j += 1
+        assert any("HashAggregate" in s for s in subtree), (
+            f"Window without {bucket_key} in its partition spec consumes "
+            f"raw (corpus-sized) input — the skewed-shard single-task sort "
+            f"is back:\n{ln}\n\nfull plan:\n{plan}"
+        )
+
+
+def test_tape_offsets_never_window_full_shard(spark):
+    """two_phase_tape_offsets (the packing tape layout): the shard key is
+    language — Zipf-skewed, so a per-shard running-sum window is one task
+    over ~90% of a 100 TB corpus. Pin: windows partition on
+    (shard, _tb range bucket); the only shard-only window is the
+    bucket-prefix one over the per-bucket aggregate."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        prepare,
+        tokens,
+        two_phase_tape_offsets,
+    )
+
+    prepare(spark, SF0001)
+    counted = spark.table("documents").select(
+        "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    plan = _plan(two_phase_tape_offsets(counted, "lang", "n_tokens"))
+    assert "_tb#" in plan, f"tape offsets lost the range-bucket key:\n{plan}"
+    _assert_no_full_shard_window(plan, "_tb#")
+
+
+def test_pack_queries_use_two_phase_tape(spark):
+    """Both packing queries (ws-proxy and BPE-driven) must route through
+    the two-phase tape layout — the capstone's stage 7 shares the same
+    helper, so this pin covers all three call sites."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        text_pack_bpe,
+        text_pack_sequences,
+    )
+
+    for fn in (text_pack_sequences, text_pack_bpe):
+        plan = _plan(fn(spark, SF0001))
+        assert "_tb#" in plan, f"{fn.__name__} regressed off the two-phase tape:\n{plan}"
+        _assert_no_full_shard_window(plan, "_tb#")
+
+
+def test_md5_rank_never_windows_full_group(spark):
+    """two_phase_md5_rank (the capstone's mixture-downsample selection):
+    the group key is ``source`` — a dominant source is corpus-sized, so the
+    exact rank must come from (group, _rb md5-prefix-bucket) windows plus a
+    broadcast bucket prefix, never one per-source window over raw rows."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        prepare,
+        two_phase_md5_rank,
+    )
+
+    prepare(spark, SF0001)
+    plan = _plan(two_phase_md5_rank(spark.table("documents"), "source"))
+    assert "_rb#" in plan, f"md5 rank lost the range-bucket key:\n{plan}"
+    _assert_no_full_shard_window(plan, "_rb#")
+    assert "BroadcastHashJoin" in plan, (
+        f"bucket-prefix table must broadcast, not shuffle the corpus:\n{plan}"
+    )

@@ -1,0 +1,126 @@
+"""Round-11 regression and identity tests.
+
+Round 11 replaced the packing tape layout's per-language running-sum window
+and the curation capstone's per-source md5-rank window (both corpus-sized
+single-task sorts on skewed low-cardinality keys at 100 TB) with the
+two-phase range-bucket plans. The oracles stay green because the rewrites
+are ROW-IDENTICAL — these tests pin that identity directly against the
+naive single-window forms, including on adversarial shard skew the testdata
+doesn't exercise (one shard holding ~95% of rows, the production failure
+mode), and on bucket boundary geometry (empty buckets, bucket-straddling
+doc_id gaps).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+    PACK_TAPE_BUCKET_DOCS,
+    tokens,
+    two_phase_md5_rank,
+    two_phase_tape_offsets,
+)
+from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
+from tests.conftest import SF0001
+
+
+def _naive_tape(counted, shard_col, count_col):
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return counted.withColumn(
+        "start_offset", F.coalesce(F.sum(count_col).over(w), F.lit(0)).cast("long")
+    )
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tape_offsets_identical_to_single_window(spark):
+    prepare(spark, SF0001)
+    counted = spark.table("documents").select(
+        "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    got = _rows(
+        two_phase_tape_offsets(counted, "lang", "n_tokens"),
+        ["doc_id", "lang", "start_offset"],
+    )
+    want = _rows(
+        _naive_tape(counted, "lang", "n_tokens"), ["doc_id", "lang", "start_offset"]
+    )
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """One mega shard (~95% of rows) + two tiny shards, doc_ids sparse and
+    gappy so bucket boundaries land mid-gap and some buckets are EMPTY —
+    the geometry the dense testdata ids never produce."""
+    n = PACK_TAPE_BUCKET_DOCS * 6
+    rows = []
+    for i in range(n):
+        doc_id = i * 7 + (13 if i % 5 == 0 else 0)  # gaps + uneven strides
+        shard = "en" if i % 20 != 0 else ("zh" if i % 40 == 0 else "fr")
+        rows.append((doc_id, shard, (i * 37) % 11 + 1))
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+
+
+def test_tape_offsets_identical_under_adversarial_skew(spark, skewed):
+    got = _rows(
+        two_phase_tape_offsets(skewed, "lang", "n_tokens"),
+        ["doc_id", "lang", "start_offset"],
+    )
+    want = _rows(_naive_tape(skewed, "lang", "n_tokens"), ["doc_id", "lang", "start_offset"])
+    assert got == want
+    # the skew premise itself: the mega shard really dominates
+    counts = dict(
+        (r["lang"], r["c"])
+        for r in skewed.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    assert counts["en"] > 10 * max(counts["fr"], counts["zh"])
+
+
+def test_md5_rank_identical_to_single_window(spark, skewed):
+    prepare(spark, SF0001)
+    for df, group in ((spark.table("documents"), "source"), (skewed, "lang")):
+        w = Window.partitionBy(group).orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+        want = _rows(
+            df.withColumn("rk", F.row_number().over(w)).select("doc_id", "rk"),
+            ["doc_id", "rk"],
+        )
+        got = _rows(two_phase_md5_rank(df, group), ["doc_id", "rk"])
+        assert got == want
+
+
+def test_seq_id_integer_division_past_2_53(spark):
+    """ADVICE r10: seq_id must be integer div, not floor(double /) — pin
+    the exactness at offsets past 2^53 where double arithmetic rounds."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        PACK_BUDGET,
+        pack_seq_id,
+    )
+
+    # 2^62 + 1548: double spacing here is 1024, so the value rounds UP to
+    # 2^62 + 2048 — across a PACK_BUDGET boundary (floor-of-double says
+    # seq 2251799813685249; exact integer div says ...248)
+    big = (1 << 62) + 1548
+    df = spark.createDataFrame([(big,), (big + PACK_BUDGET,)], "start_offset long")
+    got = [r[0] for r in df.select(pack_seq_id().alias("s")).collect()]
+    assert got == [big // PACK_BUDGET, (big + PACK_BUDGET) // PACK_BUDGET]
+    lossy = [
+        r[0]
+        for r in df.select(
+            F.floor(F.col("start_offset") / PACK_BUDGET).alias("s")
+        ).collect()
+    ]
+    # the bug being guarded against is REAL on this engine: the double
+    # path disagrees with exact integer division at this magnitude
+    assert lossy != got
