@@ -986,15 +986,30 @@ def mm_clip_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLIP_ANN_RECALL_FLOOR = 0.7
 
 
+#: the measured recall's DECILE, pinned cross-engine (ADVICE r10: a
+#: hardcoded recall_floor_met=TRUE oracle could never see an LSH recall
+#: regression on its own). floor(recall*10) = 9 at every SF (measured
+#: 0.944/0.928/0.968) and the grid is coarse enough to be stable across
+#: fixture regenerations; a drop below 0.9 flips the row red cross-engine.
+#: CLIP_ANN_RECALL_FLOOR (0.7) stays the hard driver/pytest gate.
+CLIP_ANN_RECALL_DECILE = 9
+
+
 @component(
     "mm_clip_retrieval_ann",
     oracle=f"""
     SELECT 'clip_lsh' AS method,
            CAST((SELECT COUNT(*) FROM embeddings
                  WHERE vec_id % {CLIP_QUERY_MOD} = 1) AS BIGINT) AS n_queries,
-           TRUE AS recall_floor_met
+           TRUE AS recall_floor_met,
+           CAST({CLIP_ANN_RECALL_DECILE} AS BIGINT) AS recall_decile
     """,
-    cols=[("method", "str"), ("n_queries", "num"), ("recall_floor_met", "bool")],
+    cols=[
+        ("method", "str"),
+        ("n_queries", "num"),
+        ("recall_floor_met", "bool"),
+        ("recall_decile", "num"),
+    ],
 )
 def mm_clip_retrieval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION rung under cross-tower CLIP retrieval — the ANN swap
@@ -1063,6 +1078,14 @@ def mm_clip_retrieval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall = _recall_vs_exact(rename(exact), rename(approx))
     n_queries = txts.count()
     return spark.createDataFrame(
-        [("clip_lsh", n_queries, bool(recall >= CLIP_ANN_RECALL_FLOOR))],
-        schema="method string, n_queries bigint, recall_floor_met boolean",
+        [
+            (
+                "clip_lsh",
+                n_queries,
+                bool(recall >= CLIP_ANN_RECALL_FLOOR),
+                int(recall * 10),  # floor to the pinned decile grid
+            )
+        ],
+        schema="method string, n_queries bigint, recall_floor_met boolean, "
+        "recall_decile bigint",
     )

@@ -29,19 +29,7 @@ from e_commerce_data_warehouse_recommendation_system_spark.functions.scalar impo
 from e_commerce_data_warehouse_recommendation_system_spark.registry import component, register
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import TABLES, prepare
 
-
-def _dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,8))) AS DOUBLE)"
-
-
-def _dsum_exact(expr: str) -> str:
-    # money-magnitude sums cross AS DECIMAL — the double cast diverges by
-    # 1 ulp between engines above 2^53 (see functions/scalar.py)
-    return f"SUM(CAST({expr} AS DECIMAL(28,8)))"
-
-
-def _davg(expr: str) -> str:
-    return f"{_dsum(expr)} / COUNT({expr})"
+from e_commerce_data_warehouse_recommendation_system_spark.operators._base import _davg, _dsum, _dsum_exact  # noqa: F401
 
 
 # ==========================================================================
@@ -666,407 +654,11 @@ def j6_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li_orphans.unionByName(o_orphans)
 
 
-# ==========================================================================
-# SS2.4 Aggregations
-# ==========================================================================
-
-
-@component(
-    "a1_count_star",
-    oracle="SELECT COUNT(*) AS total_rows FROM lineitem",
-    cols=[("total_rows", "num")],
-)
-def a1_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: scalar COUNT(*) (reference: postgres_reader.py:96)."""
-    prepare(spark, sf_dir)
-    return spark.table("lineitem").agg(F.count(F.lit(1)).alias("total_rows"))
-
-
-@component(
-    "a3_summary_stats",
-    cols=[
-        ("column_name", "str"),
-        ("n", "num"),
-        ("mean", "dbl"),
-        ("min_value", "dbl"),
-        ("max_value", "dbl"),
-        ("std", "dbl"),
-    ],
-    oracle=f"""
-    SELECT 'l_quantity' AS column_name,
-           COUNT(l_quantity) AS n,
-           {_davg('l_quantity')} AS mean,
-           MIN(l_quantity) AS min_value,
-           MAX(l_quantity) AS max_value,
-           sqrt(({_dsum('l_quantity * l_quantity')} - {_dsum('l_quantity')} * {_dsum('l_quantity')} / COUNT(l_quantity)) / (COUNT(l_quantity) - 1)) AS std
-    FROM lineitem
-    UNION ALL
-    SELECT 'l_extendedprice',
-           COUNT(l_extendedprice),
-           {_davg('l_extendedprice')},
-           MIN(l_extendedprice),
-           MAX(l_extendedprice),
-           sqrt(({_dsum('l_extendedprice * l_extendedprice')} - {_dsum('l_extendedprice')} * {_dsum('l_extendedprice')} / COUNT(l_extendedprice)) / (COUNT(l_extendedprice) - 1))
-    FROM lineitem
-    """,
-)
-def a3_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: ``df.describe()`` summary statistics
-    (reference: postgres_reader.py:117-120). Mean/std computed from exact
-    decimal moments so they are shuffle-order-independent — the engine's
-    distributed-deterministic replacement for pandas describe()."""
-    prepare(spark, sf_dir)
-    li = spark.table("lineitem")
-
-    def stats(col: str) -> DataFrame:
-        c = F.col(col)
-        n = F.count(c)
-        s1 = dec_sum(c)
-        s2 = dec_sum(c * c)
-        return li.agg(
-            F.lit(col).alias("column_name"),
-            n.alias("n"),
-            dec_avg(c).alias("mean"),
-            F.min(c).alias("min_value"),
-            F.max(c).alias("max_value"),
-            F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("std"),
-        )
-
-    return stats("l_quantity").unionByName(stats("l_extendedprice"))
-
-
-@component(
-    "a4_null_profile",
-    cols=[
-        ("user_id_nulls", "num"),
-        ("value_nulls", "num"),
-        ("props_nulls", "num"),
-        ("total_rows", "num"),
-    ],
-    oracle="""
-    SELECT CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
-           CAST(SUM(CASE WHEN value   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
-           CAST(SUM(CASE WHEN props   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls,
-           COUNT(*) AS total_rows
-    FROM events
-    """,
-)
-def a4_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: per-column null counts (reference: postgres_reader.py:123-127)."""
-    prepare(spark, sf_dir)
-    ev = spark.table("events")
-
-    def nulls(c: str) -> F.Column:
-        return F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls")
-
-    return ev.agg(nulls("user_id"), nulls("value"), nulls("props"), F.count(F.lit(1)).alias("total_rows"))
-
-
-@component(
-    "a5_group_collect",
-    cols=[
-        ("user_id", "num"),
-        ("n_items", "num"),
-        ("min_item", "num"),
-        ("max_item", "num"),
-    ],
-    oracle="""
-    SELECT o_custkey AS user_id,
-           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_items,
-           MIN(l_partkey) AS min_item,
-           MAX(l_partkey) AS max_item
-    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    GROUP BY o_custkey
-    """,
-)
-def a5_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: group-by collect-to-set — the recommender's per-user ground-truth
-    sets (reference: mf_knn_recommender.py:390-392). Built with
-    ``collect_set`` then reduced to order-insensitive scalars (size/min/max)
-    because array column ordering is not canonical across engines."""
-    prepare(spark, sf_dir)
-    o, li = spark.table("orders"), spark.table("lineitem")
-    return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy(F.col("o_custkey").alias("user_id"))
-        .agg(F.collect_set("l_partkey").alias("items"))
-        .select(
-            "user_id",
-            F.size("items").cast("long").alias("n_items"),
-            F.array_min("items").alias("min_item"),
-            F.array_max("items").alias("max_item"),
-        )
-    )
-
-
-@component(
-    "a6_distinct_count",
-    cols=[("n_customers", "num"), ("n_priorities", "num")],
-    oracle="""
-    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
-    FROM orders
-    """,
-)
-def a6_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: exact distinct counts (reference: mf_knn_recommender.py:83-88).
-    At 100 TB the engine offers ``approx_count_distinct`` (HLL, no shuffle
-    of distinct values) — exact form kept here for oracle parity."""
-    prepare(spark, sf_dir)
-    return spark.table("orders").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.countDistinct("o_orderpriority").alias("n_priorities"),
-    )
-
-
-def a6b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 at scale: HyperLogLog++ distinct counts — the sketch path for
-    columns whose exact distinct would itself be a massive shuffle at
-    100 TB. rsd=0.02; the raw sketch values are engine-specific, so the
-    driver-visible form is ``a6b_approx_distinct_bound`` (estimate-vs-exact
-    flags, oracle-checked); the raw estimates are bound-tested in
-    tests/test_quality.py."""
-    prepare(spark, sf_dir)
-    li = spark.table("lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-    )
-
-
-@component(
-    "a6b_approx_distinct_bound",
-    oracle="""
-    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
-           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-           TRUE AS orders_within_bound,
-           TRUE AS parts_within_bound
-    FROM lineitem
-    """,
-    cols=[
-        ("exact_orders", "num"),
-        ("exact_parts", "num"),
-        ("orders_within_bound", "bool"),
-        ("parts_within_bound", "bool"),
-    ],
-)
-def a6b_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The HLL sketch's oracle-checkable contract: |estimate - exact| <=
-    3*rsd*exact (rsd=0.02 -> 6%). Exact counts anchor the row; the bound
-    flags are computed from the genuine sketch values, so a broken sketch
-    flips the digest red even though the estimate itself isn't portable."""
-    prepare(spark, sf_dir)
-    li = spark.table("lineitem")
-    agg = li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-    )
-    bound = 3 * 0.02
-    return agg.select(
-        "exact_orders",
-        "exact_parts",
-        (
-            F.abs(F.col("approx_orders") - F.col("exact_orders"))
-            <= bound * F.col("exact_orders")
-        ).alias("orders_within_bound"),
-        (
-            F.abs(F.col("approx_parts") - F.col("exact_parts"))
-            <= bound * F.col("exact_parts")
-        ).alias("parts_within_bound"),
-    )
-
-
-@component(
-    "a8_cube",
-    cols=[
-        ("l_returnflag", "str"),
-        ("l_linestatus", "str"),
-        ("sum_qty", "dbl"),
-        ("n", "num"),
-    ],
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           {_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n
-    FROM lineitem
-    GROUP BY CUBE(l_returnflag, l_linestatus)
-    """,
-)
-def a8_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE subtotals — free in Spark, listed as the engine's dashboard-
-    rollup surface (SURVEY.md SS2.4 note; reference README.md:117-121)."""
-    prepare(spark, sf_dir)
-    return (
-        spark.table("lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(dec_sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
-    )
-
-
-_PCTS = (0.25, 0.5, 0.75, 0.9)
-
-
-@component(
-    "a11_percentiles",
-    oracle="\n    UNION ALL\n".join(
-        f"SELECT CAST({p} AS DOUBLE) AS pct, "
-        f"quantile_cont(o_totalprice, {p}) AS val FROM orders"
-        for p in _PCTS
-    ),
-    cols=[("pct", "dbl"), ("val", "dbl")],
-)
-def a11_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (A-family extension): Spark's
-    ``percentile`` (exact, sort-based — NOT approx_percentile's GK sketch)
-    against DuckDB's ``quantile_cont``; both use the same linear
-    interpolation, verified to match bit-for-bit. At 100 TB swap in
-    ``approx_percentile`` (mergeable sketch, no global sort) — the exact
-    form here is the oracle-checkable contract."""
-    prepare(spark, sf_dir)
-    o = spark.table("orders")
-    parts = [
-        o.agg(
-            F.lit(float(p)).alias("pct"),
-            F.expr(f"percentile(o_totalprice, {p})").alias("val"),
-        )
-        for p in _PCTS
-    ]
-    out = parts[0]
-    for part in parts[1:]:
-        out = out.unionByName(part)
-    return out
-
-
-@component(
-    "a12_corr_moments",
-    oracle=f"""
-    WITH m AS (
-      SELECT COUNT(*) AS n,
-             {_dsum('l_quantity')} AS sx,
-             {_dsum('l_extendedprice')} AS sy,
-             {_dsum('l_quantity * l_extendedprice')} AS sxy,
-             {_dsum('l_quantity * l_quantity')} AS sxx,
-             {_dsum('l_extendedprice * l_extendedprice')} AS syy
-      FROM lineitem
-    )
-    SELECT n,
-           (sxy - sx * sy / n) / (n - 1) AS covar_samp,
-           (sxy - sx * sy / n)
-             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr
-    FROM m
-    """,
-    cols=[("n", "num"), ("covar_samp", "dbl"), ("corr", "dbl")],
-)
-def a12_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample covariance + Pearson correlation from DECIMAL-exact co-moments
-    (the a3 pattern): built-in ``corr``/``covar_samp`` stream their moments
-    in shuffle order (float, nondeterministic across engines), so the engine
-    computes the five exact sums once — one aggregation pass, map-side
-    partial, order-independent — and derives both statistics in identical
-    double arithmetic on both engines."""
-    prepare(spark, sf_dir)
-    li = spark.table("lineitem")
-    x, y = F.col("l_quantity"), F.col("l_extendedprice")
-    m = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        dec_sum(x).alias("sx"),
-        dec_sum(y).alias("sy"),
-        dec_sum(x * y).alias("sxy"),
-        dec_sum(x * x).alias("sxx"),
-        dec_sum(y * y).alias("syy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    cov = (sxy - sx * sy / n) / (n - 1)
-    corr = (sxy - sx * sy / n) / (
-        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
-    )
-    return m.select("n", cov.alias("covar_samp"), corr.alias("corr"))
-
-
-HIST_BIN_WIDTH = 50_000
-
-
-@component(
-    "a13_histogram",
-    oracle=f"""
-    SELECT CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
-           CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) * {HIST_BIN_WIDTH} AS DOUBLE) AS bin_low,
-           COUNT(*) AS n_orders
-    FROM orders GROUP BY 1, 2
-    """,
-    cols=[("bin", "num"), ("bin_low", "dbl"), ("n_orders", "num")],
-)
-def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram: bin = floor(x / width) — one map-side
-    expression + one aggregation shuffle, the scalable form of a value
-    distribution profile (vs sorting for exact quantiles)."""
-    prepare(spark, sf_dir)
-    o = spark.table("orders")
-    b = F.floor(F.col("o_totalprice") / HIST_BIN_WIDTH)
-    return o.groupBy(
-        b.cast("bigint").alias("bin"),
-        (b * HIST_BIN_WIDTH).cast("double").alias("bin_low"),
-    ).agg(F.count(F.lit(1)).alias("n_orders"))
-
-
-#: equi-depth bucket count (boundaries at i/B quantiles, i = 1..B-1)
-EQUIDEPTH_BUCKETS = 8
-
-
-@component(
-    "a16_equidepth_histogram",
-    oracle=f"""
-    WITH b AS (
-      SELECT {', '.join(
-          f'quantile_cont(o_totalprice, {i / EQUIDEPTH_BUCKETS}) AS q{i}'
-          for i in range(1, EQUIDEPTH_BUCKETS)
-      )}
-      FROM orders
-    )
-    SELECT CAST({' + '.join(
-        f'(CASE WHEN o.o_totalprice > b.q{i} THEN 1 ELSE 0 END)'
-        for i in range(1, EQUIDEPTH_BUCKETS)
-    )} AS INT) AS bucket,
-           COUNT(*) AS n_orders
-    FROM orders o CROSS JOIN b
-    GROUP BY 1
-    """,
-    cols=[("bucket", "num"), ("n_orders", "num")],
-)
-def a16_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EQUI-DEPTH histogram — the companion of a13's fixed-width bins and
-    what ANALYZE-style optimizer statistics actually store for skewed
-    columns (equal-population buckets adapt to the distribution where
-    fixed-width bins collapse into one hot bin). Boundaries are the
-    i/{EQUIDEPTH_BUCKETS} exact interpolated quantiles (the a11-proven
-    percentile ≡ quantile_cont cross-engine contract); bucket membership
-    is a map-side CASE chain against the broadcast 1-row boundary frame —
-    boundary ties go to the LOWER bucket deterministically (strict >).
-
-    Scale: the boundary aggregate is the only sort-bearing step and runs
-    on the aggregated column, not the table; at 100 TB it swaps for
-    approx_percentile (mergeable GK sketch) with the same downstream
-    shape — broadcast bounds + one aggregation shuffle."""
-    prepare(spark, sf_dir)
-    o = spark.table("orders")
-    bounds = o.agg(
-        *[
-            F.expr(f"percentile(o_totalprice, {i / EQUIDEPTH_BUCKETS})").alias(f"q{i}")
-            for i in range(1, EQUIDEPTH_BUCKETS)
-        ]
-    )
-    bucket = sum(
-        (F.col("o_totalprice") > F.col(f"q{i}")).cast("int")
-        for i in range(1, EQUIDEPTH_BUCKETS)
-    )
-    return (
-        o.crossJoin(F.broadcast(bounds))
-        .groupBy(bucket.cast("int").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
-
+# SS2.4 Aggregations moved to operators/agg.py (round 11); the import
+# sits at the section's original spot so registration order is
+# unchanged, and the star re-export keeps every existing
+# `from operators.relational import X` working (graph.py convention).
+from e_commerce_data_warehouse_recommendation_system_spark.operators.agg import *  # noqa: E402,F401,F403
 
 # ==========================================================================
 # SS2.5 Deduplication (relational forms; scale-out text dedup lives in
@@ -1168,426 +760,9 @@ def d3_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 
-# ==========================================================================
-# SS2.6 Window / ranking
-# ==========================================================================
-
-
-@component(
-    "w1_surrogate_key",
-    cols=[("nation_key", "num"), ("n_name", "str")],
-    oracle="""
-    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) AS INT) AS nation_key, n_name
-    FROM nation
-    """,
-)
-def w1_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1: sequential surrogate key = row_number over an explicit natural-key
-    order (reference: ``df.index + 1``, dags/transform_dim_customers.py:19).
-    Global row_number is a total-order sort — dimension tables only."""
-    prepare(spark, sf_dir)
-    w = Window.orderBy("n_nationkey")
-    return spark.table("nation").select(F.row_number().over(w).alias("nation_key"), "n_name")
-
-
-def surrogate_key(df: DataFrame, order_col: str, key_name: str, buckets: int | None = None) -> DataFrame:
-    """Two-phase distributed surrogate key: identical result to
-    ``ROW_NUMBER() OVER (ORDER BY order_col)`` without a single-partition
-    global sort (the reference's ``df.index + 1``, W1, at cluster scale).
-
-    Bucket boundaries are approximate quantiles of the (numeric) key,
-    computed ONCE and embedded as plan literals — every consumer of the
-    bucketed frame assigns identical buckets, which range-repartitioning
-    cannot promise when the input's row order is itself nondeterministic
-    (e.g. downstream of a join, each re-execution re-samples and the
-    local-rank branch and the offset branch can disagree; caught by an
-    sf0.1 oracle run). Phase 1: partition-local row_number per bucket.
-    Phase 2: per-bucket counts -> cumulative offsets (a ``buckets``-row
-    window) broadcast back; ``key = offset + local_rank``. O(buckets)
-    driver state, never a one-task sort. Boundary placement only affects
-    balance, never the result, so approxQuantile's error tolerance is
-    harmless. Keys are assumed unique + non-null (natural keys).
-    """
-    spark = df.sparkSession
-    n = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    qs = [i / n for i in range(1, n)]
-    bounds = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
-    if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.aggregate(
-            barr,
-            F.lit(0),
-            lambda acc, b: acc + F.when(F.col(order_col) > b, 1).otherwise(0),
-        )
-    else:
-        bucket = F.lit(0)
-    with_bucket = df.withColumn("_bkt", bucket)
-    local = with_bucket.withColumn(
-        "_lrn", F.row_number().over(Window.partitionBy("_bkt").orderBy(order_col))
-    )
-    counts = with_bucket.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_bkt", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
-    )
-    return (
-        local.join(F.broadcast(offsets), "_bkt")
-        .withColumn(key_name, (F.col("_off") + F.col("_lrn")).cast("int"))
-        .drop("_bkt", "_lrn", "_off")
-    )
-
-
-@component(
-    "w1b_surrogate_key_two_phase",
-    cols=[("customer_key", "num"), ("c_custkey", "num")],
-    oracle="""
-    SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS INT) AS customer_key,
-           c_custkey
-    FROM customer
-    """,
-)
-def w1b_surrogate_key_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 at scale: the two-phase surrogate key on the largest growing dim,
-    oracle-proven equal to a global ROW_NUMBER. This is the form the ETL
-    dims use (plans/etl.py) — no single-partition WindowExec anywhere."""
-    prepare(spark, sf_dir)
-    c = spark.table("customer").select("c_custkey")
-    return surrogate_key(c, "c_custkey", "customer_key").select("customer_key", "c_custkey")
-
-
-@component(
-    "w2_category_codes",
-    cols=[("o_orderpriority", "str"), ("priority_code", "num")],
-    oracle="""
-    SELECT o_orderpriority, CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority) AS INT) AS priority_code
-    FROM (SELECT DISTINCT o_orderpriority FROM orders)
-    """,
-)
-def w2_category_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2: pandas ``astype('category').cat.codes + 1`` — codes follow the
-    lexicographic order of categories (reference:
-    dags/transform_fact_orders.py:48) -> dense_rank over the sorted domain."""
-    prepare(spark, sf_dir)
-    w = Window.orderBy("o_orderpriority")
-    return (
-        spark.table("orders")
-        .select("o_orderpriority")
-        .distinct()
-        .withColumn("priority_code", F.dense_rank().over(w).cast("int"))
-    )
-
-
-@component(
-    "w3_topk_per_group",
-    cols=[
-        ("p_brand", "str"),
-        ("p_partkey", "num"),
-        ("p_retailprice", "dbl"),
-        ("rank_in_brand", "num"),
-    ],
-    oracle="""
-    SELECT p_brand, p_partkey, p_retailprice, rank_in_brand FROM (
-      SELECT p_brand, p_partkey, p_retailprice,
-             CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
-                                     ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rank_in_brand
-      FROM part
-    ) WHERE rank_in_brand <= 3
-    """,
-)
-def w3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3: per-group top-k — the single most important window op for the
-    engine: ``recommendForAllUsers`` reduces to it (reference global form:
-    mf_knn_recommender.py:272-273). Ties broken by key for determinism."""
-    prepare(spark, sf_dir)
-    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
-    return (
-        spark.table("part")
-        .select("p_brand", "p_partkey", "p_retailprice")
-        .withColumn("rank_in_brand", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank_in_brand") <= 3)
-    )
-
-
-@component(
-    "w4_running_total",
-    cols=[("o_custkey", "num"), ("o_orderkey", "num"), ("running_spend", "dbl")],
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
-    FROM orders
-    """,
-)
-def w4_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running aggregate over an analytic frame — beyond the reference's
-    surface (SURVEY.md SS2.6 notes it has none) but core warehouse
-    functionality; decimal accumulation keeps the running values exact."""
-    prepare(spark, sf_dir)
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return spark.table("orders").select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(28,8)")).over(w).cast("double").alias("running_spend"),
-    )
-
-
-@component(
-    "w5_analytic_functions",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(o_orderdate AS DATE) - CAST(LAG(o_orderdate) OVER w AS DATE) AS prev_gap_days,
-           LEAD(o_orderkey) OVER w AS next_orderkey,
-           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
-           CAST(NTILE(4) OVER w AS INT) AS spend_quartile,
-           PERCENT_RANK() OVER w AS pct_rank,
-           CUME_DIST() OVER w AS cume
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-    cols=[
-        ("o_custkey", "num"),
-        ("o_orderkey", "num"),
-        ("prev_gap_days", "num"),
-        ("next_orderkey", "num"),
-        ("first_orderkey", "num"),
-        ("spend_quartile", "num"),
-        ("pct_rank", "dbl"),
-        ("cume", "dbl"),
-    ],
-)
-def w5_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full analytic-window surface beyond ranking (W-family extension):
-    lag/lead/first_value/ntile/percent_rank/cume_dist over each customer's
-    order timeline — one shuffle on the partition key, linear per-key
-    sweeps. The ORDER BY includes the unique orderkey, so frames have no
-    peer rows and every function is engine-deterministic."""
-    prepare(spark, sf_dir)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    d = F.col("o_orderdate")
-    return spark.table("orders").select(
-        "o_custkey",
-        "o_orderkey",
-        F.datediff(d, F.lag(d).over(w)).alias("prev_gap_days"),
-        F.lead("o_orderkey").over(w).alias("next_orderkey"),
-        F.first("o_orderkey").over(w).alias("first_orderkey"),
-        F.ntile(4).over(w).cast("int").alias("spend_quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-    )
-
-
-@component(
-    "w6_rolling_7day_revenue",
-    oracle="""
-    WITH o AS (
-      SELECT o_custkey, o_orderkey,
-             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day_num,
-             o_totalprice
-      FROM orders
-    )
-    SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8)))
-                OVER (PARTITION BY o_custkey ORDER BY day_num
-                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS revenue_7d
-    FROM o
-    """,
-    cols=[("o_custkey", "num"), ("o_orderkey", "num"), ("revenue_7d", "dbl")],
-)
-def w6_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-based rolling aggregate (W-family extension): each order's
-    trailing-7-day customer revenue via a RANGE frame over day numbers —
-    the moving-metric shape every dashboard needs. RANGE frames include
-    peer rows (same customer, same day), so both engines produce identical
-    sums for tied rows; decimal accumulation keeps them exact. One shuffle
-    on the partition key, linear per-key sweep."""
-    prepare(spark, sf_dir)
-    o = spark.table("orders").withColumn(
-        "day_num", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
-    )
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("day_num")
-        .rangeBetween(-6, Window.currentRow)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
-        .over(w)
-        .cast("double")
-        .alias("revenue_7d"),
-    )
-
-
-@component(
-    "w7_windowed_distinct_count",
-    oracle="""
-    WITH ranked AS (
-      SELECT o_custkey, o_orderkey, o_orderpriority,
-             DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS dr
-      FROM orders
-    )
-    SELECT o_custkey, o_orderkey,
-           CAST(MAX(dr) OVER (PARTITION BY o_custkey) AS INT) AS n_distinct_priorities
-    FROM ranked
-    """,
-    cols=[("o_custkey", "num"), ("o_orderkey", "num"), ("n_distinct_priorities", "num")],
-)
-def w7_windowed_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct count over a window — neither engine supports
-    COUNT(DISTINCT) OVER directly, so this is the standard two-window
-    rewrite: dense_rank within the partition ordered by the value, then
-    max(dense_rank) over the partition. Both windows share the partition
-    key, so the whole thing costs ONE shuffle (Catalyst reuses the
-    exchange) plus two linear sweeps."""
-    prepare(spark, sf_dir)
-    w_rank = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
-    w_part = Window.partitionBy("o_custkey")
-    return (
-        spark.table("orders")
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.dense_rank().over(w_rank).alias("dr"),
-        )
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.max("dr").over(w_part).cast("int").alias("n_distinct_priorities"),
-        )
-    )
-
-
-@component(
-    "w8_interval_concurrency",
-    oracle="""
-    WITH iv AS (
-      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS s,
-             MAX(CAST(l.l_shipdate AS DATE)) AS e
-      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-      GROUP BY 1, 2
-    ),
-    deltas AS (
-      SELECT s AS d, 1 AS delta FROM iv
-      UNION ALL
-      SELECT e + 1 AS d, -1 AS delta FROM iv
-    ),
-    net AS (SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY d),
-    cum AS (SELECT d, SUM(net) OVER (ORDER BY d) AS open_cnt FROM net)
-    SELECT CAST(date_trunc('month', d) AS DATE) AS month,
-           CAST(MAX(open_cnt) AS BIGINT) AS max_open,
-           CAST(COUNT(*) AS BIGINT) AS n_delta_days
-    FROM cum GROUP BY 1
-    """,
-    cols=[("month", "date"), ("max_open", "num"), ("n_delta_days", "num")],
-)
-def w8_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-overlap concurrency (sweep line): each order is "in
-    flight" from its order date to its last line-item ship date; the
-    metric is the maximum number of simultaneously open orders per month —
-    the warehouse-load / working-capital question a dashboard asks of any
-    interval table, and the one aggregation windows can't express without
-    the +1/-1 boundary-event trick used here.
-
-    The oracle writes the textbook single global running sum; the Spark
-    plan computes the SAME prefix sums in TWO PHASES so no corpus-sized
-    data ever passes through a single partition: per-date net deltas
-    (one groupBy), then a month-level prefix (a window over the
-    calendar-bounded month table — dozens of rows at any data size, like
-    w1b's two-phase surrogate keys), plus a within-month cumulative sum
-    partitioned BY month. prefix(month) + within-month cumsum ==
-    global cumsum, exactly, in integers.
-
-    Scale: one shuffle for the per-order interval rollup, one for the
-    date-level net, one partition-by-month window; the only ordered-global
-    structure is the month table, bounded by the calendar, not the data."""
-    prepare(spark, sf_dir)
-    iv = (
-        spark.table("orders")
-        .join(
-            spark.table("lineitem").select("l_orderkey", "l_shipdate"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("s"))
-        .agg(F.max(F.col("l_shipdate").cast("date")).alias("e"))
-    )
-    # both boundary events from ONE pass over iv (a union of two selects
-    # would replay the interval rollup twice) — map-side explode, no shuffle
-    deltas = iv.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("s").alias("d"), F.lit(1).alias("delta")),
-                F.struct(F.date_add("e", 1).alias("d"), F.lit(-1).alias("delta")),
-            )
-        ).alias("ev")
-    ).select("ev.d", "ev.delta")
-    net = (
-        deltas.groupBy("d")
-        .agg(F.sum("delta").cast("long").alias("net"))
-        .withColumn("month", F.trunc("d", "MM"))
-        .cache()  # calendar-bounded (one row per active date); feeds both
-        # the month-prefix build and the day-level cumsum — uncached, the
-        # interval rollup + date aggregation replay per consumer
-    )
-    w_months = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, -1)
-    month_prefix = (
-        net.groupBy("month")
-        .agg(F.sum("net").alias("mnet"))
-        .select(
-            "month",
-            F.coalesce(F.sum("mnet").over(w_months), F.lit(0)).alias("prefix"),
-        )
-    )
-    w_days = (
-        Window.partitionBy("month")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = net.join(F.broadcast(month_prefix), "month").select(
-        "month", "d", (F.col("prefix") + F.sum("net").over(w_days)).alias("open_cnt")
-    )
-    return cum.groupBy("month").agg(
-        F.max("open_cnt").cast("long").alias("max_open"),
-        F.count(F.lit(1)).alias("n_delta_days"),
-    )
-
-
-@component(
-    "a11b_approx_percentile_bound",
-    oracle="""
-    SELECT quantile_cont(o_totalprice, 0.5) AS exact_median,
-           TRUE AS approx_within_rank_bound
-    FROM orders
-    """,
-    cols=[("exact_median", "dbl"), ("approx_within_rank_bound", "bool")],
-)
-def a11b_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The percentile sketch path's contract (the a6b pattern for
-    quantiles): ``approx_percentile`` (Greenwald-Khanna, mergeable — no
-    global sort at 100 TB) must land between the exact quantiles at
-    p ± 1/accuracy. The flag is computed from the genuine sketch value;
-    the exact median anchors the row."""
-    prepare(spark, sf_dir)
-    o = spark.table("orders")
-    agg = o.agg(
-        F.expr("approx_percentile(o_totalprice, 0.5, 100)").alias("approx"),
-        F.expr("percentile(o_totalprice, 0.49)").alias("lo"),
-        F.expr("percentile(o_totalprice, 0.51)").alias("hi"),
-        F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
-    )
-    return agg.select(
-        "exact_median",
-        ((F.col("approx") >= F.col("lo")) & (F.col("approx") <= F.col("hi"))).alias(
-            "approx_within_rank_bound"
-        ),
-    )
-
+# SS2.6 Window / ranking moved to operators/windows.py (round 11) —
+# same pure-move + in-place-import + star-re-export convention.
+from e_commerce_data_warehouse_recommendation_system_spark.operators.windows import *  # noqa: E402,F401,F403
 
 # ==========================================================================
 # SS2.7 Sorts / limits / top-k
@@ -1961,176 +1136,9 @@ def a14_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Time-series resampling (gap fill + forward fill)
-# --------------------------------------------------------------------------
-
-
-@component(
-    "ts_resample_ffill",
-    oracle="""
-    WITH daily AS (
-      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(COUNT(*) AS BIGINT) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS day_value
-      FROM events GROUP BY 1, 2
-    ),
-    bounds AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1),
-    grid AS (
-      SELECT user_id, CAST(gs.d AS DATE) AS day
-      FROM bounds, LATERAL (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d) gs
-    )
-    SELECT g.user_id, g.day,
-           CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
-           LAST_VALUE(d.day_value IGNORE NULLS) OVER (
-             PARTITION BY g.user_id ORDER BY g.day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
-           d.day_value IS NULL AS is_gap
-    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
-    """,
-    cols=[
-        ("user_id", "num"),
-        ("day", "date"),
-        ("n_events", "num"),
-        ("filled_value", "dbl"),
-        ("is_gap", "bool"),
-    ],
-)
-def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regular-grid resampling with forward fill — the feature-engineering
-    primitive between raw events and any model that expects one row per
-    (entity, period): per user, a complete daily grid over the user's own
-    active span, daily totals where events exist, last-observation-carried-
-    forward where they don't, and an explicit gap marker.
-
-    Shape: one aggregation to daily rows (the only full-data shuffle),
-    per-user bounds off that aggregate, the grid fanned out MAP-SIDE with
-    ``sequence``/``explode`` (rows materialize at days-per-user, never via
-    a calendar cross-join), a co-partitioned left join back, and the fill
-    as a bounded running window per user. At 100 TB the grid size is
-    sum(user spans) — output-sized, not |users| x |calendar| — and every
-    stage keys on user_id, so the agg, join, and window reuse one
-    partitioning. Decimal accumulation keeps the daily sums exact and the
-    forward-filled value engine-portable."""
-    prepare(spark, sf_dir)
-    daily = (
-        spark.table("events")
-        .groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,8)")).cast("double").alias("day_value"),
-        )
-    )
-    grid = (
-        daily.groupBy("user_id")
-        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
-        .select(
-            "user_id",
-            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day"),
-        )
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        grid.join(daily, ["user_id", "day"], "left")
-        .select(
-            "user_id",
-            "day",
-            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
-            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
-            F.col("day_value").isNull().alias("is_gap"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# Mergeable-sketch rollup (HLL union across grain levels)
-# --------------------------------------------------------------------------
-
-#: acceptance band for the merged estimate vs the exact distinct. The
-#: default Datasketches lgConfigK=12 gives ~1.6% standard error; 5% is a
-#: regression tripwire, not a precision claim.
-_SKETCH_REL_ERR = 0.05
-
-
-@component(
-    "a15_sketch_rollup",
-    oracle="""
-    WITH d AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
-    ),
-    daily AS (SELECT day, COUNT(DISTINCT user_id) AS du FROM d GROUP BY day),
-    monthly AS (
-      SELECT strftime(day, '%Y-%m') AS month,
-             CAST(COUNT(*) AS BIGINT) AS n_days,
-             CAST(MAX(du) AS BIGINT) AS max_daily_distinct
-      FROM daily GROUP BY 1
-    ),
-    exact AS (
-      SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m') AS month,
-             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
-      FROM events GROUP BY 1
-    )
-    SELECT m.month, e.exact_distinct, m.n_days, m.max_daily_distinct,
-           TRUE AS merge_within_bound, TRUE AS merge_monotone
-    FROM monthly m JOIN exact e ON m.month = e.month
-    """,
-    cols=[
-        ("month", "str"),
-        ("exact_distinct", "num"),
-        ("n_days", "num"),
-        ("max_daily_distinct", "num"),
-        ("merge_within_bound", "bool"),
-        ("merge_monotone", "bool"),
-    ],
-)
-def a15_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch rollup — the incremental-distinct pattern that makes
-    "monthly unique users" computable WITHOUT re-touching the raw events:
-    each day aggregates once into a Datasketches HLL sketch
-    (``hll_sketch_agg``, KB-scale state, map-side partial like any agg);
-    coarser grains come from ``hll_union_agg`` over the stored daily
-    sketches — bytes-per-day input, so a 100 TB backfill month costs a
-    union over ≤31 sketches instead of a distinct over a month of raw
-    rows, and a late-arriving day only replaces its own sketch. The
-    digest compares the merged estimate against the exact per-month
-    distinct (re-derived from raw events here purely as verification):
-    within the error band, and never materially below the largest single
-    day (union monotonicity). Exact counts and day/month structure are
-    SQL-derivable; the estimate itself is flag-checked because DuckDB has
-    no Datasketches HLL."""
-    prepare(spark, sf_dir)
-    ev = spark.table("events").select(
-        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
-    )
-    daily = ev.groupBy("day").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("du"),
-    )
-    monthly = daily.groupBy(F.date_format("day", "yyyy-MM").alias("month")).agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
-        F.count(F.lit(1)).alias("n_days"),
-        F.max("du").alias("max_daily_distinct"),
-    )
-    exact = ev.groupBy(F.date_format("day", "yyyy-MM").alias("month")).agg(
-        F.count_distinct("user_id").alias("exact_distinct")
-    )
-    rel_err = F.abs(F.col("est") - F.col("exact_distinct")) / F.col("exact_distinct")
-    return (
-        monthly.join(exact, "month")
-        .select(
-            "month",
-            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
-            F.col("n_days").cast("bigint").alias("n_days"),
-            F.col("max_daily_distinct").cast("bigint").alias("max_daily_distinct"),
-            (rel_err <= _SKETCH_REL_ERR).alias("merge_within_bound"),
-            (F.col("est") >= F.col("max_daily_distinct") * 0.95).alias("merge_monotone"),
-        )
-    )
-
+# Time-series rungs moved to operators/timeseries.py (round 11) —
+# same pure-move + in-place-import + star-re-export convention.
+from e_commerce_data_warehouse_recommendation_system_spark.operators.timeseries import *  # noqa: E402,F401,F403
 
 # --------------------------------------------------------------------------
 # Clickstream Markov transitions (next-event model input)
@@ -2751,98 +1759,6 @@ def ab_experiment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Seasonal-naive forecast baseline + backtest (planning analytics)
-# --------------------------------------------------------------------------
-
-
-@component(
-    "forecast_seasonal_naive",
-    oracle="""
-    WITH monthly AS (
-      SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
-                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS month_key,
-             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
-             CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS revenue
-      FROM orders GROUP BY 1, 2, 3
-    ),
-    joined AS (
-      SELECT a.month_key, a.revenue, f.revenue AS forecast,
-             CAST(FLOOR(ABS(a.revenue - f.revenue) * 1000000.0 / a.revenue)
-                  AS BIGINT) AS ape_micro
-      FROM monthly a JOIN monthly f
-        ON f.y = a.y - 1 AND f.m = a.m
-    )
-    SELECT month_key, revenue, forecast, ape_micro,
-           CAST((SELECT FLOOR(SUM(ape_micro) / COUNT(*)) FROM joined) AS BIGINT)
-             AS avg_ape_micro
-    FROM joined
-    """,
-    cols=[
-        ("month_key", "num"),
-        ("revenue", "dbl"),
-        ("forecast", "dbl"),
-        ("ape_micro", "num"),
-        ("avg_ape_micro", "num"),
-    ],
-)
-def forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seasonal-naive forecast baseline with a full backtest: predicted
-    revenue for month m = actual revenue of the same month last year, and
-    the absolute percentage error of that prediction for every month where
-    both exist — the baseline any real forecasting model must beat before
-    it ships, and the capacity-planning readout itself. Per-month APE and
-    the corpus-wide average come out in integer micro-units (floor of one
-    IEEE divide over decimal-exact revenues; the average is integer
-    division of integer sums), so nothing float-ordered crosses engines.
-
-    Shape: one partial-agg shuffle to the bounded month grid (≤ 12·years
-    rows), then the year-shift join and the backtest average run on that
-    bounded frame — at 100 TB only the first aggregate ever touches the
-    fact table."""
-    prepare(spark, sf_dir)
-    o = spark.table("orders")
-    # the month grid is self-joined (actual x last-year) and feeds the
-    # backtest average: materialize so the fact aggregates once
-    monthly = o.groupBy(
-        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
-        .cast("bigint")
-        .alias("month_key"),
-        F.year("o_orderdate").cast("bigint").alias("y"),
-        F.month("o_orderdate").cast("bigint").alias("m"),
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
-        .cast("double")
-        .alias("revenue")
-    ).localCheckpoint(eager=True)
-    a = monthly.alias("a")
-    f = monthly.alias("f")
-    joined = a.join(
-        f,
-        (F.col("f.y") == F.col("a.y") - 1) & (F.col("f.m") == F.col("a.m")),
-    ).select(
-        F.col("a.month_key").alias("month_key"),
-        F.col("a.revenue").alias("revenue"),
-        F.col("f.revenue").alias("forecast"),
-        F.floor(
-            F.abs(F.col("a.revenue") - F.col("f.revenue"))
-            * 1000000.0
-            / F.col("a.revenue")
-        )
-        .cast("bigint")
-        .alias("ape_micro"),
-    )
-    # FLOOR explicitly: DuckDB CAST(double AS BIGINT) rounds-to-nearest
-    # while Spark truncates — floor makes both engines agree exactly
-    avg_ape = joined.agg(
-        F.floor(F.sum("ape_micro") / F.count(F.lit(1)))
-        .cast("bigint")
-        .alias("avg_ape_micro")
-    )
-    return joined.crossJoin(F.broadcast(avg_ape))
-
-
-# --------------------------------------------------------------------------
 # Governed view: row-level security + column masking (data governance)
 # --------------------------------------------------------------------------
 
@@ -3446,93 +2362,6 @@ def f_try_cast_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Count-min sketch heavy-hitter bounds (the third classic sketch)
-# --------------------------------------------------------------------------
-
-CMS_EPS = 0.01
-CMS_CONFIDENCE = 0.99
-CMS_SEED = 42
-CMS_PROBE_K = 10
-
-
-@component(
-    "a18_cms_heavy_hitters",
-    oracle=f"""
-    WITH counts AS (
-      SELECT l_suppkey AS key, COUNT(*) AS n_exact
-      FROM lineitem GROUP BY l_suppkey
-    ),
-    topk AS (
-      SELECT key, CAST(n_exact AS BIGINT) AS n_exact,
-             ROW_NUMBER() OVER (ORDER BY n_exact DESC, key) AS rnk
-      FROM counts
-    )
-    SELECT key, n_exact,
-           TRUE AS ge_exact,
-           TRUE AS within_eps
-    FROM topk WHERE rnk <= {CMS_PROBE_K}
-    """,
-    cols=[
-        ("key", "num"),
-        ("n_exact", "num"),
-        ("ge_exact", "bool"),
-        ("within_eps", "bool"),
-    ],
-)
-def a18_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch frequency estimation — the third classic mergeable
-    sketch next to HLL (a15_sketch_rollup / a6b) and GK percentiles
-    (a11b), completing the approximate-aggregation trio a 100 TB ANALYZE
-    or streaming top-k layer is built from. The sketch is built by
-    Spark's ``count_min_sketch`` aggregate (seeded — deterministic), ships
-    as KB-scale bytes however large the keyed data, and the exact top-K
-    heavy hitters (SQL-derivable) are probed against it driver-side.
-
-    The contract flags are the CMS's actual guarantees, checked per key:
-    ``ge_exact`` — a count-min estimate NEVER underestimates (a
-    deterministic structural property, not probabilistic); ``within_eps``
-    — the overestimate is bounded by ε·N (ε={CMS_EPS}, N = total rows;
-    the 1-δ probabilistic bound is deterministic here under the fixed
-    seed and data). Estimates themselves are sketch-internal (same digest
-    class as ALS factors); the EXACT counts cross as oracle-checked
-    values.
-
-    Scale: one pass + KB merge for the sketch; the probe set is the
-    bounded top-K; nothing driver-side is O(rows)."""
-    prepare(spark, sf_dir)
-    li = spark.table("lineitem")
-    n_total = li.count()
-    topk = [
-        (r.key, r.n_exact)
-        for r in li.groupBy(F.col("l_suppkey").alias("key"))
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .orderBy(F.desc("n_exact"), F.asc("key"))
-        .limit(CMS_PROBE_K)
-        .collect()
-    ]
-    sk = li.agg(
-        F.expr(
-            f"count_min_sketch(l_suppkey, {CMS_EPS}d, {CMS_CONFIDENCE}d, {CMS_SEED})"
-        ).alias("s")
-    ).collect()[0].s
-    jvm = spark._jvm
-    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytearray(sk))
-    slack = CMS_EPS * n_total
-    rows = [
-        (
-            int(key),
-            int(n_exact),
-            bool(cms.estimateCount(jvm.java.lang.Long(int(key))) >= n_exact),
-            bool(cms.estimateCount(jvm.java.lang.Long(int(key))) <= n_exact + slack),
-        )
-        for key, n_exact in topk
-    ]
-    return spark.createDataFrame(
-        rows, schema="key bigint, n_exact bigint, ge_exact boolean, within_eps boolean"
-    )
-
-
-# --------------------------------------------------------------------------
 # ABC / Pareto revenue classification (cumulative-share banding)
 # --------------------------------------------------------------------------
 
@@ -3631,126 +2460,6 @@ def a19_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Holt linear-trend exponential smoothing (per-series sequential state)
-# --------------------------------------------------------------------------
-
-#: smoothing constants — 0.5 is EXACTLY representable in binary, so every
-#: multiply below is one correctly-rounded IEEE op in all three runtimes
-#: (JVM, pandas/C, DuckDB) and the smoothed path is bit-identical
-HOLT_ALPHA = 0.5
-HOLT_BETA = 0.5
-
-
-@component(
-    "ts_holt_forecast",
-    oracle="""
-    WITH RECURSIVE base AS (
-      SELECT o_orderpriority AS series,
-             CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
-             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-                  AS BIGINT) AS y
-      FROM orders GROUP BY 1, 2
-    ),
-    m AS (
-      SELECT series, month, y,
-             CAST(ROW_NUMBER() OVER (PARTITION BY series ORDER BY month) AS INT) AS idx
-      FROM base
-    ),
-    init AS (
-      SELECT a.series, CAST(a.y AS DOUBLE) AS s, CAST(b.y - a.y AS DOUBLE) AS b
-      FROM m a JOIN m b ON a.series = b.series AND a.idx = 1 AND b.idx = 2
-    ),
-    r AS (
-      SELECT series, 1 AS idx, s, b FROM init
-      UNION ALL
-      SELECT r.series, r.idx + 1,
-             0.5 * m.y + 0.5 * (r.s + r.b),
-             0.5 * ((0.5 * m.y + 0.5 * (r.s + r.b)) - r.s) + 0.5 * r.b
-      FROM r JOIN m ON m.series = r.series AND m.idx = r.idx + 1
-    )
-    SELECT r.series, m.month,
-           CAST(FLOOR(r.s * 1000000.0) AS BIGINT) AS level_micro,
-           CAST(FLOOR(r.b * 1000000.0) AS BIGINT) AS trend_micro
-    FROM r JOIN m ON m.series = r.series AND m.idx = r.idx
-    """,
-    cols=[
-        ("series", "str"),
-        ("month", "date"),
-        ("level_micro", "num"),
-        ("trend_micro", "num"),
-    ],
-)
-def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holt linear-trend exponential smoothing over the monthly revenue
-    series — the forecasting step UP from forecast_seasonal_naive (that op
-    repeats last season; this one maintains level+trend state):
-    s_t = αy_t + (1-α)(s_{t-1}+b_{t-1}), b_t = β(s_t-s_{t-1}) + (1-β)b_{t-1}.
-    The recursion is INHERENTLY SEQUENTIAL per series — no window frame
-    expresses it — so this is the §2.11 showcase for per-group sequential
-    state via grouped ``applyInPandas``: each series' history lands in one
-    pandas group, the loop runs in-process, and series parallelize freely
-    (state never crosses a series). The oracle is a genuine recursive CTE
-    computing the identical recurrence.
-
-    Bit-exactness across Spark/pandas/DuckDB: inputs are exact integer
-    cents, α=β=0.5 is a power of two, and both sides evaluate the same
-    literal expression tree — every step is the same correctly-rounded
-    IEEE double sequence, so even the 84-step-deep recursion crosses
-    engines exactly (emitted floor-micro, the standard form).
-
-    Scale: one map-side-combined groupBy to (series, month); the pandas
-    stage processes one series' months per group — state is O(1), group
-    size is calendar-bounded, and a million-series panel fans out across
-    executors with no shuffle beyond the grouping."""
-    import math
-
-    import pandas as pd
-
-    prepare(spark, sf_dir)
-    base = (
-        spark.table("orders")
-        .groupBy(
-            F.col("o_orderpriority").alias("series"),
-            F.trunc(F.col("o_orderdate").cast("date"), "MM").alias("month"),
-        )
-        .agg(
-            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
-            .cast("long")
-            .alias("y")
-        )
-    )
-
-    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("month")
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                columns=["series", "month", "level_micro", "trend_micro"]
-            )
-        y = [float(v) for v in pdf["y"]]
-        s = y[0]
-        b = y[1] - y[0]
-        levels, trends = [s], [b]
-        for t in range(1, len(y)):
-            s_new = 0.5 * y[t] + 0.5 * (s + b)
-            b_new = 0.5 * (s_new - s) + 0.5 * b
-            s, b = s_new, b_new
-            levels.append(s)
-            trends.append(b)
-        return pd.DataFrame(
-            {
-                "series": pdf["series"].iloc[0],
-                "month": pdf["month"],
-                "level_micro": [math.floor(v * 1000000.0) for v in levels],
-                "trend_micro": [math.floor(v * 1000000.0) for v in trends],
-            }
-        )
-
-    return base.groupBy("series").applyInPandas(
-        holt, schema="series string, month date, level_micro long, trend_micro long"
-    )
-
-
-# --------------------------------------------------------------------------
 # Dual-sourcing concentration (Herfindahl index per part)
 # --------------------------------------------------------------------------
 
@@ -3810,333 +2519,6 @@ def a21_dual_sourcing_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_lines"),
         hhi.cast("long").alias("hhi_micro"),
         (hhi >= HHI_CONCENTRATED_MICRO).alias("concentrated"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Robust daily-volume anomaly detection (median/MAD control band)
-# --------------------------------------------------------------------------
-
-#: anomaly threshold in MAD units (the robust z-score convention)
-ANOMALY_MAD_K = 3
-
-
-@component(
-    "events_anomaly_days",
-    oracle=f"""
-    WITH daily AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(COUNT(*) AS BIGINT) AS n_events
-      FROM events GROUP BY 1
-    ),
-    med AS (SELECT quantile_cont(n_events, 0.5) AS med FROM daily),
-    dev AS (
-      SELECT day, n_events, ABS(n_events - med.med) AS dev FROM daily, med
-    ),
-    mad AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dev)
-    SELECT day, n_events,
-           CAST(FLOOR(dev * 1000000.0) AS BIGINT) AS dev_micro,
-           dev > {ANOMALY_MAD_K} * mad.mad AS is_anomaly
-    FROM dev, mad
-    """,
-    cols=[
-        ("day", "date"),
-        ("n_events", "num"),
-        ("dev_micro", "num"),
-        ("is_anomaly", "bool"),
-    ],
-)
-def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pipeline-monitoring anomaly detection on the daily event volume:
-    flag days whose count deviates more than {ANOMALY_MAD_K}× the median
-    absolute deviation from the median — the robust control band (mean/σ
-    break under the very outliers being hunted; median/MAD have a 50%
-    breakdown point). Exactness: daily counts are integers, the exact
-    interpolated median of integers is a multiple of 0.5 (engine-identical,
-    proven by a11_percentiles), so deviations and the MAD comparison are
-    exact half-integer arithmetic on both engines — the flag can never
-    disagree at the boundary.
-
-    Scale: one map-side-combined day rollup (calendar-bounded output),
-    then two tiny scalar aggregates over the day table riding broadcast
-    cross joins — at 100 TB the exact percentile swaps for
-    approx_percentile exactly as a11b documents, the band logic
-    unchanged."""
-    prepare(spark, sf_dir)
-    daily = (
-        spark.table("events")
-        .groupBy(F.col("ts").cast("date").alias("day"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    med = daily.agg(F.expr("percentile(n_events, 0.5)").alias("med"))
-    dev = daily.crossJoin(F.broadcast(med)).select(
-        "day", "n_events", F.abs(F.col("n_events") - F.col("med")).alias("dev")
-    )
-    mad = dev.agg(F.expr("percentile(dev, 0.5)").alias("mad"))
-    return dev.crossJoin(F.broadcast(mad)).select(
-        "day",
-        "n_events",
-        F.floor(F.col("dev") * 1000000.0).cast("long").alias("dev_micro"),
-        (F.col("dev") > ANOMALY_MAD_K * F.col("mad")).alias("is_anomaly"),
-    )
-
-
-# ==========================================================================
-# Gaps-and-islands: consecutive-activity streaks (W ext)
-# ==========================================================================
-
-
-@component(
-    "w9_order_streaks",
-    oracle="""
-    WITH m AS (
-      SELECT DISTINCT o_custkey,
-             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym
-      FROM orders
-    ),
-    isl AS (
-      SELECT o_custkey, ym,
-             ym - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY ym)
-               AS island
-      FROM m
-    ),
-    runs AS (
-      SELECT o_custkey, island, CAST(COUNT(*) AS BIGINT) AS len
-      FROM isl GROUP BY 1, 2
-    )
-    SELECT o_custkey,
-           CAST(SUM(len) AS BIGINT) AS n_active_months,
-           CAST(COUNT(*) AS BIGINT) AS n_streaks,
-           CAST(MAX(len) AS BIGINT) AS longest_streak
-    FROM runs GROUP BY o_custkey
-    """,
-    cols=[
-        ("o_custkey", "num"),
-        ("n_active_months", "num"),
-        ("n_streaks", "num"),
-        ("longest_streak", "num"),
-    ],
-)
-def w9_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gaps-and-islands: each customer's longest streak of CONSECUTIVE
-    active months — the retention question ("how long do customers stay
-    habitual?") that no plain aggregation answers. The classic trick: for
-    the sorted distinct month indices of one customer, ``ym − row_number``
-    is constant exactly within a consecutive run, so one window plus two
-    aggregations recovers every island without self-joins or recursion.
-    Month index = year*12+month (integer, engine-identical); every value
-    in flight is an integer, so both engines agree bit-for-bit.
-
-    Scale: the distinct() keys on (customer, month) — strictly tighter
-    than orders — and the window, the island groupBy, and the final
-    per-customer rollup all share the o_custkey hash partitioning, so one
-    exchange serves the whole chain; per-partition window state is bounded
-    by the calendar (months per customer), never by order volume."""
-    prepare(spark, sf_dir)
-    m = (
-        spark.table("orders")
-        .select(
-            "o_custkey",
-            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
-            .cast("long")
-            .alias("ym"),
-        )
-        .distinct()
-    )
-    w = Window.partitionBy("o_custkey").orderBy("ym")
-    isl = m.select("o_custkey", "ym", (F.col("ym") - F.row_number().over(w)).alias("island"))
-    runs = isl.groupBy("o_custkey", "island").agg(F.count(F.lit(1)).alias("len"))
-    return runs.groupBy("o_custkey").agg(
-        F.sum("len").cast("long").alias("n_active_months"),
-        F.count(F.lit(1)).alias("n_streaks"),
-        F.max("len").cast("long").alias("longest_streak"),
-    )
-
-
-# ==========================================================================
-# OLS trend fit from exact integer moments (A ext)
-# ==========================================================================
-
-
-@component(
-    "a22_ols_trend",
-    oracle="""
-    WITH monthly AS (
-      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
-               AS y_cents
-      FROM orders GROUP BY 1
-    ),
-    centered AS (
-      SELECT ym - (SELECT MIN(ym) FROM monthly) AS x, y_cents AS y
-      FROM monthly
-    ),
-    mo AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx,
-             CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(x * y) AS BIGINT) AS sxy
-      FROM centered
-    )
-    SELECT n AS n_months, sy AS total_cents,
-           CASE WHEN n * sxx - sx * sx <> 0 THEN
-             CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
-                        / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
-           END AS slope_micro,
-           CASE WHEN n * sxx - sx * sx <> 0 THEN
-             CAST(FLOOR(CAST(sy * sxx - sx * sxy AS DOUBLE) * 1000000.0
-                        / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
-           END AS intercept_micro,
-           (n * sxy - sx * sy) > 0 AS rising
-    FROM mo
-    """,
-    cols=[
-        ("n_months", "num"),
-        ("total_cents", "num"),
-        ("slope_micro", "num"),
-        ("intercept_micro", "num"),
-        ("rising", "bool"),
-    ],
-)
-def a22_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Least-squares revenue trend: the closed-form OLS fit of monthly
-    revenue against a centered month index, computed entirely from the
-    five integer moments (n, Σx, Σy, Σxy, Σx²) — no MLlib, no float
-    accumulation, no second pass. slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and
-    intercept = (ΣyΣx²−ΣxΣxy)/(nΣx²−(Σx)²) cross the engine boundary
-    through the FLOOR-micro divide with the double op-tree EXPLICIT on
-    both sides: the intercept numerator exceeds 2^53 at sf0.01, and a
-    bare ``x * 1000000.0`` is a trap there — DuckDB types the literal
-    DECIMAL(8,1) so its product stays exact (ONE rounding at the divide)
-    while Spark rounds twice (int64→double, then ×1e6), a probed 1-unit
-    floor divergence. ``CAST(num AS DOUBLE) * 1e6 / CAST(den AS DOUBLE)``
-    pins both engines to the identical correctly-rounded IEEE sequence.
-    The ``rising`` flag binds to the sign of the exact integer numerator,
-    so the trend verdict can never disagree. Centering x at MIN(ym) keeps
-    every int64 product below ~1e17 at sf0.1 (documented bound; at 100 TB
-    the moment columns widen to DECIMAL(38,0), the algebra unchanged).
-
-    Scale: one map-side-combined month rollup (calendar-bounded), the
-    min(ym) scalar rides a broadcast cross join, then ONE single-row
-    moment aggregate — the regression itself costs O(months), not
-    O(orders)."""
-    prepare(spark, sf_dir)
-    monthly = (
-        spark.table("orders")
-        .groupBy(
-            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("ym")
-        )
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("long")
-            .alias("y_cents")
-        )
-    )
-    base = monthly.agg(F.min("ym").alias("ym0"))
-    centered = monthly.crossJoin(F.broadcast(base)).select(
-        (F.col("ym") - F.col("ym0")).alias("x"), F.col("y_cents").alias("y")
-    )
-    mo = centered.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-    )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
-    # den = 0 exactly when the table spans a single month (n=1, x≡0) —
-    # a degenerate fit: emit NULL slope/intercept instead of ±Infinity
-    # feeding floor() with engine-divergent results
-    return mo.select(
-        F.col("n").alias("n_months"),
-        F.col("sy").alias("total_cents"),
-        F.when(den != 0, F.floor(num * 1000000.0 / den).cast("long")).alias(
-            "slope_micro"
-        ),
-        F.when(den != 0, F.floor(inum * 1000000.0 / den).cast("long")).alias(
-            "intercept_micro"
-        ),
-        (num > 0).alias("rising"),
-    )
-
-
-# ==========================================================================
-# CUSUM mean-shift detection over the daily event series (TS ext)
-# ==========================================================================
-
-
-@component(
-    "ts_cusum_shift",
-    oracle="""
-    WITH daily AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(COUNT(*) AS BIGINT) AS n_events
-      FROM events GROUP BY 1
-    ),
-    tot AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(n_events) AS BIGINT) AS t
-      FROM daily
-    ),
-    cum AS (
-      SELECT day, n_events,
-             tot.nd * SUM(n_events) OVER (ORDER BY day)
-               - ROW_NUMBER() OVER (ORDER BY day) * tot.t AS s
-      FROM daily, tot
-    ),
-    mx AS (SELECT MAX(ABS(s)) AS peak FROM cum)
-    SELECT day, n_events, CAST(s AS BIGINT) AS cusum_scaled,
-           ABS(s) = mx.peak AS is_shift_peak
-    FROM cum, mx
-    """,
-    cols=[
-        ("day", "date"),
-        ("n_events", "num"),
-        ("cusum_scaled", "num"),
-        ("is_shift_peak", "bool"),
-    ],
-)
-def ts_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM change-point detection on the daily event volume: the running
-    sum of deviations from the global mean peaks exactly where the series'
-    mean shifts — the standard first look for "did traffic step up/down,
-    and when?". Exactness: the textbook Σ(cᵢ−μ) is rational (μ=T/N), so
-    both sides compute the N-SCALED integer form N·prefixᵢ − i·T, which
-    is the same statistic times a positive constant — identical argmax,
-    zero division anywhere. Peak days are flagged by exact integer
-    equality against MAX(|S|); ties flag identically on both engines.
-
-    Scale: one map-side day rollup (calendar-bounded: ≤36.5k rows per
-    century regardless of event volume), one 2-scalar broadcast, one
-    ordered window over that bounded table — the same calendar-bounded
-    global-window posture as w8's month prefix. Nothing corpus-sized is
-    ever sorted or single-partitioned."""
-    prepare(spark, sf_dir)
-    daily = (
-        spark.table("events")
-        .groupBy(F.col("ts").cast("date").alias("day"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    tot = daily.agg(
-        F.count(F.lit(1)).alias("nd"), F.sum("n_events").cast("long").alias("t")
-    )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = daily.crossJoin(F.broadcast(tot)).select(
-        "day",
-        "n_events",
-        (
-            F.col("nd") * F.sum("n_events").over(w)
-            - F.row_number().over(Window.orderBy("day")) * F.col("t")
-        ).alias("s"),
-    )
-    mx = cum.agg(F.max(F.abs(F.col("s"))).alias("peak"))
-    return cum.crossJoin(F.broadcast(mx)).select(
-        "day",
-        "n_events",
-        F.col("s").cast("long").alias("cusum_scaled"),
-        (F.abs(F.col("s")) == F.col("peak")).alias("is_shift_peak"),
     )
 
 
@@ -4346,362 +2728,6 @@ def dq_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
-# Customer lifetime value heuristic per market segment (A ext)
-# ==========================================================================
-
-
-@component(
-    "a25_clv_segments",
-    oracle="""
-    WITH per_cust AS (
-      SELECT c.c_mktsegment,
-             o.o_custkey,
-             CAST(COUNT(*) AS BIGINT) AS n_orders_c,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
-               AS rev_cents_c,
-             CAST(MAX(year(o.o_orderdate) * 12 + month(o.o_orderdate))
-                  - MIN(year(o.o_orderdate) * 12 + month(o.o_orderdate))
-                  + 1 AS BIGINT) AS active_months_c
-      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      GROUP BY 1, 2
-    )
-    SELECT c_mktsegment,
-           CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(n_orders_c) AS BIGINT) AS n_orders,
-           CAST(SUM(rev_cents_c) AS BIGINT) AS revenue_cents,
-           CAST(SUM(active_months_c) AS BIGINT) AS active_months,
-           CAST(FLOOR(CAST(SUM(rev_cents_c) AS DOUBLE)
-                      / CAST(SUM(n_orders_c) AS DOUBLE)) AS BIGINT)
-             AS aov_cents,
-           CAST(FLOOR(CAST(SUM(rev_cents_c) AS DOUBLE) * 12.0
-                      / CAST(SUM(active_months_c) AS DOUBLE)) AS BIGINT)
-             AS clv12_cents
-    FROM per_cust GROUP BY 1
-    """,
-    cols=[
-        ("c_mktsegment", "str"),
-        ("n_customers", "num"),
-        ("n_orders", "num"),
-        ("revenue_cents", "num"),
-        ("active_months", "num"),
-        ("aov_cents", "num"),
-        ("clv12_cents", "num"),
-    ],
-)
-def a25_clv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer-lifetime-value heuristic per market segment — the classic
-    CLV ≈ AOV × purchase-rate × horizon readout (reference scope: the
-    dashboard analytics family, dags/load_to_warehouse.py's
-    revenue-by-segment rollups imply but never compute a forward value).
-    Two-level plan: per-customer order count / exact revenue cents /
-    active-month span (first-to-last order month, inclusive), then one
-    segment rollup. AOV and the 12-month CLV projection cross the engine
-    boundary through the FLOOR-micro divide with the double op-tree
-    explicit on both sides; everything upstream is exact int64 cents
-    (sf0.1 total revenue ≈ 6e11 cents, three orders under 2^53).
-
-    Scale: the orders→customer join shuffles on custkey (dim broadcasts
-    when it fits — AQE decides); the per-customer rollup reuses that
-    partitioning (same key, no extra exchange); the segment rollup is
-    map-side-combined onto a 5-key grain. O(scan) work, catalog-bounded
-    output at any data size."""
-    prepare(spark, sf_dir)
-    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
-    per_cust = (
-        spark.table("orders")
-        .join(spark.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_mktsegment", "o_custkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders_c"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("long")
-            .alias("rev_cents_c"),
-            (F.max(ym) - F.min(ym) + 1).cast("long").alias("active_months_c"),
-        )
-    )
-    seg = per_cust.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.sum("n_orders_c").cast("long").alias("n_orders"),
-        F.sum("rev_cents_c").cast("long").alias("revenue_cents"),
-        F.sum("active_months_c").cast("long").alias("active_months"),
-    )
-    return seg.select(
-        "c_mktsegment",
-        "n_customers",
-        "n_orders",
-        "revenue_cents",
-        "active_months",
-        F.floor(
-            F.col("revenue_cents").cast("double") / F.col("n_orders").cast("double")
-        )
-        .cast("long")
-        .alias("aov_cents"),
-        F.floor(
-            F.col("revenue_cents").cast("double") * 12.0
-            / F.col("active_months").cast("double")
-        )
-        .cast("long")
-        .alias("clv12_cents"),
-    )
-
-
-# ==========================================================================
-# Inter-purchase interval distribution (W ext)
-# ==========================================================================
-
-#: (band label, inclusive upper bound in days) — last band is open-ended
-GAP_BANDS: tuple[tuple[str, int], ...] = (
-    ("within_week", 7),
-    ("within_month", 30),
-    ("within_quarter", 90),
-)
-
-
-@component(
-    "w10_interpurchase_gaps",
-    oracle="""
-    WITH seq AS (
-      SELECT o_custkey,
-             CAST(o_orderdate AS DATE) AS d,
-             LAG(CAST(o_orderdate AS DATE)) OVER (
-               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
-             ) AS prev_d
-      FROM orders
-    ),
-    gaps AS (
-      SELECT CAST(datediff('day', prev_d, d) AS BIGINT) AS gap_days
-      FROM seq WHERE prev_d IS NOT NULL
-    ),
-    banded AS (
-      SELECT CASE WHEN gap_days <= 7 THEN 'within_week'
-                  WHEN gap_days <= 30 THEN 'within_month'
-                  WHEN gap_days <= 90 THEN 'within_quarter'
-                  ELSE 'beyond_quarter' END AS band,
-             gap_days
-      FROM gaps
-    )
-    SELECT band,
-           CAST(COUNT(*) AS BIGINT) AS n_gaps,
-           CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
-           CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
-           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
-           CAST(FLOOR(CAST(SUM(gap_days) AS DOUBLE) * 1000000.0
-                      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_gap_micro
-    FROM banded GROUP BY band
-    """,
-    cols=[
-        ("band", "str"),
-        ("n_gaps", "num"),
-        ("total_gap_days", "num"),
-        ("min_gap_days", "num"),
-        ("max_gap_days", "num"),
-        ("avg_gap_micro", "num"),
-    ],
-)
-def w10_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inter-purchase interval distribution — the repeat-purchase cadence
-    signal behind replenishment reminders and churn scoring: per customer,
-    the day gap between consecutive orders (LAG over the per-customer
-    date sequence, orderkey tiebreak pins determinism; same-day repeat
-    orders contribute gap 0), banded into week/month/quarter/beyond
-    buckets. Band assignment binds to exact integer day counts, so the
-    histogram is engine-deterministic; the per-band mean gap crosses as
-    the FLOOR-micro divide.
-
-    Scale: one window shuffle on custkey (per-customer sequences are
-    order-count bounded), then a map-side-combined 4-key rollup — the
-    same partitioning pattern as w4_running_total; no joins, O(scan)
-    work, constant output."""
-    prepare(spark, sf_dir)
-    d = F.col("o_orderdate").cast("date")
-    w = Window.partitionBy("o_custkey").orderBy(d, F.col("o_orderkey"))
-    seq = spark.table("orders").select(
-        "o_custkey", d.alias("d"), F.lag(d).over(w).alias("prev_d")
-    )
-    gaps = seq.filter(F.col("prev_d").isNotNull()).select(
-        F.datediff(F.col("d"), F.col("prev_d")).cast("long").alias("gap_days")
-    )
-    band = F.when(F.col("gap_days") <= GAP_BANDS[0][1], F.lit(GAP_BANDS[0][0]))
-    for label, ub in GAP_BANDS[1:]:
-        band = band.when(F.col("gap_days") <= ub, F.lit(label))
-    band = band.otherwise(F.lit("beyond_quarter"))
-    return (
-        gaps.select(band.alias("band"), "gap_days")
-        .groupBy("band")
-        .agg(
-            F.count(F.lit(1)).alias("n_gaps"),
-            F.sum("gap_days").cast("long").alias("total_gap_days"),
-            F.min("gap_days").cast("long").alias("min_gap_days"),
-            F.max("gap_days").cast("long").alias("max_gap_days"),
-            F.floor(
-                F.sum("gap_days").cast("double")
-                * 1000000.0
-                / F.count(F.lit(1)).cast("double")
-            )
-            .cast("long")
-            .alias("avg_gap_micro"),
-        )
-    )
-
-
-# ==========================================================================
-# New vs returning customer revenue split by month (A ext)
-# ==========================================================================
-
-
-@component(
-    "a26_new_vs_returning",
-    oracle="""
-    WITH firsts AS (
-      SELECT o_custkey,
-             MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS first_ym
-      FROM orders GROUP BY 1
-    ),
-    classified AS (
-      SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT) AS ym,
-             o.o_custkey,
-             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-             (year(o.o_orderdate) * 12 + month(o.o_orderdate)) = f.first_ym AS is_new
-      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
-    )
-    SELECT ym,
-           CAST(SUM(CASE WHEN is_new THEN cents ELSE 0 END) AS BIGINT)
-             AS new_rev_cents,
-           CAST(SUM(CASE WHEN is_new THEN 0 ELSE cents END) AS BIGINT)
-             AS returning_rev_cents,
-           CAST(COUNT(DISTINCT CASE WHEN is_new THEN o_custkey END) AS BIGINT)
-             AS n_new_customers,
-           CAST(COUNT(DISTINCT CASE WHEN NOT is_new THEN o_custkey END) AS BIGINT)
-             AS n_returning_customers,
-           CAST(FLOOR(CAST(SUM(CASE WHEN is_new THEN cents ELSE 0 END) AS DOUBLE)
-                      * 1000000.0
-                      / CAST(SUM(cents) AS DOUBLE)) AS BIGINT) AS new_share_micro
-    FROM classified GROUP BY ym
-    """,
-    cols=[
-        ("ym", "num"),
-        ("new_rev_cents", "num"),
-        ("returning_rev_cents", "num"),
-        ("n_new_customers", "num"),
-        ("n_returning_customers", "num"),
-        ("new_share_micro", "num"),
-    ],
-)
-def a26_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly new-vs-returning revenue split — the acquisition-vs-retention
-    lens every growth dashboard leads with: an order is "new" revenue iff
-    it lands in its customer's FIRST active calendar month (month-grain
-    first-touch — no same-day orderkey tiebreak needed, so the class is
-    engine-deterministic by construction), everything later is returning.
-    Exact int64 cents throughout; the monthly new-revenue share crosses as
-    the FLOOR-micro divide.
-
-    Scale: the first-month frame aggregates orders on custkey, then joins
-    back to orders on the same key — at 100 TB both sides shuffle once on
-    custkey and the rollup onto the calendar-bounded month grain is
-    map-side-combined. The distinct-customer counts shuffle on (ym,
-    custkey) — bounded by active customers per month. No windows over the
-    full fact, no broadcast of anything unbounded."""
-    prepare(spark, sf_dir)
-    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
-    firsts = spark.table("orders").groupBy("o_custkey").agg(F.min(ym).alias("first_ym"))
-    classified = (
-        spark.table("orders")
-        .join(firsts, "o_custkey")
-        .select(
-            ym.alias("ym"),
-            "o_custkey",
-            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("long")
-            .alias("cents"),
-            (ym == F.col("first_ym")).alias("is_new"),
-        )
-    )
-    new_cents = F.sum(F.when(F.col("is_new"), F.col("cents")).otherwise(F.lit(0)))
-    ret_cents = F.sum(F.when(F.col("is_new"), F.lit(0)).otherwise(F.col("cents")))
-    return classified.groupBy("ym").agg(
-        new_cents.cast("long").alias("new_rev_cents"),
-        ret_cents.cast("long").alias("returning_rev_cents"),
-        F.countDistinct(F.when(F.col("is_new"), F.col("o_custkey")))
-        .cast("long")
-        .alias("n_new_customers"),
-        F.countDistinct(F.when(~F.col("is_new"), F.col("o_custkey")))
-        .cast("long")
-        .alias("n_returning_customers"),
-        F.floor(
-            new_cents.cast("double") * 1000000.0 / F.sum("cents").cast("double")
-        )
-        .cast("long")
-        .alias("new_share_micro"),
-    )
-
-
-# ==========================================================================
-# Bitmap-index distinct counting (exact + mergeable, the HLL alternative)
-# ==========================================================================
-
-
-@component(
-    "a27_bitmap_distinct",
-    oracle="""
-    SELECT l_returnflag,
-           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct_bitmap,
-           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct_exact,
-           TRUE AS bitmap_matches
-    FROM lineitem GROUP BY l_returnflag
-    """,
-    cols=[
-        ("l_returnflag", "str"),
-        ("n_distinct_bitmap", "num"),
-        ("n_distinct_exact", "num"),
-        ("bitmap_matches", "bool"),
-    ],
-)
-def a27_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitmap-index distinct counting — the EXACT mergeable alternative to
-    the HLL sketch (a6b/a15): every key maps to one (bucket, bit) slot via
-    ``bitmap_bucket_number``/``bitmap_bit_position``, per-(group, bucket)
-    partials OR together with ``bitmap_construct_agg``, and popcounts
-    (``bitmap_count``) ADD across buckets because the bucket spaces are
-    disjoint — distinct-count becomes an associative aggregation with no
-    distinct shuffle of raw keys and no approximation. The engine runs
-    BOTH the bitmap path and the plain COUNT(DISTINCT) in one query and
-    emits the equality verdict alongside the counts; the oracle pins the
-    counts with SQL's exact distinct (TRUE twin for the verdict — the
-    claim IS that the paths agree).
-
-    Scale: this is exactly how warehouse engines accelerate COUNT(DISTINCT
-    intkey) at 100 TB — partials are 4 KB bitmaps per bucket, map-side
-    combined, mergeable across days for incremental rollups (the exact
-    analogue of the a15 HLL union). Key-space caveat documented: buckets
-    scale with max(key)/32768, dense int64 surrogate keys are the fit;
-    arbitrary strings go through the HLL path instead."""
-    prepare(spark, sf_dir)
-    li = spark.table("lineitem")
-    partial = (
-        li.select(
-            "l_returnflag",
-            F.bitmap_bucket_number(F.col("l_partkey")).alias("bkt"),
-            F.bitmap_bit_position(F.col("l_partkey")).alias("pos"),
-        )
-        .groupBy("l_returnflag", "bkt")
-        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
-    )
-    via_bitmap = partial.groupBy("l_returnflag").agg(
-        F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n_distinct_bitmap")
-    )
-    exact = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").cast("long").alias("n_distinct_exact")
-    )
-    return via_bitmap.join(exact, "l_returnflag").select(
-        "l_returnflag",
-        "n_distinct_bitmap",
-        "n_distinct_exact",
-        (F.col("n_distinct_bitmap") == F.col("n_distinct_exact")).alias("bitmap_matches"),
-    )
-
-
-# ==========================================================================
 # Bag-semantics set operations: EXCEPT ALL / INTERSECT ALL (SO ext)
 # ==========================================================================
 
@@ -4777,161 +2803,3 @@ def so6_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ==========================================================================
-# Bitwise aggregate rollups: flag masks per group (A ext)
-# ==========================================================================
-
-
-@component(
-    "a28_bitwise_flags",
-    oracle="""
-    WITH coded AS (
-      SELECT o_orderstatus,
-             CAST(1 AS BIGINT) << (CAST(substring(o_orderpriority, 1, 1) AS INT) - 1)
-               AS mask
-      FROM orders
-    )
-    SELECT o_orderstatus,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(bit_or(mask) AS BIGINT) AS priorities_seen,
-           CAST(bit_and(mask) AS BIGINT) AS priorities_common,
-           CAST(bit_xor(mask) AS BIGINT) AS priorities_parity
-    FROM coded GROUP BY o_orderstatus
-    """,
-    cols=[
-        ("o_orderstatus", "str"),
-        ("n_orders", "num"),
-        ("priorities_seen", "num"),
-        ("priorities_common", "num"),
-        ("priorities_parity", "num"),
-    ],
-)
-def a28_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitwise aggregate rollups — ``bit_or``/``bit_and``/``bit_xor`` over
-    per-row flag masks, the compact feature-presence pattern behind
-    permission audits and capability matrices: each order contributes the
-    one-hot bit of its priority class (bit p−1 for priority p), and per
-    status the OR mask answers "which priorities ever occur", the AND
-    mask "which occur in EVERY order" (degenerates to 0 the moment two
-    priorities mix), and the XOR mask the per-bit parity. All pure int64
-    bit algebra — associative, commutative, shuffle-order-independent by
-    construction, so the crossing needs no exactness machinery at all.
-
-    Scale: one map-side-combined aggregation onto the |status| grain —
-    bitwise aggregates are the cheapest mergeable state there is (8 bytes
-    per group per mask); the 100 TB form is identical."""
-    prepare(spark, sf_dir)
-    # shiftleft needs a literal bit count; the one-hot masks for the five
-    # priority classes are a 5-entry literal map instead
-    one_hot = F.create_map(*[F.lit(x) for p in range(1, 6) for x in (p, 1 << (p - 1))])
-    mask = one_hot[F.substring("o_orderpriority", 1, 1).cast("int")].cast("long")
-    return (
-        spark.table("orders")
-        .select("o_orderstatus", mask.alias("mask"))
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.bit_or("mask").cast("long").alias("priorities_seen"),
-            F.bit_and("mask").cast("long").alias("priorities_common"),
-            F.bit_xor("mask").cast("long").alias("priorities_parity"),
-        )
-    )
-
-
-# ==========================================================================
-# Classical additive seasonal decomposition (TS ext)
-# ==========================================================================
-
-
-@component(
-    "ts_seasonal_decompose",
-    oracle="""
-    WITH monthly AS (
-      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
-             CAST(month(o_orderdate) AS INT) AS moy,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
-      FROM orders GROUP BY 1, 2
-    ),
-    windowed AS (
-      SELECT ym, moy, y,
-             LAG(y, 6)  OVER (ORDER BY ym) AS y_m6,
-             LEAD(y, 6) OVER (ORDER BY ym) AS y_p6,
-             SUM(y) OVER (ORDER BY ym ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
-               AS s11
-      FROM monthly
-    ),
-    detrended AS (
-      SELECT moy,
-             24 * y - (y_m6 + 2 * s11 + y_p6) AS d24
-      FROM windowed WHERE y_m6 IS NOT NULL AND y_p6 IS NOT NULL
-    )
-    SELECT moy,
-           CAST(COUNT(*) AS BIGINT) AS n_months,
-           CAST(SUM(d24) AS BIGINT) AS sum_d24,
-           CAST(FLOOR(CAST(SUM(d24) AS DOUBLE) * 1000000.0
-                      / CAST(24 * COUNT(*) AS DOUBLE)) AS BIGINT)
-             AS seasonal_cents_micro
-    FROM detrended GROUP BY moy
-    """,
-    cols=[
-        ("moy", "num"),
-        ("n_months", "num"),
-        ("sum_d24", "num"),
-        ("seasonal_cents_micro", "num"),
-    ],
-)
-def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classical additive seasonal decomposition of monthly revenue — the
-    third time-series lens beside Holt smoothing (level+trend) and the
-    seasonal-naive baseline: trend is the CENTERED 12-month moving
-    average (even period, so the textbook half-weighted 13-point window
-    CMA = (y[t−6] + 2·Σy[t−5..t+5] + y[t+6]) / 24), the seasonal index
-    per calendar month is the mean of the detrended series. Everything
-    stays exact int64 by scaling through ×24 — d24 = 24y − (y[t−6] +
-    2·s11 + y[t+6]) is the detrended value in 24ths of a cent, summed
-    exactly, with ONE FLOOR-micro divide emitting the per-month seasonal
-    component in micro-cents. Edge months without a full ±6 window drop,
-    as in every classical decomposition.
-
-    Scale: the fact touches one map-side-combined month rollup; the
-    window and the 12-row seasonal rollup run on the calendar-bounded
-    month grid (~80 rows — a single-task frame at any corpus size, the
-    same posture as a22_ols_trend's moment aggregate)."""
-    prepare(spark, sf_dir)
-    monthly = (
-        spark.table("orders")
-        .groupBy(
-            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("ym"),
-            F.month("o_orderdate").cast("int").alias("moy"),
-        )
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("long")
-            .alias("y")
-        )
-    )
-    w = Window.orderBy("ym")
-    windowed = monthly.select(
-        "moy",
-        "y",
-        F.lag("y", 6).over(w).alias("y_m6"),
-        F.lead("y", 6).over(w).alias("y_p6"),
-        F.sum("y").over(w.rowsBetween(-5, 5)).alias("s11"),
-    )
-    detrended = windowed.filter(
-        F.col("y_m6").isNotNull() & F.col("y_p6").isNotNull()
-    ).select(
-        "moy",
-        (24 * F.col("y") - (F.col("y_m6") + 2 * F.col("s11") + F.col("y_p6"))).alias("d24"),
-    )
-    return detrended.groupBy("moy").agg(
-        F.count(F.lit(1)).alias("n_months"),
-        F.sum("d24").cast("long").alias("sum_d24"),
-        F.floor(
-            F.sum("d24").cast("double")
-            * 1000000.0
-            / (24 * F.count(F.lit(1))).cast("double")
-        )
-        .cast("long")
-        .alias("seasonal_cents_micro"),
-    )

@@ -329,6 +329,75 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@component(
+    "text_pack_manifest",
+    cols=[
+        ("doc_id", "num"),
+        ("lang", "str"),
+        ("start_offset", "num"),
+        ("seq_id", "num"),
+        ("seq_offset", "num"),
+        ("end_seq_id", "num"),
+        ("straddles", "bool"),
+    ],
+    oracle=f"""
+    WITH counted AS (
+      SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    offsets AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS start_offset
+      FROM counted
+    )
+    SELECT doc_id, lang,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(start_offset % {PACK_BUDGET} AS BIGINT) AS seq_offset,
+           CAST((start_offset + n_tokens - 1) // {PACK_BUDGET} AS BIGINT)
+             AS end_seq_id,
+           (start_offset // {PACK_BUDGET})
+             <> ((start_offset + n_tokens - 1) // {PACK_BUDGET}) AS straddles
+    FROM offsets
+    """,
+)
+def text_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PER-DOCUMENT tape manifest (round 11) — what a training job
+    actually consumes from the packing layout: for every doc its absolute
+    start offset on the per-language tape, the sequence it starts in, its
+    offset WITHIN that sequence, the sequence it ends in, and whether it
+    straddles a context-window boundary (the split the tokenizer performs
+    at materialization). text_pack_sequences verifies the layout only
+    through per-sequence rollups; this pins the two-phase offsets ROW BY
+    ROW against the oracle's single-window form — the strongest equality
+    the cross-engine check can express for the tape. All arithmetic is
+    integer (div/%), exact at any offset magnitude.
+
+    Scale: exactly :func:`two_phase_tape_offsets`'s cost (no per-shard
+    window; one well-spread (lang, bucket) shuffle) plus map-side column
+    arithmetic; output is one fixed-width row per doc."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    # cache: the per-doc length table feeds both tape phases (see
+    # text_pack_sequences)
+    counted = d.select(
+        "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
+    ).cache()
+    off = two_phase_tape_offsets(counted, "lang", "n_tokens")
+    end_seq = F.expr(f"(start_offset + n_tokens - 1) div {PACK_BUDGET}").cast("long")
+    return off.select(
+        "doc_id",
+        "lang",
+        "start_offset",
+        pack_seq_id().alias("seq_id"),
+        F.expr(f"start_offset % {PACK_BUDGET}").cast("long").alias("seq_offset"),
+        end_seq.alias("end_seq_id"),
+        (pack_seq_id() != end_seq).alias("straddles"),
+    )
+
+
 #: per-language sampling rates for the stratified sample (16ths of the md5
 #: first hex digit: en keeps 8/16, others 4/16)
 STRATA_FRACTIONS: dict[str, int] = {"en": 8, "es": 4, "fr": 4, "de": 4, "zh": 4}

@@ -316,6 +316,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_bpe_roundtrip",
         # packing driven by REAL BPE lengths (the complete tokenize->pack)
         "text_pack_bpe",
+        # per-doc tape manifest: row-by-row two-phase offset pin + the
+        # sequence/straddle assignment a trainer consumes (round 11)
+        "text_pack_manifest",
         # per-language tokenizer fertility (tokens/word fairness audit)
         "text_bpe_fertility",
         # DSIR importance weights (target-vs-raw likelihood ratio)

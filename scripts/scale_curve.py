@@ -136,11 +136,21 @@ def _scaled_fixture_dir(spark, scale: int) -> str:
     # full-length spans and the probe measures an N^2 content-duplication
     # artifact instead of corpus growth at a constant dup rate.
     doc = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # tag on \s+ boundaries, not the literal space (ADVICE r10): tokens
+    # split by tabs/newlines would otherwise stay untagged and reintroduce
+    # cross-copy shared shingles the fixture exists to exclude
     doc_copies = [
         doc.select(
             (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
-            F.regexp_replace(
-                F.concat(F.lit(f"x{k}"), F.col("text")), " ", f" x{k}"
+            F.concat(
+                F.lit(f"x{k}"),
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), r"\s+"),
+                        lambda t: F.concat(F.lit(f"x{k}"), t),
+                    ),
+                    " ",
+                ),
             ).alias("text"),
             "lang",
             "source",
@@ -208,8 +218,16 @@ def heavy_workloads(spark, scale: int) -> list[tuple[str, "object"]]:
     - shared-span mining (round 10): copy-disjoint token prefixes keep the
       dup rate constant as the corpus grows -> within-copy pairs only ->
       expected ratio ~N (the DF-cap drop fraction is logged alongside —
-      no silent caps)."""
-    from e_commerce_data_warehouse_recommendation_system_spark.operators import dedup, similarity
+      no silent caps);
+    - curation capstone (round 11, after the two-phase mixture/tape fix):
+      the full 7-stage chain on the copy-disjoint documents fixture —
+      funnel/dedup/BPE linear, span+decontamination within-copy bounded,
+      selection and packing now range-bucketed -> expected ratio ~N."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators import (
+        curation,
+        dedup,
+        similarity,
+    )
     from e_commerce_data_warehouse_recommendation_system_spark.recommend import graph as rg
 
     fixture = _scaled_fixture_dir(spark, scale)
@@ -226,11 +244,15 @@ def heavy_workloads(spark, scale: int) -> list[tuple[str, "object"]]:
     def shared_spans():
         return dedup.dedup_shared_spans(spark, fixture).count()
 
+    def curation_pipeline():
+        return curation.text_curation_pipeline(spark, fixture).count()
+
     return [
         ("graph_triangles", triangles),
         ("ivf_pq_search", ivf_pq),
         ("graph_kcore", kcore),
         ("dedup_shared_spans", shared_spans),
+        ("text_curation_pipeline", curation_pipeline),
     ]
 
 
