@@ -398,6 +398,96 @@ def text_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@component(
+    "text_pack_segments",
+    cols=[
+        ("doc_id", "num"),
+        ("lang", "str"),
+        ("seq_id", "num"),
+        ("doc_tok_start", "num"),
+        ("seq_offset", "num"),
+        ("seg_len", "num"),
+    ],
+    oracle=f"""
+    WITH counted AS (
+      SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    offsets AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS start_offset
+      FROM counted
+    ),
+    spans AS (
+      -- window SUM yields HUGEINT; range() needs BIGINT bounds
+      SELECT doc_id, lang, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+             CAST(start_offset // {PACK_BUDGET} AS BIGINT) AS seq_first,
+             CAST((start_offset + n_tokens - 1) // {PACK_BUDGET} AS BIGINT)
+               AS seq_last
+      FROM offsets
+    )
+    SELECT doc_id, lang, CAST(s AS BIGINT) AS seq_id,
+           CAST(GREATEST(start_offset, s * {PACK_BUDGET}) - start_offset AS BIGINT)
+             AS doc_tok_start,
+           CAST(GREATEST(start_offset, s * {PACK_BUDGET}) - s * {PACK_BUDGET} AS BIGINT)
+             AS seq_offset,
+           CAST(LEAST(start_offset + n_tokens, (s + 1) * {PACK_BUDGET})
+                - GREATEST(start_offset, s * {PACK_BUDGET}) AS BIGINT) AS seg_len
+    FROM spans, UNNEST(range(seq_first, seq_last + 1)) AS u(s)
+    """,
+)
+def text_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED tape split (round 11): every packing rung so far
+    says "docs may straddle a boundary; the tokenizer splits them at
+    materialization" — this operator IS that split. Each document explodes
+    into one segment per context window it touches: the segment's token
+    range within the doc (``doc_tok_start``/``seg_len``) and its placement
+    within the sequence (``seq_offset``). Conservation falls out of the
+    algebra (Σ seg_len per doc = n_tokens; Σ seg_len per non-terminal
+    sequence = {PACK_BUDGET}) and the full-result oracle checks every
+    segment row cross-engine in pure integer arithmetic.
+
+    Scale: the two-phase tape offsets plus a MAP-SIDE explode bounded by
+    n_tokens/{PACK_BUDGET}+1 segments per doc — no new shuffle; output
+    rows ≈ n_docs + corpus_tokens/{PACK_BUDGET}."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    # cache: the per-doc length table feeds both tape phases (see
+    # text_pack_sequences)
+    counted = d.select(
+        "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
+    ).cache()
+    off = two_phase_tape_offsets(counted, "lang", "n_tokens")
+    spans = off.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {PACK_BUDGET}").alias("seq_first"),
+        F.expr(f"(start_offset + n_tokens - 1) div {PACK_BUDGET}").alias("seq_last"),
+    )
+    gstart = F.greatest(F.col("start_offset"), F.col("s") * PACK_BUDGET)
+    gend = F.least(
+        F.col("start_offset") + F.col("n_tokens"), (F.col("s") + 1) * PACK_BUDGET
+    )
+    return spans.select(
+        "doc_id",
+        "lang",
+        "start_offset",
+        "n_tokens",
+        F.explode(F.sequence(F.col("seq_first"), F.col("seq_last"))).alias("s"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("s").cast("long").alias("seq_id"),
+        (gstart - F.col("start_offset")).cast("long").alias("doc_tok_start"),
+        (gstart - F.col("s") * PACK_BUDGET).cast("long").alias("seq_offset"),
+        (gend - gstart).cast("long").alias("seg_len"),
+    )
+
+
 #: per-language sampling rates for the stratified sample (16ths of the md5
 #: first hex digit: en keeps 8/16, others 4/16)
 STRATA_FRACTIONS: dict[str, int] = {"en": 8, "es": 4, "fr": 4, "de": 4, "zh": 4}

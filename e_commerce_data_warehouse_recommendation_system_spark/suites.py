@@ -319,6 +319,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         # per-doc tape manifest: row-by-row two-phase offset pin + the
         # sequence/straddle assignment a trainer consumes (round 11)
         "text_pack_manifest",
+        # the materialized boundary split: one segment per context window a
+        # doc touches, integer-exact placement algebra (round 11)
+        "text_pack_segments",
         # per-language tokenizer fertility (tokens/word fairness audit)
         "text_bpe_fertility",
         # DSIR importance weights (target-vs-raw likelihood ratio)

@@ -203,6 +203,57 @@ def _scaled_fixture_dir(spark, scale: int) -> str:
     return out
 
 
+def _curation_fixture_dir(spark, scale: int) -> str:
+    """Capstone-specific scaled fixture: the all-token copy tag the span
+    probe uses breaks the C4 funnel (``x0the`` is not a stopword, so the
+    stopword-fraction rule drops EVERY doc and the curve times an empty
+    pipeline). Here the tag preserves the funnel's inputs: stopwords stay
+    untouched (fraction identical per copy), lang/source pass through, and
+    only non-stopword tokens get the per-copy prefix — so copies stay
+    md5-distinct (exact-dedup keeps ~N× survivors), cross-copy shingles
+    stay effectively disjoint (a colliding 13-gram needs 13 consecutive
+    pure stopwords), and the mixture/packing stages see the corpus really
+    grow. Mean token length shifts ~5.5 -> ~7.1, inside the (3, 12)
+    funnel band and IDENTICAL across copies, so per-copy selectivity is
+    constant — the property the ratio needs."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        STOPWORDS,
+    )
+    from pyspark.sql import functions as F
+
+    out = f"/tmp/scale_fixture_curation_{scale}x"
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out)
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        os.symlink(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    copies = []
+    for k in range(scale):
+        tag = F.lit(f"x{k}")
+        tok = lambda t, tag=tag: F.when(t.isin(*STOPWORDS), t).otherwise(
+            F.concat(tag, t)
+        )
+        copies.append(
+            doc.select(
+                (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                F.array_join(
+                    F.transform(F.split(F.col("text"), r"\s+"), tok), " "
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    alldocs = copies[0]
+    for c in copies[1:]:
+        alldocs = alldocs.unionByName(c)
+    alldocs.coalesce(4).write.parquet(f"{out}/documents.parquet")
+    return out
+
+
 def heavy_workloads(spark, scale: int) -> list[tuple[str, "object"]]:
     """The iterative/pair-mining heavies, driven end-to-end through their
     registered entry points on a scaled fixture dir:
@@ -244,8 +295,10 @@ def heavy_workloads(spark, scale: int) -> list[tuple[str, "object"]]:
     def shared_spans():
         return dedup.dedup_shared_spans(spark, fixture).count()
 
+    curation_fixture = _curation_fixture_dir(spark, scale)
+
     def curation_pipeline():
-        return curation.text_curation_pipeline(spark, fixture).count()
+        return curation.text_curation_pipeline(spark, curation_fixture).count()
 
     return [
         ("graph_triangles", triangles),

@@ -484,6 +484,11 @@ SHUFFLE_BUDGET = {
 #: localCheckpoint form ran the same 4 eagerly OFF-plan, so its pin read
 #: 9 — same end-to-end work, now visible in one plan) + 9 downstream.
 COMPONENT_SHUFFLE_BUDGET = {
+    # two-phase tape consumers (round 11): bucket rollup + tiny prefix
+    # window + ONE well-spread (lang, bucket) corpus exchange; the
+    # manifest/segment arithmetic and the explode are map-side
+    "text_pack_manifest": 3,
+    "text_pack_segments": 3,
     "session_transitions": 3,
     "attribution_last_touch": 2,
     "session_paths_topk": 2,
@@ -764,15 +769,24 @@ def test_tape_offsets_never_window_full_shard(spark):
 
 
 def test_pack_queries_use_two_phase_tape(spark):
-    """Both packing queries (ws-proxy and BPE-driven) must route through
-    the two-phase tape layout — the capstone's stage 7 shares the same
-    helper, so this pin covers all three call sites."""
+    """Every packing rung (ws-proxy, BPE-driven, per-doc manifest, the
+    materialized segment split) must route through the two-phase tape
+    layout — the capstone's stage 7 shares the same helper, so this pin
+    covers all five call sites."""
+    from e_commerce_data_warehouse_recommendation_system_spark import registry
     from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
         text_pack_bpe,
         text_pack_sequences,
     )
 
-    for fn in (text_pack_sequences, text_pack_bpe):
+    comps = registry.components()
+    fns = [
+        text_pack_sequences,
+        text_pack_bpe,
+        comps["text_pack_manifest"].fn,
+        comps["text_pack_segments"].fn,
+    ]
+    for fn in fns:
         plan = _plan(fn(spark, SF0001))
         assert "_tb#" in plan, f"{fn.__name__} regressed off the two-phase tape:\n{plan}"
         _assert_no_full_shard_window(plan, "_tb#")

@@ -124,3 +124,54 @@ def test_seq_id_integer_division_past_2_53(spark):
     # the bug being guarded against is REAL on this engine: the double
     # path disagrees with exact integer division at this magnitude
     assert lossy != got
+
+
+def test_pack_segments_conservation(spark):
+    """The materialized tape split must conserve the algebra it claims:
+    per doc, segment lengths sum to the doc's token count with contiguous
+    doc-local ranges; per (lang, sequence), segment lengths sum to exactly
+    PACK_BUDGET for every non-terminal sequence (the terminal one holds
+    the remainder); and seq_offset equals the running position within the
+    sequence."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        PACK_BUDGET,
+        tokens,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+
+    segs = components()["text_pack_segments"].fn(spark, SF0001).collect()
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in spark.table("documents")
+        .select("doc_id", F.size(tokens("text")).alias("n"))
+        .collect()
+    }
+    by_doc: dict = {}
+    by_seq: dict = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        by_seq.setdefault((r.lang, r.seq_id), []).append(r)
+    assert set(by_doc) == set(counts)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.doc_tok_start)
+        assert sum(r.seg_len for r in rows) == counts[doc_id]
+        # contiguous doc-local coverage starting at 0
+        pos = 0
+        for r in rows:
+            assert r.doc_tok_start == pos
+            pos += r.seg_len
+    for (lang, seq_id), rows in by_seq.items():
+        total = sum(r.seg_len for r in rows)
+        terminal = (lang, seq_id + 1) not in by_seq
+        assert total == PACK_BUDGET or (terminal and 0 < total <= PACK_BUDGET), (
+            lang,
+            seq_id,
+            total,
+        )
+        rows.sort(key=lambda r: r.seq_offset)
+        pos = 0
+        for r in rows:
+            assert r.seq_offset == pos
+            pos += r.seg_len
