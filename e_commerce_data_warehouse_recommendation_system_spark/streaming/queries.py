@@ -1463,3 +1463,170 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Incremental tape packing: the streaming half of the packing family
+# --------------------------------------------------------------------------
+
+
+def _sql_stream_pack_manifest() -> str:
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        PACK_BUDGET,
+    )
+
+    return f"""
+    WITH counted AS (
+      SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    offsets AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS start_offset
+      FROM counted
+    )
+    SELECT doc_id, lang,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(start_offset % {PACK_BUDGET} AS BIGINT) AS seq_offset
+    FROM offsets
+    """
+
+
+@component(
+    "stream_pack_manifest",
+    cols=[
+        ("doc_id", "num"),
+        ("lang", "str"),
+        ("start_offset", "num"),
+        ("seq_id", "num"),
+        ("seq_offset", "num"),
+    ],
+    oracle=_sql_stream_pack_manifest(),
+)
+def stream_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL tape packing (round 11) — the streaming half of the
+    packing family: the crawl lands in arrival-ordered micro-batches
+    (three doc_id RANGE shards, maxFilesPerTrigger=1, distinct mtimes so
+    the file source triggers them oldest-first), and each batch's docs are
+    appended to the per-language token tape WITHOUT recomputing it: the
+    batch computes its own LOCAL two-phase offsets
+    (operators/text.two_phase_tape_offsets — the same helper the batch
+    rungs use) and shifts them by the per-language running totals carried
+    in state, then advances the state by the batch's per-language sums
+    (≤ |langs| rows — the bounded-collect audit class).
+
+    The terminal manifest must be ROW-IDENTICAL to the batch
+    text_pack_manifest: concat(per-batch local tapes, shifted) == the
+    global tape exactly BECAUSE the shards are doc_id ranges processed in
+    order — the op asserts that monotonicity per batch (min doc_id >
+    the previous high-water mark) and fails loudly on out-of-order
+    delivery instead of publishing wrong offsets (the incremental-scan
+    contract, S3). The oracle is the batch single-window SQL, so this is a
+    cross-MODE differential (stateful stream vs batch plan) on top of the
+    cross-engine one.
+
+    Scale: per-batch cost is the two-phase tape on the BATCH only; state
+    is |langs| integers; the manifest sink is append-only — nothing
+    corpus-sized is recomputed or held. At 100 TB the state table lives in
+    the store and the monotonicity check is the source's watermark."""
+    import os
+    import time
+
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        pack_seq_id,
+        tokens,
+        two_phase_tape_offsets,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        PACK_BUDGET,
+    )
+
+    prepare(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ecomdw_pack_")
+    stage = f"{tmp}/landing"
+    manifest = f"{tmp}/manifest"
+    os.makedirs(stage)
+    docs = spark.table("documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # 1-row bounded
+    width = max_id // 3 + 1
+    now = time.time()
+    for b in range(3):
+        shard_dir = f"{tmp}/shard{b}"
+        docs.filter(F.expr(f"doc_id div {width}") == b).coalesce(1).write.parquet(
+            shard_dir
+        )
+        part = [f for f in os.listdir(shard_dir) if f.endswith(".parquet")][0]
+        dst = f"{stage}/shard{b}.parquet"
+        os.link(f"{shard_dir}/{part}", dst)
+        # arrival order: the file source triggers oldest-mtime-first
+        os.utime(dst, (now - 300 + 100 * b, now - 300 + 100 * b))
+
+    bases: dict[str, int] = {}  # per-language tape position (the state)
+    hwm = {"doc_id": -1}  # arrival-order high-water mark
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        counted = batch_df.select(
+            "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
+        )
+        stats = counted.groupBy("lang").agg(
+            F.sum("n_tokens").alias("tot"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        ).collect()  # <= |langs| rows: the bounded-collect audit class
+        if not stats:
+            return
+        lo = min(int(r["lo"]) for r in stats)
+        if lo <= hwm["doc_id"]:
+            raise RuntimeError(
+                f"out-of-order shard: batch {batch_id} min doc_id {lo} <= "
+                f"high-water mark {hwm['doc_id']} — offsets would be wrong"
+            )
+        hwm["doc_id"] = max(int(r["hi"]) for r in stats)
+        base_rows = [(lang, base) for lang, base in bases.items()] or [("", 0)]
+        base_df = batch_df.sparkSession.createDataFrame(
+            base_rows, "lang string, base long"
+        )
+        local = two_phase_tape_offsets(counted, "lang", "n_tokens")
+        shifted = (
+            local.join(F.broadcast(base_df), "lang", "left")
+            .select(
+                "doc_id",
+                "lang",
+                (F.coalesce("base", F.lit(0)) + F.col("start_offset"))
+                .cast("long")
+                .alias("start_offset"),
+            )
+            .select(
+                "doc_id",
+                "lang",
+                "start_offset",
+                pack_seq_id().alias("seq_id"),
+                F.expr(f"start_offset % {PACK_BUDGET}")
+                .cast("long")
+                .alias("seq_offset"),
+            )
+        )
+        shifted.write.mode("append").parquet(manifest)
+        for r in stats:
+            bases[r["lang"]] = bases.get(r["lang"], 0) + int(r["tot"])
+
+    schema = spark.read.parquet(stage).schema
+    try:
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        # localCheckpoint materializes off the temp dir DISTRIBUTED (the
+        # streaming-module return convention) before cleanup below
+        return spark.read.parquet(manifest).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

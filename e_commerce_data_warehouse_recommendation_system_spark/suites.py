@@ -332,6 +332,10 @@ SUITE_SPECS: dict[str, list[str]] = {
         # the streaming half: micro-batch funnel + min-wins hash-dedup
         # upsert (order-independent terminal corpus, per-shard audit)
         "stream_curation_ingest",
+        # incremental tape packing: per-batch local two-phase offsets +
+        # per-language running state == the batch manifest row-for-row
+        # (cross-MODE differential; order-monotonicity asserted)
+        "stream_pack_manifest",
     ],
     # multimodal: frame sampling + decode->resize->sample chain + the
     # embedding-representation compression step (int8 quantization)
