@@ -795,6 +795,138 @@ def two_phase_md5_rank(df: DataFrame, group_col: str = "source") -> DataFrame:
     )
 
 
+def two_phase_md5_cumsum(
+    df: DataFrame, group_col: str, count_col: str
+) -> DataFrame:
+    """Per-group EXCLUSIVE cumulative sum of ``count_col`` in the
+    deterministic md5 order (ORDER BY md5(doc_id), doc_id) — the third
+    instantiation of the range-bucket prefix machinery (tape offsets
+    cumsum in doc_id order; md5 RANK counts rows in md5 order; this sums
+    an arbitrary per-row metric in md5 order, which is what a token-budget
+    sampler needs: "how many tokens precede me in the shuffle order").
+    Same plan shape: md5-prefix buckets (monotone in the order key), one
+    map-side-combined bucket-sum shuffle, a broadcast bucket prefix, and
+    bounded within-(group, bucket) windows. Adds ``cum_before`` (long) to
+    the input frame; row-identical to the single
+    ``SUM(count) OVER (PARTITION BY group ORDER BY md5(doc_id), doc_id
+    ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`` window."""
+    keyed = df.withColumn(
+        "_k", F.md5(F.col("doc_id").cast("string"))
+    ).withColumn(
+        "_rb",
+        F.conv(F.substring("_k", 1, MD5_RANK_BUCKET_HEX), 16, 10).cast("int"),
+    )
+    w_buckets = (
+        Window.partitionBy(group_col)
+        .orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        keyed.select(group_col, "_rb", count_col)
+        .groupBy(group_col, "_rb")
+        .agg(F.sum(count_col).alias("_bsum"))
+        .select(
+            group_col,
+            "_rb",
+            F.coalesce(F.sum("_bsum").over(w_buckets), F.lit(0)).alias("_off"),
+        )
+    )
+    w_within = (
+        Window.partitionBy(group_col, "_rb")
+        .orderBy("_k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        keyed.join(F.broadcast(offsets), [group_col, "_rb"])
+        .withColumn(
+            "cum_before",
+            (
+                F.col("_off") + F.coalesce(F.sum(count_col).over(w_within), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("_k", "_rb", "_off")
+    )
+
+
+#: per-source token budget for the deterministic token-budget sample.
+#: Sized so BOTH local SFs exercise the boundary in every source (sf0.01:
+#: ~25 docs x ~54 tokens ≈ 1350 tokens/source -> ~60% kept; sf0.1: ~13500
+#: tokens/source -> ~6% kept); production sets it to the mixture's token
+#: target per source.
+TOKEN_BUDGET_PER_SOURCE = 800
+
+
+@component(
+    "text_token_budget_sample",
+    cols=[
+        ("source", "str"),
+        ("n_docs_kept", "num"),
+        ("tokens_kept", "num"),
+        ("docs_checksum", "num"),
+        ("budget_crossed", "bool"),
+    ],
+    oracle=f"""
+    WITH counted AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM counted
+    ),
+    kept AS (
+      SELECT * FROM cum WHERE cum_before < {TOKEN_BUDGET_PER_SOURCE}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS docs_checksum,
+           MAX(cum_before + n_tokens) >= {TOKEN_BUDGET_PER_SOURCE}
+             AS budget_crossed
+    FROM kept GROUP BY source
+    """,
+)
+def text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-budget sampling per source (round 11) — the form mixture
+    targets actually take in training pipelines ("keep ~N TOKENS per
+    source", not N documents): docs are taken in the deterministic md5
+    shuffle order (the M10 convention) while the tokens BEFORE the doc
+    stay under the budget, so the crossing doc is included (the Pile /
+    C4 "finish the document" rule) and the sample is replay-identical.
+    The selection needs "how many tokens precede me in md5 order per
+    source" — :func:`two_phase_md5_cumsum`, the variable-metric sibling
+    of the downsampler's rank (a per-source WINDOW would be one task per
+    mega-source at 100 TB; a fixed-K cap doesn't express a token budget
+    at all). Digest = per-source kept docs/tokens/checksum + the
+    budget-crossed flag (every source must cross at the tuned local
+    budgets — a silently-undersized corpus reads false and flips red).
+
+    Scale: one map-side-combined bucket-sum shuffle + bounded
+    within-bucket windows + a map-side filter; nothing group-sized
+    crosses one task."""
+    prepare(spark, sf_dir)
+    counted = spark.table("documents").select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    cum = two_phase_md5_cumsum(counted, "source", "n_tokens")
+    kept = cum.filter(F.col("cum_before") < TOKEN_BUDGET_PER_SOURCE)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+        F.sum("doc_id").cast("long").alias("docs_checksum"),
+        (
+            F.max(F.col("cum_before") + F.col("n_tokens"))
+            >= TOKEN_BUDGET_PER_SOURCE
+        ).alias("budget_crossed"),
+    )
+
+
 @component(
     "text_domain_cap",
     cols=[("doc_id", "num"), ("source", "str"), ("rnk", "num")],

@@ -1551,6 +1551,13 @@ def stream_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage)
     docs = spark.table("documents")
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # 1-row bounded
+    if max_id is None:  # degenerate empty corpus: empty manifest, no stream
+        shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(
+            [],
+            schema="doc_id long, lang string, start_offset long, "
+            "seq_id long, seq_offset long",
+        )
     width = max_id // 3 + 1
     now = time.time()
     for b in range(3):

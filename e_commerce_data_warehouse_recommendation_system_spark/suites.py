@@ -336,6 +336,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         # per-language running state == the batch manifest row-for-row
         # (cross-MODE differential; order-monotonicity asserted)
         "stream_pack_manifest",
+        # token-budget sampling per source: md5-order cumulative token
+        # sums via the two-phase prefix machinery, crossing doc included
+        "text_token_budget_sample",
     ],
     # multimodal: frame sampling + decode->resize->sample chain + the
     # embedding-representation compression step (int8 quantization)

@@ -175,3 +175,65 @@ def test_pack_segments_conservation(spark):
         for r in rows:
             assert r.seq_offset == pos
             pos += r.seg_len
+
+
+def test_md5_cumsum_identical_to_single_window(spark, skewed):
+    """two_phase_md5_cumsum (the token-budget sampler's selection metric)
+    must equal the naive per-group md5-ordered running sum row-for-row,
+    including under constructed mega-shard skew."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        two_phase_md5_cumsum,
+    )
+
+    prepare(spark, SF0001)
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.col("source").alias("grp"),
+        F.length("text").cast("long").alias("m"),
+    )
+    sk = skewed.select("doc_id", F.col("lang").alias("grp"), F.col("n_tokens").alias("m"))
+    for df in (docs, sk):
+        w = (
+            Window.partitionBy("grp")
+            .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        want = _rows(
+            df.withColumn("cum_before", F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long")),
+            ["doc_id", "cum_before"],
+        )
+        got = _rows(two_phase_md5_cumsum(df, "grp", "m"), ["doc_id", "cum_before"])
+        assert got == want
+
+
+def test_token_budget_sample_crossing_doc_included(spark):
+    """The budget rule is 'take docs while the tokens BEFORE them are
+    under budget' — so the crossing doc is included (kept tokens >= budget
+    whenever the source has that many) and removing the LAST kept doc
+    drops the total strictly below budget."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        TOKEN_BUDGET_PER_SOURCE,
+        tokens,
+        two_phase_md5_cumsum,
+    )
+
+    prepare(spark, SF0001)
+    counted = spark.table("documents").select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    cum = two_phase_md5_cumsum(counted, "source", "n_tokens").collect()
+    by_src: dict = {}
+    for r in cum:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        kept = sorted(
+            (r for r in rows if r.cum_before < TOKEN_BUDGET_PER_SOURCE),
+            key=lambda r: r.cum_before,
+        )
+        total = sum(r.n_tokens for r in kept)
+        src_total = sum(r.n_tokens for r in rows)
+        if src_total >= TOKEN_BUDGET_PER_SOURCE:
+            assert total >= TOKEN_BUDGET_PER_SOURCE, (src, total)
+            assert total - kept[-1].n_tokens < TOKEN_BUDGET_PER_SOURCE, (src, total)
+        else:
+            assert total == src_total
