@@ -1602,3 +1602,85 @@ def bench_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-bounded pair space is the algorithm's scale claim, so its cost
     curve is worth a standing number next to the MinHash-LSH slot."""
     return sim_semantic_dedup(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Chunk-to-document embedding pooling (round 11)
+# --------------------------------------------------------------------------
+
+#: consecutive chunks pooled into one document embedding (the
+#: chunk->doc grouping a long-doc embedding pipeline produces: each doc's
+#: chunks carry consecutive ids, so the group key is a range bucket).
+POOL_CHUNKS_PER_DOC = 8
+
+
+@component(
+    "sim_chunk_pool_embeddings",
+    cols=[
+        ("group_id", "num"),
+        ("n_chunks", "num"),
+        ("head_sum", "dbl"),
+        ("weighted_sum", "dbl"),
+        ("total_sum", "dbl"),
+    ],
+    oracle=f"""
+    WITH elems AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    per_vec AS (
+      SELECT vec_id // {POOL_CHUNKS_PER_DOC} AS group_id, vec_id,
+             SUM(CASE WHEN i = 1 THEN CAST(x AS DECIMAL(30,12)) END) AS h,
+             SUM(CAST(x * i AS DECIMAL(30,12))) AS w,
+             SUM(CAST(x AS DECIMAL(30,12))) AS t
+      FROM elems GROUP BY 1, 2
+    )
+    SELECT group_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(h) AS DOUBLE) AS head_sum,
+           CAST(SUM(w) AS DOUBLE) AS weighted_sum,
+           CAST(SUM(t) AS DOUBLE) AS total_sum
+    FROM per_vec GROUP BY group_id
+    """,
+)
+def sim_chunk_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-to-document embedding POOLING — the step between chunk-level
+    embedding and doc-level retrieval/near-dup in a long-document
+    pipeline: every {POOL_CHUNKS_PER_DOC} consecutive chunk vectors
+    (vec_id range bucket — chunk ids are consecutive per doc by
+    construction) mean-pool into one document embedding. The digest
+    crosses the engine boundary as decimal-exact SUMS plus the chunk
+    count (mean = sum/count — sums are the lossless form, the _dot
+    convention: per-element double products, DECIMAL(30,12) accumulation,
+    one terminal double cast): the FIRST component (alignment anchor),
+    the index-weighted sum (catches any per-index misalignment the plain
+    total would miss), and the grand total. Full pooled vectors stay
+    distributed — array results don't hash portably.
+
+    Scale: one map-side fold per vector (no explode — elements never
+    become rows) + one hash groupBy on the range-bucket key; output is
+    |corpus|/{POOL_CHUNKS_PER_DOC} fixed-width rows."""
+    prepare(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    zero = F.lit(0).cast("decimal(30,12)")
+    dec_fold = lambda col: F.aggregate(  # noqa: E731 — the _dot fold shape
+        col, zero, lambda acc, x: _dec(acc + x)
+    )
+    weighted = F.zip_with(
+        "embedding",
+        F.sequence(F.lit(1), F.size("embedding")),
+        lambda x, i: _dec(x.cast("double") * i),
+    )
+    plain = F.transform("embedding", lambda x: _dec(x.cast("double")))
+    per_vec = emb.select(
+        F.expr(f"vec_id div {POOL_CHUNKS_PER_DOC}").alias("group_id"),
+        _dec(F.element_at("embedding", 1).cast("double")).alias("h"),
+        dec_fold(weighted).alias("w"),
+        dec_fold(plain).alias("t"),
+    )
+    return per_vec.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("h").cast("double").alias("head_sum"),
+        F.sum("w").cast("double").alias("weighted_sum"),
+        F.sum("t").cast("double").alias("total_sum"),
+    )

@@ -357,6 +357,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "mm_perceptual_hash",
         # embedding-representation ops sharing the embeddings scan
         "sim_l2_normalize",
+        # chunk->doc mean-pooling (decimal-exact sum digest, round 11)
+        "sim_chunk_pool_embeddings",
         "sim_quantize_int8",
         # trained-centroid clustering (contract digest, ALS-factor class)
         "sim_kmeans_clusters",
