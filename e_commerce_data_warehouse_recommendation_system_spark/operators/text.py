@@ -1325,6 +1325,69 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(f"stack({len(names)}, {stacked}) AS (rule, n_in, n_kept)")
 
 
+@component(
+    "text_funnel_reasons",
+    cols=[("doc_id", "num"), ("verdict", "str")],
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, length(text) AS L, len({_SQL_TOKENS}) AS T,
+             len(list_filter({_SQL_TOKENS},
+                 x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS SW,
+             lang
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN NOT (L >= {FUNNEL_MIN_CHARS}) THEN 'r1_min_chars'
+             WHEN NOT (T BETWEEN {FUNNEL_TOKENS[0]} AND {FUNNEL_TOKENS[1]})
+               THEN 'r2_token_count'
+             WHEN NOT (CAST(L AS DOUBLE) / T
+                       BETWEEN {FUNNEL_MEAN_TOKLEN[0]} AND {FUNNEL_MEAN_TOKLEN[1]})
+               THEN 'r3_mean_token_len'
+             WHEN NOT (CAST(SW AS DOUBLE) / T >= {FUNNEL_MIN_STOPWORD_FRAC})
+               THEN 'r4_stopword_frac'
+             WHEN NOT (lang = '{FUNNEL_LANG}') THEN 'r5_language'
+             ELSE 'kept'
+           END AS verdict
+    FROM d
+    """,
+)
+def text_funnel_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOCUMENT funnel attribution (round 11) — the "why was my
+    document dropped" diagnostic every curation run publishes next to the
+    aggregate funnel: each doc gets the FIRST failing C4 rule in the
+    funnel's fixed order (or ``kept``). text_filter_funnel checks the
+    survivor COUNTS; this pins the per-doc routing itself, so a rule
+    evaluated out of order or with a flipped bound shows up as a
+    row-level verdict mismatch, not a count coincidence. Provenance
+    columns like this are also what a takedown/audit workflow queries.
+
+    Scale: one map-side CASE over the corpus scan — no shuffle at all
+    (pure Column expressions; ratios compare in IEEE double from exact
+    integer counts, identical in both engines)."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    toks = tokens("text")
+    L = F.length("text")
+    T = F.size(toks)
+    SW = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    verdict = (
+        F.when(~(L >= FUNNEL_MIN_CHARS), F.lit("r1_min_chars"))
+        .when(~T.between(*FUNNEL_TOKENS), F.lit("r2_token_count"))
+        .when(
+            ~(L.cast("double") / T).between(*FUNNEL_MEAN_TOKLEN),
+            F.lit("r3_mean_token_len"),
+        )
+        .when(
+            ~((SW.cast("double") / T) >= FUNNEL_MIN_STOPWORD_FRAC),
+            F.lit("r4_stopword_frac"),
+        )
+        .when(~(F.col("lang") == FUNNEL_LANG), F.lit("r5_language"))
+        .otherwise(F.lit("kept"))
+    )
+    return d.select("doc_id", verdict.alias("verdict"))
+
+
 # --------------------------------------------------------------------------
 # Vocabulary build + OOV-rate scoring (tokenizer-prep family)
 # --------------------------------------------------------------------------

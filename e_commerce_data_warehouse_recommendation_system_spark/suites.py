@@ -277,6 +277,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         # Unicode NFC normalization (pandas UDF vs DuckDB utf8proc)
         "text_unicode_nfc",
         "text_filter_funnel",
+        # per-doc FIRST-failing-rule attribution (row-level funnel routing)
+        "text_funnel_reasons",
         # content-safety blocklist (the C4 bad-words rule the funnel lacks)
         "text_blocklist_filter",
         "text_vocab_topk",

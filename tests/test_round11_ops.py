@@ -237,3 +237,27 @@ def test_token_budget_sample_crossing_doc_included(spark):
             assert total - kept[-1].n_tokens < TOKEN_BUDGET_PER_SOURCE, (src, total)
         else:
             assert total == src_total
+
+
+def test_funnel_reasons_reconcile_with_aggregate_funnel(spark):
+    """Per-doc attribution must reconcile with the aggregate funnel: the
+    number of docs whose verdict is rule r equals that rule's
+    (n_in - n_kept) in text_filter_funnel, and 'kept' equals the last
+    rule's n_kept."""
+    from collections import Counter
+
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+
+    comps = components()
+    verdicts = Counter(
+        r.verdict for r in comps["text_funnel_reasons"].fn(spark, SF0001).collect()
+    )
+    funnel = {
+        r.rule: (r.n_in, r.n_kept)
+        for r in comps["text_filter_funnel"].fn(spark, SF0001).collect()
+    }
+    for rule, (n_in, n_kept) in funnel.items():
+        assert verdicts.get(rule, 0) == n_in - n_kept, (rule, verdicts, funnel)
+    assert verdicts.get("kept", 0) == funnel["r5_language"][1]
