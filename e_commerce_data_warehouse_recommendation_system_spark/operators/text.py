@@ -1388,6 +1388,74 @@ def text_funnel_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", verdict.alias("verdict"))
 
 
+@component(
+    "text_length_bucket_batching",
+    cols=[
+        ("band", "num"),
+        ("n_docs", "num"),
+        ("min_len", "num"),
+        ("max_len", "num"),
+        ("sum_tokens", "num"),
+        ("padding_waste", "num"),
+        ("waste_share_micro", "num"),
+    ],
+    oracle="""
+    WITH counted AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS T
+      FROM documents
+    )
+    SELECT CAST(length(bin(T)) AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(T) AS BIGINT) AS min_len,
+           CAST(MAX(T) AS BIGINT) AS max_len,
+           CAST(SUM(T) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(T) - SUM(T) AS BIGINT) AS padding_waste,
+           CAST((1000000 * (COUNT(*) * MAX(T) - SUM(T)))
+                // (COUNT(*) * MAX(T)) AS BIGINT) AS waste_share_micro
+    FROM counted GROUP BY 1
+    """,
+)
+def text_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit (round 11) — the padding-efficiency
+    question every fixed-shape training batch assembler answers: group
+    docs into power-of-two token-length bands (band = bit_length(T), an
+    INTEGER banding — no percentile interpolation to diverge across
+    engines) and report, per band, the padding waste if batches pad to
+    the band's max length: waste = n_docs·max_len − Σlen, and its share
+    in integer micro-units. Comparing a band's waste share against the
+    corpus-wide single-bucket figure (the widest band's max applied to
+    everything) is exactly the "bucketed batching vs naive padding"
+    argument; all arithmetic is integer-exact cross-engine.
+
+    Scale: one map-side banding expression + one hash groupBy with
+    map-side partial aggregation over ≤ ~40 bands — the funnel's cost
+    shape."""
+    prepare(spark, sf_dir)
+    counted = spark.table("documents").select(
+        F.size(tokens("text")).cast("long").alias("T")
+    )
+    g = counted.groupBy(
+        F.length(F.bin("T")).cast("long").alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("T").alias("min_len"),
+        F.max("T").alias("max_len"),
+        F.sum("T").alias("sum_tokens"),
+    )
+    waste = F.col("n_docs") * F.col("max_len") - F.col("sum_tokens")
+    return g.select(
+        "band",
+        "n_docs",
+        "min_len",
+        "max_len",
+        "sum_tokens",
+        waste.cast("long").alias("padding_waste"),
+        F.expr("div(1000000 * (n_docs * max_len - sum_tokens), n_docs * max_len)")
+        .cast("long")
+        .alias("waste_share_micro"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Vocabulary build + OOV-rate scoring (tokenizer-prep family)
 # --------------------------------------------------------------------------

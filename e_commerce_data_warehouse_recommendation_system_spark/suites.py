@@ -279,6 +279,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_filter_funnel",
         # per-doc FIRST-failing-rule attribution (row-level funnel routing)
         "text_funnel_reasons",
+        # power-of-two length bands + integer-exact padding-waste audit
+        "text_length_bucket_batching",
         # content-safety blocklist (the C4 bad-words rule the funnel lacks)
         "text_blocklist_filter",
         "text_vocab_topk",
