@@ -1395,3 +1395,150 @@ def _bench_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     previously-unbenched dedup operator (VERDICT r9 item 3); tracks the
     pair-join fan-out posture."""
     return dedup_shared_spans(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Split-leakage audit: near-dup pairs crossing the train/val/test boundary
+# --------------------------------------------------------------------------
+
+
+def _sql_split_case(key_expr: str) -> str:
+    """DuckDB CASE assigning train/val/test from the md5 first hex digit of
+    ``key_expr`` — the exact rule of text_group_holdout_split (bounds 9/c)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        GROUP_SPLIT_BOUNDS,
+    )
+
+    lo, hi = GROUP_SPLIT_BOUNDS
+    return (
+        f"CASE WHEN substr(md5({key_expr}), 1, 1) <= '{lo}' THEN 'train' "
+        f"WHEN substr(md5({key_expr}), 1, 1) <= '{hi}' THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+def _sql_split_leakage() -> str:
+    return f"""
+    WITH p AS ({_sql_minhash_lsh()}),
+    s AS (
+      SELECT doc_id,
+             {_sql_split_case("CAST(doc_id AS VARCHAR)")} AS doc_split,
+             {_sql_split_case("source")} AS src_split
+      FROM documents
+    ),
+    joined AS (
+      SELECT sa.doc_split AS a_doc, sb.doc_split AS b_doc,
+             sa.src_split AS a_src, sb.src_split AS b_src
+      FROM p JOIN s sa ON p.doc_a = sa.doc_id
+             JOIN s sb ON p.doc_b = sb.doc_id
+    ),
+    tagged AS (
+      SELECT 'doc_level' AS strategy,
+             least(a_doc, b_doc) AS split_a, greatest(a_doc, b_doc) AS split_b
+      FROM joined
+      UNION ALL
+      SELECT 'group_level', least(a_src, b_src), greatest(a_src, b_src)
+      FROM joined
+    )
+    SELECT strategy, split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           split_a <> split_b AS is_leak
+    FROM tagged GROUP BY 1, 2, 3
+    """
+
+
+@component(
+    "dedup_split_leakage",
+    oracle=_sql_split_leakage(),
+    cols=[
+        ("strategy", "str"),
+        ("split_a", "str"),
+        ("split_b", "str"),
+        ("n_pairs", "num"),
+        ("is_leak", "bool"),
+    ],
+)
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout-split LEAKAGE AUDIT: for every verified near-dup pair
+    (MinHash-LSH candidates, exact-Jaccard >= 0.7 — the dedup_minhash_lsh
+    output), tag both ends with the train/val/test assignment under TWO
+    split strategies — the row-level split (md5 of doc_id, what a naive
+    pipeline does) and the group-aware split (md5 of source, the
+    text_group_holdout_split rule) — and report the pair census per
+    (strategy, split_a, split_b) with ``is_leak`` marking boundaries
+    crossed. This is the eval-contamination number a training-data release
+    publishes: near-duplicate pairs straddling train/test mean the holdout
+    is partially memorizable, and comparing the two strategies' leak rows
+    quantifies how much the group split actually buys (same-source dups
+    can never leak under it; cross-source near-dups still can and show up
+    here as residual rows).
+
+    Scale: the pair table is the LSH-verified near-dup set (collision
+    groups only, never all-pairs — dedup_minhash_lsh's posture); the split
+    tags are map-side md5 expressions, so the audit adds two equi-joins on
+    doc_id plus a groupBy over <= 12 (strategy, split, split) keys with
+    map-side partial aggregation. Both strategies are tagged in ONE pass
+    via an array-of-structs explode, not a union re-running the pair
+    mining."""
+    prepare(spark, sf_dir)
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        GROUP_SPLIT_BOUNDS,
+    )
+
+    def split_of(digit: Column) -> Column:
+        return (
+            F.when(digit <= GROUP_SPLIT_BOUNDS[0], "train")
+            .when(digit <= GROUP_SPLIT_BOUNDS[1], "val")
+            .otherwise("test")
+        )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    s = spark.table("documents").select(
+        "doc_id",
+        split_of(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)).alias(
+            "doc_split"
+        ),
+        split_of(F.substring(F.md5(F.col("source")), 1, 1)).alias("src_split"),
+    )
+    sa = s.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("doc_split").alias("a_doc"),
+        F.col("src_split").alias("a_src"),
+    )
+    sb = s.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("doc_split").alias("b_doc"),
+        F.col("src_split").alias("b_src"),
+    )
+    tagged = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("doc_level").alias("strategy"),
+                        F.least("a_doc", "b_doc").alias("split_a"),
+                        F.greatest("a_doc", "b_doc").alias("split_b"),
+                    ),
+                    F.struct(
+                        F.lit("group_level").alias("strategy"),
+                        F.least("a_src", "b_src").alias("split_a"),
+                        F.greatest("a_src", "b_src").alias("split_b"),
+                    ),
+                )
+            ).alias("t")
+        )
+        .select("t.strategy", "t.split_a", "t.split_b")
+    )
+    return (
+        tagged.groupBy("strategy", "split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "strategy",
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+    )

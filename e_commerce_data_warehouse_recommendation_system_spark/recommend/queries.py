@@ -2295,6 +2295,179 @@ def rec_auc_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("auc_micro"),
     )
 # --------------------------------------------------------------------------
+# The RECOMMENDATION CAPSTONE: the reference's daily serving DAG end-to-end
+# --------------------------------------------------------------------------
+
+
+def _sql_rec_pipeline() -> str:
+    return f"""
+    WITH inter AS ({_SQL_INTERACTIONS}),
+    split AS (
+      SELECT *,
+             substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(item_id AS VARCHAR)), 1, 1)
+               IN ('0','1','2') AS is_test
+      FROM inter
+    ),
+    train AS (SELECT user_id, item_id FROM split WHERE NOT is_test),
+    test AS (SELECT user_id, item_id FROM split WHERE is_test),
+    tu AS (SELECT DISTINCT user_id FROM train),
+    ti AS (SELECT DISTINCT item_id FROM train)
+    SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage, metric,
+           CAST(value_num AS DOUBLE) AS value_num
+    FROM (
+      SELECT 1 AS stage_ord, 'extract' AS stage, 'n_interactions' AS metric,
+             (SELECT COUNT(*) FROM inter) AS value_num
+      UNION ALL SELECT 2, 'encode', 'n_users',
+             (SELECT COUNT(DISTINCT user_id) FROM inter)
+      UNION ALL SELECT 2, 'encode', 'n_items',
+             (SELECT COUNT(DISTINCT item_id) FROM inter)
+      UNION ALL SELECT 3, 'split', 'n_train', (SELECT COUNT(*) FROM train)
+      UNION ALL SELECT 3, 'split', 'n_test', (SELECT COUNT(*) FROM test)
+      UNION ALL SELECT 4, 'fit', 'rank', {RANK}
+      UNION ALL SELECT 4, 'fit', 'n_user_factors', (SELECT COUNT(*) FROM tu)
+      UNION ALL SELECT 4, 'fit', 'n_item_factors', (SELECT COUNT(*) FROM ti)
+      UNION ALL SELECT 5, 'serve', 'n_rec_rows',
+             (SELECT COUNT(*) FROM tu) * {TOP_K}
+      UNION ALL SELECT 5, 'serve', 'rank_contract_ok', 1
+      UNION ALL SELECT 6, 'diversify', 'n_mmr_rows',
+             (SELECT COUNT(*) FROM tu) * {TOP_K}
+      UNION ALL SELECT 6, 'diversify', 'picks_from_pool_ok', 1
+      UNION ALL SELECT 7, 'evaluate', 'n_eval_users',
+             (SELECT COUNT(DISTINCT user_id) FROM test
+              WHERE user_id IN (SELECT user_id FROM tu))
+      UNION ALL SELECT 7, 'evaluate', 'metrics_in_01_ok', 1
+      UNION ALL SELECT 8, 'publish', 'n_published',
+             (SELECT COUNT(*) FROM tu) * {TOP_K}
+      UNION ALL SELECT 8, 'publish', 'roundtrip_checksum_ok', 1
+    )
+    """
+
+
+@component(
+    "rec_pipeline_e2e",
+    oracle=_sql_rec_pipeline(),
+    cols=[
+        ("stage_ord", "num"),
+        ("stage", "str"),
+        ("metric", "str"),
+        ("value_num", "dbl"),
+    ],
+)
+def rec_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RECOMMENDATION CAPSTONE: the reference's daily serving DAG
+    (dags/e_commerce_dw_dag.py: extract -> train MF -> recommend -> store,
+    with mf_knn_recommender.py supplying train/serve/diversify/eval)
+    replayed as ONE chained Spark lineage with per-stage conservation
+    rows — the serving-side twin of text_curation_pipeline's curation
+    capstone. Stages: (1) extract implicit interactions, (2) dictionary
+    encode, (3) leakage-safe md5 split, (4) seeded ALS fit, (5) batch
+    top-k serving for every trained user, (6) MMR diversification over a
+    3k pool, (7) P@k/R@k/F1 evaluation on the held-out split, (8) publish
+    the diversified lists to parquet and re-read (the DAG's store step).
+
+    Every stage emits either a count the DuckDB oracle derives
+    INDEPENDENTLY from the same deterministic inputs (interaction/dict/
+    split/factor cardinalities, k-per-user row totals, eval-user count) or
+    a 0/1 contract flag computed from the genuine stage output (serve rank
+    contract, MMR picks-from-pool, metrics in [0,1], publish read-back
+    checksum) — the digest convention for model-valued stages (ALS scores
+    are engine-specific by construction; parity with the reference is
+    metric-level, SURVEY §7 phase 3). A broken stage handoff — users
+    dropped between fit and serve, MMR inventing items, a lossy publish —
+    flips a count or flag and the suite's driver row goes red.
+
+    Scale: stages reuse their solo postures (shuffle joins on natural keys,
+    MLlib block ALS, memoized artifacts, applyInPandas bounded 30-row
+    groups per user); the publish stage is one parquet write + re-read of
+    k rows per user. Nothing here adds a plan the solo operators don't
+    already run at their recorded postures."""
+    import shutil
+    import tempfile
+
+    prepare(spark, sf_dir)
+    art = _artifacts(spark, sf_dir)
+    n_train = art["train"].count()
+    n_test = art["test"].count()
+    n_users = art["users"].count()
+    n_items = art["items"].count()
+    model = art["model"]
+    n_uf = model.userFactors.count()
+    n_if = model.itemFactors.count()
+
+    # stage 5: serving contract from the real rec rows (memoized frame)
+    recs = _topk_recs(spark, sf_dir, TOP_K)
+    per_user = recs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rnk").alias("min_rnk"),
+        F.max("rnk").alias("max_rnk"),
+    )
+    srv = per_user.agg(
+        F.sum("n").alias("n_rows"),
+        (
+            (F.min("n") == TOP_K)
+            & (F.max("n") == TOP_K)
+            & (F.min("min_rnk") == 1)
+            & (F.max("max_rnk") == TOP_K)
+        ).alias("contract_ok"),
+    ).collect()[0]
+
+    # stage 6: MMR diversification + picks-from-pool conservation
+    mmr = mmr_rerank(spark, sf_dir).localCheckpoint(eager=True)
+    n_mmr = mmr.count()
+    pool = _topk_recs(spark, sf_dir, k=MMR_POOL)
+    off_pool = mmr.join(
+        pool.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti"
+    ).count()
+
+    # stage 7: held-out evaluation
+    m = rec_eval_metrics(spark, sf_dir).collect()[0]
+    metrics_ok = (
+        0.0 <= m.p_at_k <= 1.0 and 0.0 <= m.r_at_k <= 1.0 and 0.0 <= m.f1 <= 1.0
+    )
+
+    # stage 8: publish the diversified lists (the DAG's store step) and
+    # verify the read-back conserves rows + an order-insensitive checksum
+    want = mmr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("user_id") + F.col("item_id") * F.col("mmr_rank")).alias("ck"),
+    ).collect()[0]
+    tmp = tempfile.mkdtemp(prefix="ecomdw_recs_")
+    try:
+        path = f"{tmp}/recommendations"
+        mmr.write.mode("overwrite").parquet(path)
+        back = spark.read.parquet(path)
+        got = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("user_id") + F.col("item_id") * F.col("mmr_rank")).alias("ck"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    publish_ok = (got.n, got.ck) == (want.n, want.ck)
+
+    rows = [
+        (1, "extract", "n_interactions", float(n_train + n_test)),
+        (2, "encode", "n_users", float(n_users)),
+        (2, "encode", "n_items", float(n_items)),
+        (3, "split", "n_train", float(n_train)),
+        (3, "split", "n_test", float(n_test)),
+        (4, "fit", "rank", float(model.rank)),
+        (4, "fit", "n_user_factors", float(n_uf)),
+        (4, "fit", "n_item_factors", float(n_if)),
+        (5, "serve", "n_rec_rows", float(srv.n_rows)),
+        (5, "serve", "rank_contract_ok", 1.0 if srv.contract_ok else 0.0),
+        (6, "diversify", "n_mmr_rows", float(n_mmr)),
+        (6, "diversify", "picks_from_pool_ok", 1.0 if off_pool == 0 else 0.0),
+        (7, "evaluate", "n_eval_users", float(m.n_eval_users)),
+        (7, "evaluate", "metrics_in_01_ok", 1.0 if metrics_ok else 0.0),
+        (8, "publish", "n_published", float(got.n)),
+        (8, "publish", "roundtrip_checksum_ok", 1.0 if publish_ok else 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, schema="stage_ord bigint, stage string, metric string, value_num double"
+    )
+
+
+# --------------------------------------------------------------------------
 # Graph analytics moved to recommend/graph.py (round 10); re-exported here
 # so existing imports (tests, scripts, scale probes) keep working.
 # --------------------------------------------------------------------------

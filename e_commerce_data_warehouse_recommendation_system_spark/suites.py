@@ -157,6 +157,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         "dedup_shared_spans",
         # span EXCISION: cut duplicated spans from the later doc (keep-first)
         "dedup_span_excision",
+        # holdout-split leakage census: near-dup pairs crossing train/val/
+        # test under row-level vs group-aware splits (round 11)
+        "dedup_split_leakage",
         # regular-grid resampling: gap fill + forward fill per user
         "ts_resample_ffill",
         # Holt level+trend smoothing: per-series sequential state via
@@ -418,6 +421,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         "rec_negative_samples",
         # Mann-Whitney ranking AUC of the popularity scorer (tie-exact)
         "rec_auc_popularity",
+        # the SERVING CAPSTONE: extract -> encode -> split -> ALS -> serve
+        # -> MMR -> eval -> publish, per-stage conservation rows (round 11)
+        "rec_pipeline_e2e",
     ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [

@@ -261,3 +261,82 @@ def test_funnel_reasons_reconcile_with_aggregate_funnel(spark):
     for rule, (n_in, n_kept) in funnel.items():
         assert verdicts.get(rule, 0) == n_in - n_kept, (rule, verdicts, funnel)
     assert verdicts.get("kept", 0) == funnel["r5_language"][1]
+
+
+def test_split_leakage_reconciles_with_pair_count(spark):
+    """The leakage census must conserve pairs: each strategy's n_pairs sums
+    to the minhash near-dup pair count; is_leak is exactly split_a !=
+    split_b; and a same-source pair can never leak under the group split
+    (both ends share md5(source) by construction)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+
+    rows = components()["dedup_split_leakage"].fn(spark, SF0001).collect()
+    n_pairs = dedup_minhash_lsh(spark, SF0001).count()
+    for strategy in ("doc_level", "group_level"):
+        assert sum(r.n_pairs for r in rows if r.strategy == strategy) == n_pairs
+    for r in rows:
+        assert r.is_leak == (r.split_a != r.split_b)
+    # group-split guarantee on same-source pairs: tag pairs with sources
+    # and check every same-source pair lands in a non-leak group_level cell
+    pairs = dedup_minhash_lsh(spark, SF0001).select("doc_a", "doc_b")
+    docs = spark.table("documents").select("doc_id", "source")
+    same_src = (
+        pairs.join(docs.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("source", "src_a")
+        .join(
+            docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "source", "src_b"
+            ),
+            "doc_b",
+        )
+        .filter("src_a = src_b")
+        .count()
+    )
+    group_same = sum(
+        r.n_pairs for r in rows if r.strategy == "group_level" and not r.is_leak
+    )
+    assert group_same >= same_src
+
+
+def test_rec_pipeline_e2e_stage_links(spark):
+    """The serving capstone's cross-stage conservation: split partitions the
+    interactions, factor cardinalities equal the train dictionary sizes'
+    train-side projections, serve/diversify/publish all carry exactly
+    k rows per trained user, and every contract flag is green."""
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+        TOP_K,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+
+    rows = components()["rec_pipeline_e2e"].fn(spark, SF0001).collect()
+    v = {(r.stage, r.metric): r.value_num for r in rows}
+    assert v[("split", "n_train")] + v[("split", "n_test")] == v[
+        ("extract", "n_interactions")
+    ]
+    assert v[("fit", "n_user_factors")] <= v[("encode", "n_users")]
+    assert v[("fit", "n_item_factors")] <= v[("encode", "n_items")]
+    for stage, metric in (
+        ("serve", "n_rec_rows"),
+        ("diversify", "n_mmr_rows"),
+        ("publish", "n_published"),
+    ):
+        assert v[(stage, metric)] == v[("fit", "n_user_factors")] * TOP_K, (
+            stage,
+            metric,
+            v,
+        )
+    assert v[("evaluate", "n_eval_users")] <= v[("encode", "n_users")]
+    for stage, metric in (
+        ("serve", "rank_contract_ok"),
+        ("diversify", "picks_from_pool_ok"),
+        ("evaluate", "metrics_in_01_ok"),
+        ("publish", "roundtrip_checksum_ok"),
+    ):
+        assert v[(stage, metric)] == 1.0, (stage, metric)
