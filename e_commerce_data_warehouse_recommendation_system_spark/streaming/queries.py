@@ -1637,3 +1637,247 @@ def stream_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(manifest).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Online fold-in serving: the streaming half of the recommendation capstone
+# --------------------------------------------------------------------------
+
+
+def _sql_stream_fold_in() -> str:
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+        _SQL_INTERACTIONS,
+        TOP_K,
+    )
+
+    return f"""
+    WITH inter AS ({_SQL_INTERACTIONS}),
+    split AS (
+      SELECT *,
+             substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(item_id AS VARCHAR)), 1, 1)
+               IN ('0','1','2') AS is_test
+      FROM inter
+    ),
+    test AS (SELECT user_id, item_id FROM split WHERE is_test),
+    ti AS (SELECT DISTINCT item_id FROM split WHERE NOT is_test),
+    foldable AS (
+      SELECT DISTINCT user_id FROM test
+      WHERE item_id IN (SELECT item_id FROM ti)
+    )
+    SELECT label, CAST(value_num AS BIGINT) AS value_num FROM (
+      SELECT 'feed_rows' AS label, (SELECT COUNT(*) FROM test) AS value_num
+      UNION ALL SELECT 'feed_users', (SELECT COUNT(DISTINCT user_id) FROM test)
+      UNION ALL SELECT 'folded_users', (SELECT COUNT(*) FROM foldable)
+      UNION ALL SELECT 'stream_batch_parity_ok', 1
+      UNION ALL SELECT 'served_users',
+        (SELECT COUNT(*) FROM foldable WHERE user_id % 10 = 0)
+      UNION ALL SELECT 'served_rows',
+        (SELECT COUNT(*) FROM foldable WHERE user_id % 10 = 0) * {TOP_K}
+      UNION ALL SELECT 'serve_contract_ok', 1
+    )
+    """
+
+
+@component(
+    "stream_fold_in_serve",
+    cols=[("label", "str"), ("value_num", "num")],
+    oracle=_sql_stream_fold_in(),
+)
+def stream_fold_in_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE SERVING: held-out interactions land in micro-batches and each
+    batch's touched users are re-folded against the FROZEN trained item
+    factors (implicit-ALS normal equations — rec_fold_in_user_factors) over
+    their FULL accumulated history, upserting a factor state keyed by user;
+    terminal factors feed an exported-factor top-k serve for the audit
+    subset. This is the production "new users get recommendations the
+    moment their interactions arrive, no retrain" loop — the reference
+    refuses unknown users outright (mf_knn_recommender.py:234-242), and the
+    batch fold-in closes that gap offline; this closes it ONLINE.
+
+    Order-independence (what makes a streaming operator oracle-checkable):
+    the feed is sharded by ITEM hash, so one user's history straddles
+    batches — the hard case — but each touch re-solves the user from the
+    full accumulated set, so the terminal factor is a pure function of the
+    complete history whatever the batch order. The terminal state must
+    therefore equal the one-shot BATCH fold-in over the same feed: pinned
+    by the parity flag (count match + min cosine > 0.9999, the
+    _fold_in_parity floor; solves are float32-quantized, so row-order float
+    noise sits far below it). Counts (feed rows/users, foldable users =
+    users with >= 1 train-factored item, served rows = k x audit users)
+    are SQL-exact cross-engine.
+
+    Scale: per batch, fold-in touches only accumulated rows of TOUCHED
+    users (join-pruned), the solve is rank^2 per user inside Arrow batches,
+    and the factor-state upsert is the keyed-merge posture of
+    stream_event_daily_upsert; serving broadcasts the bounded catalog
+    factors (rec_factor_serve_topk's asymmetry). Total fold work across a
+    drain is <= n_batches x one full fold."""
+    import os
+
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+        TOP_K,
+        _artifacts,
+        rec_fold_in_user_factors,
+    )
+
+    prepare(spark, sf_dir)
+    art = _artifacts(spark, sf_dir)
+    feed = art["test"].select("user_id", "user_idx", "item_idx")
+    n_feed = feed.count()
+    n_feed_users = feed.select("user_idx").distinct().count()
+
+    tmp = tempfile.mkdtemp(prefix="ecomdw_foldin_")
+    stage = f"{tmp}/landing"
+    os.makedirs(stage)
+    # shard by ITEM hash: a user's history straddles micro-batches, the
+    # order-dependence trap the re-fold-from-accumulated design must beat
+    for b in range(3):
+        shard_dir = f"{tmp}/shard{b}"
+        feed.filter(F.col("item_idx") % 3 == b).coalesce(1).write.parquet(shard_dir)
+        part = [f for f in os.listdir(shard_dir) if f.endswith(".parquet")][0]
+        os.symlink(f"{shard_dir}/{part}", f"{stage}/shard{b}.parquet")
+
+    acc_state = {"dir": None}
+    fac_state = {"dir": None}
+    acc_root = f"{tmp}/acc"
+    fac_root = f"{tmp}/factors"
+    os.makedirs(acc_root)
+    os.makedirs(fac_root)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        fresh = batch_df.select("user_idx", "item_idx")
+        if acc_state["dir"] is not None:
+            fresh = fresh.unionByName(sp.read.parquet(acc_state["dir"]))
+        acc_out = f"{acc_root}/v{batch_id}"
+        fresh.dropDuplicates(["user_idx", "item_idx"]).write.parquet(acc_out)
+        acc_state["dir"] = acc_out
+
+        touched = batch_df.select("user_idx").distinct()
+        acc = sp.read.parquet(acc_out)
+        refold = rec_fold_in_user_factors(
+            sp, sf_dir, interactions_df=acc.join(touched, "user_idx", "left_semi")
+        )
+        if fac_state["dir"] is not None:
+            kept = sp.read.parquet(fac_state["dir"]).join(
+                touched, "user_idx", "left_anti"
+            )
+            refold = refold.unionByName(kept)
+        fac_out = f"{fac_root}/v{batch_id}"
+        refold.write.parquet(fac_out)
+        fac_state["dir"] = fac_out
+
+    schema = spark.read.parquet(stage).schema
+    try:
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        terminal = spark.read.parquet(fac_state["dir"]).localCheckpoint(eager=True)
+        n_folded = terminal.count()
+
+        # parity vs the one-shot batch fold-in over the identical feed
+        ref = rec_fold_in_user_factors(
+            spark, sf_dir, interactions_df=feed.select("user_idx", "item_idx")
+        ).select("user_idx", F.col("features").alias("rfeat"))
+
+        def _norm(col: str) -> F.Column:
+            return F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.col(col), lambda x: x.cast("double") * x.cast("double")
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("features"),
+                F.col("rfeat"),
+                lambda a, b: a.cast("double") * b.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cos = dot / (_norm("features") * _norm("rfeat") + F.lit(1e-12))
+        par = (
+            terminal.join(ref, "user_idx")
+            .select(cos.alias("cos"))
+            .agg(
+                F.count(F.lit(1)).alias("n_joined"),
+                F.min("cos").alias("min_cos"),
+                F.sum((F.isnan("cos") | F.col("cos").isNull()).cast("long")).alias(
+                    "bad"
+                ),
+            )
+            .collect()[0]
+        )
+        n_ref = ref.count()
+        parity_ok = (
+            par.n_joined == n_folded
+            and n_ref == n_folded
+            and (par.bad or 0) == 0
+            and float(par.min_cos) > 0.9999
+        )
+
+        # exported-factor serving for the audit subset (user_id % 10 == 0)
+        itf = art["model"].itemFactors.select(
+            F.col("id").alias("item_idx"), F.col("features").alias("ifeat")
+        )
+        subset = terminal.join(
+            F.broadcast(art["users"].filter(F.col("user_id") % 10 == 0)), "user_idx"
+        )
+        sdot = F.aggregate(
+            F.zip_with(F.col("features"), F.col("ifeat"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = subset.join(F.broadcast(itf)).select(
+            "user_idx", sdot.cast("float").alias("score"), "item_idx"
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_idx").orderBy(F.desc("score"), F.asc("item_idx"))
+        served = (
+            scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= TOP_K)
+            .localCheckpoint(eager=True)
+        )
+        n_served_users = subset.count()
+        per_user = served.groupBy("user_idx").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("rnk").alias("mn"),
+            F.max("rnk").alias("mx"),
+        )
+        sc = per_user.agg(
+            F.count(F.lit(1)).alias("nu"),
+            F.sum("n").alias("n_rows"),
+            (
+                (F.min("n") == TOP_K)
+                & (F.max("n") == TOP_K)
+                & (F.min("mn") == 1)
+                & (F.max("mx") == TOP_K)
+            ).alias("ok"),
+        ).collect()[0]
+        contract_ok = bool(sc.ok) and sc.nu == n_served_users
+
+        rows = [
+            ("feed_rows", n_feed),
+            ("feed_users", n_feed_users),
+            ("folded_users", n_folded),
+            ("stream_batch_parity_ok", 1 if parity_ok else 0),
+            ("served_users", n_served_users),
+            ("served_rows", int(sc.n_rows or 0)),
+            ("serve_contract_ok", 1 if contract_ok else 0),
+        ]
+        return spark.createDataFrame(rows, schema="label string, value_num bigint")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

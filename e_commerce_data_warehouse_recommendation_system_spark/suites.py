@@ -424,6 +424,10 @@ SUITE_SPECS: dict[str, list[str]] = {
         # the SERVING CAPSTONE: extract -> encode -> split -> ALS -> serve
         # -> MMR -> eval -> publish, per-stage conservation rows (round 11)
         "rec_pipeline_e2e",
+        # ONLINE fold-in serving: micro-batched held-out interactions ->
+        # re-fold touched users from accumulated history -> factor-state
+        # upsert -> exported-factor top-k; batch-parity pinned (round 11)
+        "stream_fold_in_serve",
     ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [

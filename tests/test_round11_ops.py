@@ -340,3 +340,23 @@ def test_rec_pipeline_e2e_stage_links(spark):
         ("publish", "roundtrip_checksum_ok"),
     ):
         assert v[(stage, metric)] == 1.0, (stage, metric)
+
+
+def test_stream_fold_in_serve_flags_and_links(spark):
+    """Online fold-in serving: parity + contract flags green, and the
+    census links hold (foldable users <= feed users, served rows = k per
+    audit user)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+        TOP_K,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+
+    rows = components()["stream_fold_in_serve"].fn(spark, SF0001).collect()
+    v = {r.label: r.value_num for r in rows}
+    assert v["stream_batch_parity_ok"] == 1
+    assert v["serve_contract_ok"] == 1
+    assert 0 < v["folded_users"] <= v["feed_users"] <= v["feed_rows"]
+    assert v["served_users"] <= v["folded_users"]
+    assert v["served_rows"] == v["served_users"] * TOP_K
