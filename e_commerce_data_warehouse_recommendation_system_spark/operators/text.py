@@ -3399,3 +3399,117 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (changed == (F.col("doc_id") % 7 == 2)).alias("detect_ok"),
         F.md5(F.col("ntext")).alias("nfc_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 table A1)
+# --------------------------------------------------------------------------
+
+GOPHER_WORDS = (50, 100000)  # word-count bounds
+GOPHER_MEAN_WORD_LEN = (3, 10)  # mean word length bounds (integer-exact)
+GOPHER_MIN_ALPHA_FRAC = (4, 5)  # >= 4/5 of words contain an alphabetic char
+GOPHER_MAX_SYMBOL_RATIO = (1, 10)  # (# + ellipsis) per word <= 1/10
+#: required-word rule: >= 2 distinct members present (Gopher's stop-word
+#: screen, membership adapted to this corpus's vocabulary)
+GOPHER_REQUIRED = ("the", "a", "and", "of", "to")
+
+
+@component(
+    "text_gopher_rules",
+    cols=[
+        ("doc_id", "num"),
+        ("n_words", "num"),
+        ("g1_word_count", "bool"),
+        ("g2_mean_word_len", "bool"),
+        ("g3_alpha_frac", "bool"),
+        ("g4_symbol_ratio", "bool"),
+        ("g5_required_words", "bool"),
+        ("gopher_keep", "bool"),
+    ],
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS tk,
+             length(replace(trim(text), ' ', '')) AS chars,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(tk) AS w,
+             chars,
+             len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS aw,
+             n_hash + n_ell AS sym,
+             len(list_distinct(list_filter(tk,
+                 x -> x IN ({", ".join(f"'{r}'" for r in GOPHER_REQUIRED)})))) AS req
+      FROM t
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+           w BETWEEN {GOPHER_WORDS[0]} AND {GOPHER_WORDS[1]} AS g1_word_count,
+           ({GOPHER_MEAN_WORD_LEN[0]} * w <= chars
+            AND chars <= {GOPHER_MEAN_WORD_LEN[1]} * w) AS g2_mean_word_len,
+           {GOPHER_MIN_ALPHA_FRAC[1]} * aw
+             >= {GOPHER_MIN_ALPHA_FRAC[0]} * w AS g3_alpha_frac,
+           {GOPHER_MAX_SYMBOL_RATIO[1]} * sym
+             <= {GOPHER_MAX_SYMBOL_RATIO[0]} * w AS g4_symbol_ratio,
+           req >= 2 AS g5_required_words,
+           (w BETWEEN {GOPHER_WORDS[0]} AND {GOPHER_WORDS[1]})
+             AND ({GOPHER_MEAN_WORD_LEN[0]} * w <= chars
+                  AND chars <= {GOPHER_MEAN_WORD_LEN[1]} * w)
+             AND ({GOPHER_MIN_ALPHA_FRAC[1]} * aw
+                  >= {GOPHER_MIN_ALPHA_FRAC[0]} * w)
+             AND ({GOPHER_MAX_SYMBOL_RATIO[1]} * sym
+                  <= {GOPHER_MAX_SYMBOL_RATIO[0]} * w)
+             AND (req >= 2) AS gopher_keep
+    FROM f
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GOPHER quality-rule gate (Rae et al. 2021, arXiv:2112.11446
+    table A1) — the other canonical published rule family next to the C4
+    funnel (text_filter_funnel) and the repetition screens
+    (text_repetition): per document, a PER-RULE boolean matrix for (g1)
+    word count in [50, 1e5], (g2) mean word length in [3, 10], (g3) >= 80%
+    of words containing an alphabetic character, (g4) symbol-to-word ratio
+    (# and ellipsis) <= 0.1, (g5) >= 2 distinct required words (membership
+    adapted to this corpus's vocabulary), plus the conjunction
+    ``gopher_keep``. Unlike the funnel's first-fail attribution, the full
+    matrix is what rule-tuning sweeps consume (how many docs does each
+    bound kill, marginally and jointly).
+
+    Every comparison is INTEGER-EXACT by cross-multiplication (3·w <=
+    chars <= 10·w, 5·alpha >= 4·w, 10·sym <= w) — no IEEE ratio crosses
+    the engine boundary. Scale: one map-side expression block over the
+    corpus scan, zero shuffles (the text_funnel_reasons posture)."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    tk = tokens("text")
+    w = F.size(tk)
+    chars = F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+    aw = F.size(F.filter(tk, lambda x: x.rlike("[a-zA-Z]")))
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / 3
+    sym = (n_hash + n_ell).cast("long")
+    req = F.size(
+        F.array_distinct(F.filter(tk, lambda x: x.isin(*GOPHER_REQUIRED)))
+    )
+    g1 = w.between(*GOPHER_WORDS)
+    g2 = (F.lit(GOPHER_MEAN_WORD_LEN[0]) * w <= chars) & (
+        chars <= F.lit(GOPHER_MEAN_WORD_LEN[1]) * w
+    )
+    g3 = F.lit(GOPHER_MIN_ALPHA_FRAC[1]) * aw >= F.lit(GOPHER_MIN_ALPHA_FRAC[0]) * w
+    g4 = F.lit(GOPHER_MAX_SYMBOL_RATIO[1]) * sym <= F.lit(GOPHER_MAX_SYMBOL_RATIO[0]) * w
+    g5 = req >= 2
+    return d.select(
+        "doc_id",
+        w.cast("long").alias("n_words"),
+        g1.alias("g1_word_count"),
+        g2.alias("g2_mean_word_len"),
+        g3.alias("g3_alpha_frac"),
+        g4.alias("g4_symbol_ratio"),
+        g5.alias("g5_required_words"),
+        (g1 & g2 & g3 & g4 & g5).alias("gopher_keep"),
+    )

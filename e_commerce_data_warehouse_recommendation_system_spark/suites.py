@@ -282,6 +282,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_filter_funnel",
         # per-doc FIRST-failing-rule attribution (row-level funnel routing)
         "text_funnel_reasons",
+        # the Gopher rule family: per-rule boolean matrix, integer-exact
+        # cross-multiplied bounds (round 11)
+        "text_gopher_rules",
         # power-of-two length bands + integer-exact padding-waste audit
         "text_length_bucket_batching",
         # content-safety blocklist (the C4 bad-words rule the funnel lacks)

@@ -360,3 +360,26 @@ def test_stream_fold_in_serve_flags_and_links(spark):
     assert 0 < v["folded_users"] <= v["feed_users"] <= v["feed_rows"]
     assert v["served_users"] <= v["folded_users"]
     assert v["served_rows"] == v["served_users"] * TOP_K
+
+
+def test_gopher_rules_matrix_consistency(spark):
+    """gopher_keep must equal the conjunction of the five rule flags, and
+    the rule set must be non-degenerate on the corpus (g1 and g5 each
+    reject at least one document and keep at least one)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+
+    rows = components()["text_gopher_rules"].fn(spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert r.gopher_keep == (
+            r.g1_word_count
+            and r.g2_mean_word_len
+            and r.g3_alpha_frac
+            and r.g4_symbol_ratio
+            and r.g5_required_words
+        )
+    for flag in ("g1_word_count", "g5_required_words"):
+        vals = {getattr(r, flag) for r in rows}
+        assert vals == {True, False}, flag
