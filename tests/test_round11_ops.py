@@ -383,3 +383,61 @@ def test_gopher_rules_matrix_consistency(spark):
     for flag in ("g1_word_count", "g5_required_words"):
         vals = {getattr(r, flag) for r in rows}
         assert vals == {True, False}, flag
+
+
+@pytest.fixture(scope="module")
+def leakage_dir(spark, tmp_path_factory):
+    """Constructed corpus with HAND-DERIVABLE leakage census. md5 first hex
+    digits (computed offline, hashlib): doc 100 -> 'e' (test), 101 -> '3'
+    (train), 103 -> '0' (train), 105 -> '2' (train); source srcA -> 'f'
+    (test), srcB -> '3' (train), srcG -> 'a' (val). Two exact-duplicate
+    pairs: (100, 101) share source srcB -> leaks under the doc split
+    (test x train) but NOT under the group split (train x train); (103,
+    105) sit in srcA/srcG -> safe under the doc split (train x train) but
+    leaks under the group split (test x val). Fillers share no shingles."""
+    import os
+
+    base = tmp_path_factory.mktemp("leak_diff")
+    out = str(base / "fixture")
+    os.makedirs(out)
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{out}/{t}.parquet")
+    p = " ".join(f"p{i:02d}" for i in range(10))
+    q = " ".join(f"q{i:02d}" for i in range(10))
+    rows = [
+        (100, p, "en", "srcB", len(p)),
+        (101, p, "en", "srcB", len(p)),
+        (103, q, "en", "srcA", len(q)),
+        (105, q, "en", "srcG", len(q)),
+        (110, " ".join(f"w{i:02d}" for i in range(12)), "en", "srcC", 12),
+        (111, " ".join(f"x{i:02d}" for i in range(12)), "en", "srcD", 12),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_split_leakage_hand_derived_census(spark, leakage_dir):
+    """The leakage audit on the constructed corpus must report EXACTLY the
+    hand-derived cells — a wrong split rule, a dropped pair, or leak
+    misclassification all produce a different census."""
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in components()["dedup_split_leakage"].fn(spark, leakage_dir).collect()
+    )
+    want = sorted(
+        [
+            ("doc_level", "test", "train", 1, True),
+            ("doc_level", "train", "train", 1, False),
+            ("group_level", "train", "train", 1, False),
+            ("group_level", "test", "val", 1, True),
+        ]
+    )
+    assert got == want
