@@ -1039,7 +1039,13 @@ def rec_fold_in_user_factors(
     itf = model.itemFactors.select(
         F.col("id").alias("item_idx"), F.col("features").alias("ifeat")
     )
-    yty = _gram_matrix(model.itemFactors, model.rank)
+    # memoized per (session, sf_dir): the Gram pass scans the catalog-sized
+    # factor table, and repeated fold-in callers (the streaming re-fold loop
+    # runs one fold per micro-batch) would otherwise pay it per call even
+    # though the ITEM factors are frozen between fits
+    if "gram_yty" not in art:
+        art["gram_yty"] = _gram_matrix(model.itemFactors, model.rank)
+    yty = art["gram_yty"]
     rank, alpha, lam = model.rank, ALPHA, REG
     if interactions_df is None:
         interactions_df = art["train"].select("user_idx", "item_idx")
@@ -2464,6 +2470,117 @@ def rec_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, schema="stage_ord bigint, stage string, metric string, value_num double"
+    )
+
+
+@bench_workload("rec_pipeline_e2e", warmup=_warm_model)
+def _bench_rec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench the serving capstone with the ALS fit hoisted off-clock
+    (the warmed-slot protocol): times the chained serve + MMR + eval +
+    publish lineage — the daily DAG's recurring cost once the model
+    exists."""
+    return rec_pipeline_e2e(spark, sf_dir)
+
+
+#: temporal-backtest cutoff: ~2/3 of the order span trains, the rest tests
+BACKTEST_CUTOFF = "1999-01-01"
+
+
+def _sql_backtest_popularity() -> str:
+    return f"""
+    WITH pre AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate < TIMESTAMP '{BACKTEST_CUTOFF}'
+    ),
+    post AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate >= TIMESTAMP '{BACKTEST_CUTOFF}'
+    ),
+    novel AS (SELECT u, i FROM post EXCEPT SELECT u, i FROM pre),
+    topk AS (
+      SELECT i FROM (
+        SELECT i, COUNT(*) AS c FROM pre GROUP BY i
+        ORDER BY c DESC, i LIMIT {TOP_K}
+      )
+    )
+    SELECT u AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_novel_items,
+           CAST(COALESCE(SUM((i IN (SELECT i FROM topk))::INT), 0) AS BIGINT)
+             AS n_hits,
+           CAST(1000000 * COALESCE(SUM((i IN (SELECT i FROM topk))::INT), 0)
+                // {TOP_K} AS BIGINT) AS p_at_k_micro
+    FROM novel GROUP BY u
+    """
+
+
+@component(
+    "rec_backtest_popularity",
+    oracle=_sql_backtest_popularity(),
+    cols=[
+        ("user_id", "num"),
+        ("n_novel_items", "num"),
+        ("n_hits", "num"),
+        ("p_at_k_micro", "num"),
+    ],
+)
+def rec_backtest_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL BACKTEST of the popularity recommender — the time-aware
+    evaluation the random md5 split cannot give: train-period popularity
+    (orders strictly before the cutoff) is scored against each user's
+    NOVEL post-cutoff interactions (post pairs the user never touched
+    pre-cutoff — recommending re-buys is not prediction). Per test user:
+    novel-item count, hits against the train-period top-{TOP_K} shelf,
+    and precision@k in integer micro-units. Every quantity is a count or
+    integer ratio over deterministic joins, so the whole backtest
+    hash-matches the oracle row-for-row — no model flags needed (the
+    popularity scorer is exactly computable in both engines; ties break
+    count-desc then item-asc).
+
+    This is the leakage-safe eval discipline for recommenders at scale:
+    time splits beat random splits when usage drifts, the same way
+    group-aware splits beat row splits for documents
+    (text_group_holdout_split / dedup_split_leakage).
+
+    Scale: two scans of the fact join with the date filter pushed to the
+    scan, one hash groupBy each; the shelf is a global top-k of a
+    per-item count (map-side partials + tiny final sort); scoring is a
+    broadcast IN against a {TOP_K}-row set + one groupBy on user."""
+    prepare(spark, sf_dir)
+    o, li = spark.table("orders"), spark.table("lineitem")
+    joined = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").alias("i"),
+        F.col("o_orderdate").alias("od"),
+    )
+    cutoff = F.lit(BACKTEST_CUTOFF).cast("timestamp")
+    pre = joined.filter(F.col("od") < cutoff).select("u", "i").distinct()
+    post = joined.filter(F.col("od") >= cutoff).select("u", "i").distinct()
+    novel = post.join(pre, ["u", "i"], "left_anti")
+    shelf = (
+        pre.groupBy("i")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("i"))
+        .limit(TOP_K)
+        .select("i")
+    )
+    hit = novel.join(F.broadcast(shelf), "i", "left_semi").select(
+        "u", F.lit(1).alias("h")
+    )
+    per_user = (
+        novel.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel_items"))
+        .join(hit.groupBy("u").agg(F.sum("h").alias("nh")), "u", "left")
+    )
+    n_hits = F.coalesce("nh", F.lit(0)).cast("bigint")
+    return per_user.select(
+        F.col("u").alias("user_id"),
+        "n_novel_items",
+        n_hits.alias("n_hits"),
+        F.expr(f"div(1000000 * coalesce(nh, 0), {TOP_K})")
+        .cast("bigint")
+        .alias("p_at_k_micro"),
     )
 
 

@@ -431,6 +431,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         # re-fold touched users from accumulated history -> factor-state
         # upsert -> exported-factor top-k; batch-parity pinned (round 11)
         "stream_fold_in_serve",
+        # temporal backtest: train-period popularity vs novel post-cutoff
+        # interactions, fully hash-exact cross-engine (round 11)
+        "rec_backtest_popularity",
     ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [

@@ -809,3 +809,22 @@ def test_md5_rank_never_windows_full_group(spark):
     assert "BroadcastHashJoin" in plan, (
         f"bucket-prefix table must broadcast, not shuffle the corpus:\n{plan}"
     )
+
+
+def test_backtest_date_filter_pushes_to_scan(spark):
+    """rec_backtest_popularity: the cutoff predicate must reach the orders
+    parquet scan as a pushed filter (at 100 TB the pre/post scans each read
+    only their date range), and the broadcast shelf must appear as a
+    broadcast join, not a shuffle."""
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+
+    df = components()["rec_backtest_popularity"].fn(spark, SF0001)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "BroadcastHashJoin" in plan

@@ -441,3 +441,46 @@ def test_split_leakage_hand_derived_census(spark, leakage_dir):
         ]
     )
     assert got == want
+
+
+def test_backtest_popularity_bounds_and_novelty(spark):
+    """Temporal backtest sanity: hits bounded by min(novel, k), micro
+    precision is the exact integer ratio, and no scored pair was already
+    seen pre-cutoff (the novelty guarantee)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+        BACKTEST_CUTOFF,
+        TOP_K,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+
+    rows = components()["rec_backtest_popularity"].fn(spark, SF0001).collect()
+    assert rows
+    assert any(r.n_hits > 0 for r in rows)  # the shelf is not useless
+    for r in rows:
+        assert 0 <= r.n_hits <= min(r.n_novel_items, TOP_K)
+        assert r.p_at_k_micro == 1000000 * r.n_hits // TOP_K
+    # novelty: re-derive the pre-cutoff pair set and check no overlap for a
+    # sampled user with hits
+    o, li = spark.table("orders"), spark.table("lineitem")
+    pre = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("o_orderdate") < F.lit(BACKTEST_CUTOFF).cast("timestamp"))
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    post = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("o_orderdate") >= F.lit(BACKTEST_CUTOFF).cast("timestamp"))
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    novel_n = {
+        r.u: r.n
+        for r in post.join(pre, ["u", "i"], "left_anti")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.user_id: r.n_novel_items for r in rows} == novel_n
