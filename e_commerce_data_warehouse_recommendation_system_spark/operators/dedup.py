@@ -1542,3 +1542,82 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("split_a") != F.col("split_b")).alias("is_leak"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# LSH quality eval: banding recall against the exact-Jaccard truth
+# --------------------------------------------------------------------------
+
+
+def _sql_lsh_quality() -> str:
+    return f"""
+    WITH exact AS ({_SQL_JACCARD_PAIRS}),
+    lsh AS ({_sql_minhash_lsh()}),
+    missed AS (
+      SELECT doc_a, doc_b FROM exact
+      EXCEPT SELECT doc_a, doc_b FROM lsh
+    ),
+    spurious AS (
+      SELECT doc_a, doc_b FROM lsh
+      EXCEPT SELECT doc_a, doc_b FROM exact
+    )
+    SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact_pairs,
+           CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh_pairs,
+           CAST((SELECT COUNT(*) FROM missed) AS BIGINT) AS n_missed_pairs,
+           CAST(CASE WHEN (SELECT COUNT(*) FROM lsh) = 0 THEN 1000000
+                ELSE 1000000 * ((SELECT COUNT(*) FROM lsh)
+                                - (SELECT COUNT(*) FROM spurious))
+                     // (SELECT COUNT(*) FROM lsh) END AS BIGINT)
+             AS precision_micro,
+           CAST(CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 1000000
+                ELSE 1000000 * (SELECT COUNT(*) FROM lsh)
+                     // (SELECT COUNT(*) FROM exact) END AS BIGINT)
+             AS recall_micro
+    """
+
+
+@component(
+    "dedup_lsh_quality",
+    oracle=_sql_lsh_quality(),
+    cols=[
+        ("n_exact_pairs", "num"),
+        ("n_lsh_pairs", "num"),
+        ("n_missed_pairs", "num"),
+        ("precision_micro", "num"),
+        ("recall_micro", "num"),
+    ],
+)
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH QUALITY EVAL: the banding scheme's measured recall against the
+    exact-Jaccard truth at the same threshold — the number that justifies
+    shipping MinHash-LSH as the 100 TB dedup path. Precision is 1.0 BY
+    CONSTRUCTION (every LSH candidate is verified with the exact Jaccard
+    before it surfaces — dedup_minhash_lsh's last stage), and the emitted
+    precision_micro is COMPUTED from the spurious-pair anti-join in both
+    engines (not pinned as a constant), so a broken verify stage that let
+    unverified candidates through would read as precision < 1.0 here. Recall
+    < 1 quantifies pairs whose 16-hash signatures happened to collide in
+    no band (at J >= 0.7 with 4x4 banding the expected miss rate is
+    ~(1 - (1-(1-0.7^4)^4)) — a few percent, data-dependent; the exact
+    integer counts hash-match cross-engine either way).
+
+    Scale: the EXACT side is the verification-scale all-shared-shingle
+    join (dedup_ngram_jaccard's documented bound) — this eval runs at
+    audit scale on samples, while production dedup runs the LSH side
+    only; both sides share the cached shingle table."""
+    prepare(spark, sf_dir)
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_missed = exact.join(lsh, ["doc_a", "doc_b"], "left_anti").count()
+    n_spurious = lsh.join(exact, ["doc_a", "doc_b"], "left_anti").count()
+    precision_micro = (
+        1000000 if n_lsh == 0 else 1000000 * (n_lsh - n_spurious) // n_lsh
+    )
+    recall_micro = 1000000 if n_exact == 0 else 1000000 * n_lsh // n_exact
+    return spark.createDataFrame(
+        [(n_exact, n_lsh, n_missed, precision_micro, recall_micro)],
+        schema="n_exact_pairs bigint, n_lsh_pairs bigint, n_missed_pairs bigint, "
+        "precision_micro bigint, recall_micro bigint",
+    )

@@ -160,6 +160,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         # holdout-split leakage census: near-dup pairs crossing train/val/
         # test under row-level vs group-aware splits (round 11)
         "dedup_split_leakage",
+        # LSH quality eval: banding recall vs the exact-Jaccard truth,
+        # precision computed from the spurious anti-join (round 11)
+        "dedup_lsh_quality",
         # regular-grid resampling: gap fill + forward fill per user
         "ts_resample_ffill",
         # Holt level+trend smoothing: per-series sequential state via

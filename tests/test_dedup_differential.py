@@ -110,3 +110,21 @@ def test_minhash_lsh_finds_the_exact_duplicate(spark, dedup_dir):
 
 def test_simhash_pairs_match_oracle(spark, dedup_dir):
     _differential(spark, dedup_dir, "dedup_simhash_pairs")
+
+
+def test_lsh_quality_reconciles_on_constructed_corpus(spark, dedup_dir):
+    """dedup_lsh_quality on the constructed corpus: exact truth is the 3
+    hand-derived pairs; the LSH side may legitimately miss the planted
+    0.818 pairs (banding is probabilistic per md5 seed — deterministic for
+    a given corpus), and the quality row must reconcile exactly with what
+    dedup_minhash_lsh itself reports: precision 1.0 (verified candidates
+    only), recall = found/3 in integer micro-units."""
+    got = _differential(spark, dedup_dir, "dedup_lsh_quality")
+    (n_exact, n_lsh, n_missed, prec, rec) = got[0]
+    assert n_exact == 3
+    lsh_pairs = registry.queries()["dedup_minhash_lsh"]
+    n_direct = lsh_pairs(spark, dedup_dir).count()
+    assert n_lsh == n_direct
+    assert n_missed == 3 - n_lsh
+    assert prec == 1000000
+    assert rec == 1000000 * n_lsh // 3
