@@ -398,3 +398,70 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_us") - F.col("last_us") <= FRESHNESS_SLA_HOURS * 3600000000
         ).alias("within_sla"),
     )
+
+
+# --------------------------------------------------------------------------
+# Curation-side DQ: the documents-table contract a training pipeline gates on
+# --------------------------------------------------------------------------
+
+DOC_LANGS = ("en", "de", "fr", "es", "zh")
+
+
+@component(
+    "dq_documents_checks",
+    cols=[("rule", "str"), ("violations", "num")],
+    oracle=f"""
+    WITH agg AS (
+      SELECT CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+             COUNT(doc_id) - COUNT(DISTINCT doc_id) AS r1,
+             CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+             CAST(SUM(CASE WHEN lang NOT IN
+                      ({", ".join(f"'{lg}'" for lg in DOC_LANGS)})
+                      THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+             CAST(SUM(CASE WHEN NOT regexp_matches(source, '^src[0-9]+$')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS r4,
+             CAST(SUM(CASE WHEN n_chars <> length(text)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS r5
+      FROM documents
+    )
+    SELECT 'not_null(doc_id)' AS rule, r0 AS violations FROM agg
+    UNION ALL SELECT 'unique(doc_id)', r1 FROM agg
+    UNION ALL SELECT 'non_empty(text)', r2 FROM agg
+    UNION ALL SELECT 'accepted_values(lang)', r3 FROM agg
+    UNION ALL SELECT 'matches_regex(source)', r4 FROM agg
+    UNION ALL SELECT 'derived_consistent(n_chars)', r5 FROM agg
+    """,
+)
+def dq_documents_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-table CONTRACT a curation pipeline gates ingestion on
+    — the curation-side twin of dq_orders_checks: PK not-null + unique,
+    non-empty text, language in the supported domain, source naming
+    format, and the DERIVED-COLUMN integrity rule ``n_chars ==
+    length(text)`` (a stale or corrupted precomputed column silently
+    poisons every length-based quality filter downstream — this is the
+    check that catches it at the gate). Six rules compile into ONE
+    aggregation pass (the dq_orders_checks / validate() shape): a 100 TB
+    validation costs one scan + one tiny shuffle however many rules run."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    rules = [
+        not_null("doc_id"),
+        unique("doc_id"),
+        (
+            "non_empty(text)",
+            F.coalesce(
+                F.sum((F.col("text").isNull() | (F.length("text") == 0)).cast("long")),
+                F.lit(0),
+            ),
+        ),
+        accepted_values("lang", DOC_LANGS),
+        matches_regex("source", "^src[0-9]+$"),
+        (
+            "derived_consistent(n_chars)",
+            F.coalesce(
+                F.sum((F.col("n_chars") != F.length("text")).cast("long")), F.lit(0)
+            ),
+        ),
+    ]
+    return validate(d, rules)

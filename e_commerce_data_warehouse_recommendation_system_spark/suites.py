@@ -97,6 +97,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         "cohort_retention",
         # DQ: per-segment exact-percentile tail-outlier detection
         "dq_value_outliers",
+        # DQ: the documents-table ingestion contract incl. the derived
+        # n_chars==length(text) integrity rule (round 11)
+        "dq_documents_checks",
         # header-vs-lines reconciliation in exact scale-4 integer units
         "dq_reconcile_totals",
         # mergeable HLL sketches: daily -> monthly distinct via union
