@@ -2304,9 +2304,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@component(
-    "text_lm_score",
-    oracle="""
+_SQL_LM_SCORE = """
     WITH tok AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
     ),
@@ -2333,7 +2331,12 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(FLOOR(a.st / a.n_bigrams) AS BIGINT) AS lm_micro
     FROM documents d LEFT JOIN agg a USING (doc_id)
-    """,
+"""
+
+
+@component(
+    "text_lm_score",
+    oracle=_SQL_LM_SCORE,
     cols=[("doc_id", "num"), ("n_bigrams", "num"), ("lm_micro", "num")],
 )
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3512,4 +3515,81 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         g4.alias("g4_symbol_ratio"),
         g5.alias("g5_required_words"),
         (g1 & g2 & g3 & g4 & g5).alias("gopher_keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet head/middle/tail LM-quality buckets (Wenzek et al. 2019)
+# --------------------------------------------------------------------------
+
+#: tercile fractions as shared DECIMAL LITERALS — the same text is pasted
+#: into Spark's percentile() and DuckDB's quantile_cont() so both engines
+#: interpolate from bit-identical p values (the a11/a16 contract)
+CCNET_P1 = "0.3333333333333333"
+CCNET_P2 = "0.6666666666666666"
+
+
+@component(
+    "text_ccnet_buckets",
+    cols=[("doc_id", "num"), ("lang", "str"), ("ccnet_bucket", "str")],
+    oracle=f"""
+    WITH lm AS ({_SQL_LM_SCORE}),
+    scored AS (
+      SELECT l.doc_id, d.lang, l.lm_micro
+      FROM lm l JOIN documents d USING (doc_id)
+    ),
+    b AS (
+      SELECT lang,
+             quantile_cont(lm_micro, {CCNET_P1}) AS q1,
+             quantile_cont(lm_micro, {CCNET_P2}) AS q2
+      FROM scored WHERE lm_micro IS NOT NULL GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang,
+           CASE WHEN s.lm_micro IS NULL THEN 'unscored'
+                WHEN s.lm_micro > b.q2 THEN 'head'
+                WHEN s.lm_micro > b.q1 THEN 'middle'
+                ELSE 'tail' END AS ccnet_bucket
+    FROM scored s LEFT JOIN b USING (lang)
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2019,
+    arXiv:1911.00359): per LANGUAGE, documents are cut into three
+    equal-population quality buckets by their corpus-LM fluency score
+    (text_lm_score's integer-micro bigram probability — the repo's
+    log-free stand-in for the Kneser-Ney perplexity CCNet uses, same
+    monotonicity) — 'head' is the most-fluent third that LLM data
+    recipes keep or upsample, 'tail' the third they drop or downweight.
+    Bucket boundaries are the per-lang 1/3 and 2/3 interpolated
+    quantiles under the proven percentile ≡ quantile_cont cross-engine
+    contract (a11/a16), with strict-> comparisons sending boundary ties
+    to the LOWER bucket and bigram-less docs landing in 'unscored'.
+
+    Scale: the LM scoring keeps its own posture (vocab-bounded count
+    tables, one scoring join); the boundary aggregate is per-lang over
+    an integer column (at 100 TB swap for approx_percentile — mergeable
+    GK sketch, same downstream shape, a16's documented trade); bucket
+    assignment is a broadcast join of the tiny per-lang boundary frame
+    plus a map-side CASE. No corpus-sized sort or window anywhere —
+    exactly the trap the ntile()-style formulation would have hit."""
+    prepare(spark, sf_dir)
+    lm = text_lm_score(spark, sf_dir)
+    d = spark.table("documents").select("doc_id", "lang")
+    scored = lm.join(d, "doc_id").select("doc_id", "lang", "lm_micro")
+    bounds = (
+        scored.filter(F.col("lm_micro").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.expr(f"percentile(lm_micro, {CCNET_P1})").alias("q1"),
+            F.expr(f"percentile(lm_micro, {CCNET_P2})").alias("q2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("lm_micro").isNull(), F.lit("unscored"))
+        .when(F.col("lm_micro") > F.col("q2"), F.lit("head"))
+        .when(F.col("lm_micro") > F.col("q1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(bounds), "lang", "left").select(
+        "doc_id", "lang", bucket.alias("ccnet_bucket")
     )

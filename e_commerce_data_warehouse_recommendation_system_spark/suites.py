@@ -321,6 +321,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "text_boilerplate_ngrams",
         # corpus-trained bigram LM fluency score (CCNet LM filter)
         "text_lm_score",
+        # CCNet head/middle/tail per-lang LM-quality terciles (round 11)
+        "text_ccnet_buckets",
         # BPE merge statistics (tokenizer-induction first-merge ranking)
         "text_bpe_pair_stats",
         # BPE tokenizer TRAINING: the iterative Sennrich merge-induction

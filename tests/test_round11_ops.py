@@ -552,3 +552,43 @@ def test_dq_documents_contract_clean_and_catches_injection(spark):
     assert got["accepted_values(lang)"] == 1
     assert got["matches_regex(source)"] == 1
     assert got["derived_consistent(n_chars)"] == 1  # '' (len 0) vs n_chars 5
+
+
+def test_ccnet_buckets_tercile_properties(spark):
+    """CCNet buckets: per lang the three buckets are each non-empty and
+    roughly equal-population (within the tie slack), every doc with the
+    same (lang, score) lands in the same bucket, and bucket order is
+    consistent with the score order."""
+    from collections import Counter
+
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+
+    comps = components()
+    buckets = {
+        r.doc_id: (r.lang, r.ccnet_bucket)
+        for r in comps["text_ccnet_buckets"].fn(spark, SF0001).collect()
+    }
+    scores = {
+        r.doc_id: r.lm_micro for r in comps["text_lm_score"].fn(spark, SF0001).collect()
+    }
+    per_lang: dict = {}
+    for doc_id, (lang, b) in buckets.items():
+        per_lang.setdefault(lang, Counter())[b] += 1
+        if scores.get(doc_id) is None:
+            assert b == "unscored"
+    rank = {"tail": 0, "middle": 1, "head": 2}
+    for lang, counts in per_lang.items():
+        scored = [d for d, (lg, b) in buckets.items() if lg == lang and b != "unscored"]
+        if len(scored) < 6:
+            continue
+        for b in ("head", "middle", "tail"):
+            assert counts[b] > 0, (lang, counts)
+        # same score -> same bucket; higher score -> same-or-higher bucket
+        by_score = sorted(scored, key=lambda d: scores[d])
+        for a, b2 in zip(by_score, by_score[1:]):
+            ra, rb = rank[buckets[a][1]], rank[buckets[b2][1]]
+            assert ra <= rb, (lang, a, b2)
+            if scores[a] == scores[b2]:
+                assert ra == rb
