@@ -3575,7 +3575,10 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark, sf_dir)
     lm = text_lm_score(spark, sf_dir)
     d = spark.table("documents").select("doc_id", "lang")
-    scored = lm.join(d, "doc_id").select("doc_id", "lang", "lm_micro")
+    # cache: the scored frame feeds BOTH the boundary aggregate and the
+    # assignment join — without it the whole LM-scoring DAG (bigram model
+    # + scoring join) executes twice, doubling the corpus-scan cost
+    scored = lm.join(d, "doc_id").select("doc_id", "lang", "lm_micro").cache()
     bounds = (
         scored.filter(F.col("lm_micro").isNotNull())
         .groupBy("lang")

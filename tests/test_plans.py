@@ -512,6 +512,18 @@ COMPONENT_SHUFFLE_BUDGET = {
     "text_search_bm25": 5,
     # the leakage-safe split is map-only by design — ZERO exchanges
     "text_group_holdout_split": 0,
+    # round 11: Gopher rule matrix is pure map-side — ZERO exchanges
+    "text_gopher_rules": 0,
+    # round 11: six-rule documents contract = one agg (+ stack reshape)
+    "dq_documents_checks": 2,
+    # round 11: LM scoring (cached, runs once) + boundary agg + broadcast
+    # assignment join
+    "text_ccnet_buckets": 7,
+    # round 11: minhash pair mining + two split-tag joins + census rollup
+    "dedup_split_leakage": 8,
+    # round 11: two date-filtered fact scans + distincts + shelf top-k +
+    # per-user census
+    "rec_backtest_popularity": 8,
     # join-view IVM: delta-join partials + the touched-date merge
     "j_ivm_join_view": 2,
     # NDCG: train reach + shelf TakeOrdered + holdout/DCG user shuffles
