@@ -2584,6 +2584,104 @@ def rec_backtest_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_backtest_repurchase() -> str:
+    return f"""
+    WITH pre AS (
+      SELECT o_custkey AS u, l_partkey AS i, COUNT(*) AS cnt
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate < TIMESTAMP '{BACKTEST_CUTOFF}'
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT u, i,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY cnt DESC, i) AS rnk
+      FROM pre
+    ),
+    shelf AS (SELECT u, i FROM ranked WHERE rnk <= {TOP_K}),
+    post AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate >= TIMESTAMP '{BACKTEST_CUTOFF}'
+    ),
+    scoreable AS (
+      SELECT p.u, p.i FROM post p WHERE p.u IN (SELECT DISTINCT u FROM pre)
+    )
+    SELECT s.u AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_post_items,
+           CAST(COALESCE(SUM(CASE WHEN sh.i IS NOT NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_hits,
+           CAST(1000000 * COALESCE(SUM(CASE WHEN sh.i IS NOT NULL
+                                       THEN 1 ELSE 0 END), 0)
+                // {TOP_K} AS BIGINT) AS p_at_k_micro
+    FROM scoreable s
+    LEFT JOIN shelf sh ON s.u = sh.u AND s.i = sh.i
+    GROUP BY s.u
+    """
+
+
+@component(
+    "rec_backtest_repurchase",
+    oracle=_sql_backtest_repurchase(),
+    cols=[
+        ("user_id", "num"),
+        ("n_post_items", "num"),
+        ("n_hits", "num"),
+        ("p_at_k_micro", "num"),
+    ],
+)
+def rec_backtest_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED temporal backtest — the repeat-purchase baseline the
+    next-basket literature measures every sequential model against: each
+    user's own pre-cutoff purchase-frequency top-{TOP_K} (ties item-asc)
+    is scored against ALL of their post-cutoff purchases (re-buys count —
+    that is the behavior this model predicts; contrast with
+    rec_backtest_popularity, which excludes them to test novel-item
+    discovery). Together the two backtests bracket the offline-eval
+    baselines: non-personal popularity on novelty vs personal frequency
+    on repetition — and like the popularity shelf, every number is a
+    count or integer ratio over deterministic joins, hash-exact
+    cross-engine with no model flags.
+
+    Scale: the per-user shelf window partitions on user (bounded items
+    per user — no skewed-key corpus sort); the eval join is an equi-join
+    on (user, item); date predicates push to the scans."""
+    prepare(spark, sf_dir)
+    o, li = spark.table("orders"), spark.table("lineitem")
+    joined = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").alias("i"),
+        F.col("o_orderdate").alias("od"),
+    )
+    cutoff = F.lit(BACKTEST_CUTOFF).cast("timestamp")
+    pre = (
+        joined.filter(F.col("od") < cutoff)
+        .groupBy("u", "i")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("i"))
+    shelf = (
+        pre.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("u", "i", F.lit(1).alias("hit"))
+    )
+    post = joined.filter(F.col("od") >= cutoff).select("u", "i").distinct()
+    scoreable = post.join(pre.select("u").distinct(), "u", "left_semi")
+    per_user = (
+        scoreable.join(shelf, ["u", "i"], "left")
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_post_items"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+    )
+    return per_user.select(
+        F.col("u").alias("user_id"),
+        "n_post_items",
+        "n_hits",
+        F.expr(f"div(1000000 * n_hits, {TOP_K})").cast("bigint").alias("p_at_k_micro"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Graph analytics moved to recommend/graph.py (round 10); re-exported here
 # so existing imports (tests, scripts, scale probes) keep working.

@@ -442,6 +442,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         # temporal backtest: train-period popularity vs novel post-cutoff
         # interactions, fully hash-exact cross-engine (round 11)
         "rec_backtest_popularity",
+        # personalized twin: per-user repurchase-frequency shelf vs ALL
+        # post-cutoff purchases (the repeat-purchase baseline) (round 11)
+        "rec_backtest_repurchase",
     ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [

@@ -592,3 +592,33 @@ def test_ccnet_buckets_tercile_properties(spark):
             assert ra <= rb, (lang, a, b2)
             if scores[a] == scores[b2]:
                 assert ra == rb
+
+
+def test_backtest_repurchase_bounds_and_personalization(spark):
+    """Repurchase backtest sanity: hits bounded by min(post-items, k);
+    micro precision exact; and the shelf is genuinely PERSONAL — at least
+    one user's hits differ from what the global popularity shelf would
+    have scored on the same post-set."""
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+        TOP_K,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+
+    comps = components()
+    rows = comps["rec_backtest_repurchase"].fn(spark, SF0001).collect()
+    assert rows and any(r.n_hits > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_hits <= min(r.n_post_items, TOP_K)
+        assert r.p_at_k_micro == 1000000 * r.n_hits // TOP_K
+    # personalization: total repurchase hits != total popularity hits on
+    # the shared users (a purely global shelf would collapse the two)
+    pop = {
+        r.user_id: r.n_hits
+        for r in comps["rec_backtest_popularity"].fn(spark, SF0001).collect()
+    }
+    rep = {r.user_id: r.n_hits for r in rows}
+    shared = set(pop) & set(rep)
+    assert shared
+    assert any(pop[u] != rep[u] for u in shared)
