@@ -2682,6 +2682,158 @@ def rec_backtest_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_backtest_markov() -> str:
+    return f"""
+    WITH seq AS (
+      SELECT o_custkey AS u, o_orderkey AS ok, o_orderdate AS od,
+             LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS next_ok,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS next_od
+      FROM orders
+    ),
+    basket AS (SELECT l_orderkey AS ok, l_partkey AS i FROM lineitem GROUP BY 1, 2),
+    train_pairs AS (
+      SELECT u, ok, next_ok FROM seq
+      WHERE next_ok IS NOT NULL AND next_od < TIMESTAMP '{BACKTEST_CUTOFF}'
+    ),
+    trans AS (
+      SELECT bf.i AS i_from, bt.i AS i_to, COUNT(*) AS cnt
+      FROM train_pairs p
+      JOIN basket bf ON p.ok = bf.ok
+      JOIN basket bt ON p.next_ok = bt.ok
+      GROUP BY 1, 2
+    ),
+    eval_pairs AS (
+      SELECT u, ok, next_ok FROM seq
+      WHERE next_ok IS NOT NULL AND od < TIMESTAMP '{BACKTEST_CUTOFF}'
+        AND next_od >= TIMESTAMP '{BACKTEST_CUTOFF}'
+    ),
+    scores AS (
+      SELECT p.u, t.i_to, CAST(SUM(t.cnt) AS BIGINT) AS score
+      FROM eval_pairs p
+      JOIN basket bf ON p.ok = bf.ok
+      JOIN trans t ON bf.i = t.i_from
+      GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT u, i_to FROM (
+        SELECT u, i_to,
+               ROW_NUMBER() OVER (PARTITION BY u
+                                  ORDER BY score DESC, i_to) AS rnk
+        FROM scores
+      ) WHERE rnk <= {TOP_K}
+    ),
+    actual AS (
+      SELECT p.u, bt.i FROM eval_pairs p JOIN basket bt ON p.next_ok = bt.ok
+    )
+    SELECT a.u AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_next_items,
+           CAST((SELECT COUNT(*) FROM topk k WHERE k.u = a.u) AS BIGINT)
+             AS n_pred,
+           CAST(COALESCE(SUM(CASE WHEN k2.i_to IS NOT NULL THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_hits
+    FROM actual a LEFT JOIN topk k2 ON a.u = k2.u AND a.i = k2.i_to
+    GROUP BY a.u
+    """
+
+
+@component(
+    "rec_backtest_markov",
+    oracle=_sql_backtest_markov(),
+    cols=[
+        ("user_id", "num"),
+        ("n_next_items", "num"),
+        ("n_pred", "num"),
+        ("n_hits", "num"),
+    ],
+)
+def rec_backtest_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL temporal backtest — the first-order Markov next-basket
+    model that completes the baseline trio (popularity = non-personal,
+    repurchase = personal-static, THIS = personal-sequential): item→item
+    transition counts are trained on consecutive-order pairs fully before
+    the cutoff, and each user's single cutoff-crossing pair (last
+    pre-cutoff basket → first post-cutoff basket) is predicted by summing
+    transition counts out of the previous basket and taking the top-k
+    (score desc, item asc). Leakage-safe by construction: no evaluated
+    pair contributes to the transition table. Every score is an integer
+    count sum, so the whole backtest hash-matches cross-engine —
+    the exactly-checkable skeleton of the sequential recommenders
+    (FPMC/GRU4Rec) that replace the count table with a learned one.
+
+    Scale: the order sequencing is a LEAD window per customer (bounded
+    orders per user, no skewed corpus sort); the transition table
+    shuffles on (i_from, i_to) with map-side combine and is bounded by
+    the observed co-basket pair space (sparse catalog²); scoring joins
+    eval baskets against it on i_from; date predicates prune the scans."""
+    prepare(spark, sf_dir)
+    o, li = spark.table("orders"), spark.table("lineitem")
+    cutoff = F.lit(BACKTEST_CUTOFF).cast("timestamp")
+    w_seq = Window.partitionBy("u").orderBy("od", "ok")
+    seq = (
+        o.select(
+            F.col("o_custkey").alias("u"),
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderdate").alias("od"),
+        )
+        .withColumn("next_ok", F.lead("ok").over(w_seq))
+        .withColumn("next_od", F.lead("od").over(w_seq))
+    ).cache()  # two consumers: train_pairs + eval_pairs
+    basket = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("i")
+    ).distinct().cache()  # four consumers: bf/bt on both train + eval sides
+    train_pairs = seq.filter(
+        F.col("next_ok").isNotNull() & (F.col("next_od") < cutoff)
+    ).select("u", "ok", "next_ok")
+    bf = basket.select(F.col("ok"), F.col("i").alias("i_from"))
+    bt = basket.select(F.col("ok").alias("next_ok"), F.col("i").alias("i_to"))
+    trans = (
+        train_pairs.join(bf, "ok")
+        .join(bt, "next_ok")
+        .groupBy("i_from", "i_to")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    eval_pairs = seq.filter(
+        F.col("next_ok").isNotNull()
+        & (F.col("od") < cutoff)
+        & (F.col("next_od") >= cutoff)
+    ).select("u", "ok", "next_ok")
+    scores = (
+        eval_pairs.join(bf, "ok")
+        .join(trans, "i_from")
+        .groupBy("u", "i_to")
+        .agg(F.sum("cnt").cast("long").alias("score"))
+    )
+    w_rank = Window.partitionBy("u").orderBy(F.desc("score"), F.asc("i_to"))
+    topk = (
+        scores.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("u", "i_to", F.lit(1).alias("hit"))
+    )
+    n_pred = topk.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    actual = eval_pairs.join(bt, "next_ok").select("u", F.col("i_to").alias("i"))
+    per_user = (
+        actual.join(
+            topk.withColumnRenamed("i_to", "i"), ["u", "i"], "left"
+        )
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_next_items"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+    return (
+        per_user.join(n_pred, "u", "left")
+        .select(
+            F.col("u").alias("user_id"),
+            "n_next_items",
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            "n_hits",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Graph analytics moved to recommend/graph.py (round 10); re-exported here
 # so existing imports (tests, scripts, scale probes) keep working.

@@ -445,6 +445,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         # personalized twin: per-user repurchase-frequency shelf vs ALL
         # post-cutoff purchases (the repeat-purchase baseline) (round 11)
         "rec_backtest_repurchase",
+        # sequential twin: first-order Markov next-basket over consecutive
+        # orders, leakage-safe cutoff-crossing eval pair (round 11)
+        "rec_backtest_markov",
     ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [

@@ -526,6 +526,8 @@ COMPONENT_SHUFFLE_BUDGET = {
     "rec_backtest_popularity": 8,
     # round 11: per-user frequency shelf (bounded user window) + eval join
     "rec_backtest_repurchase": 8,
+    # round 11: cached seq/basket + transition groupBy + score/rank/census
+    "rec_backtest_markov": 16,
     # join-view IVM: delta-join partials + the touched-date merge
     "j_ivm_join_view": 2,
     # NDCG: train reach + shelf TakeOrdered + holdout/DCG user shuffles

