@@ -273,7 +273,14 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prepare(spark, sf_dir)
     idx = _ivf_index(spark, sf_dir)
-    assigned, centroids = idx["assigned"], idx["centroids"]
+    return _ivf_query(idx["assigned"], idx["centroids"])
+
+
+def _ivf_query(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """The IVF multi-probe serving path over ANY (assigned, centroids)
+    pair — split from :func:`sim_ann_ivf_topk` so the persisted-index
+    round-trip (``sim_ivf_index_persist``) can drive the IDENTICAL query
+    plan from a reloaded index."""
     queries = assigned.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -1684,3 +1691,79 @@ def sim_chunk_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("double").alias("weighted_sum"),
         F.sum("t").cast("double").alias("total_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# ANN index persistence: the feature-store round-trip for the IVF index
+# --------------------------------------------------------------------------
+
+
+@component(
+    "sim_ivf_index_persist",
+    cols=[("label", "str"), ("value_num", "num")],
+    oracle=f"""
+    SELECT label, CAST(value_num AS BIGINT) AS value_num FROM (
+      SELECT 'n_cells' AS label, {IVF_CELLS} AS value_num
+      UNION ALL SELECT 'n_assigned', (SELECT COUNT(*) FROM embeddings)
+      UNION ALL SELECT 'assignment_conserved_ok', 1
+      UNION ALL SELECT 'reloaded_topk_identical_ok', 1
+    )
+    """,
+)
+def sim_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN INDEX PERSISTENCE: the S16 model-roundtrip contract lifted to
+    the retrieval index — centroids + cell assignment land in a parquet
+    store, a fresh session-independent reload drives the IDENTICAL
+    multi-probe query plan (the shared ``_ivf_query``), and the served
+    top-k must match the in-memory index's answer row-for-row (rank
+    tuples AND cosines: a parquet double round-trips bit-exactly, so the
+    same expression tree on the same values reproduces identical
+    scores). This is the feature-store deployment shape: the index is
+    built offline once, persisted, and every serving replica loads it —
+    a drifted assignment or truncated store shows up as a flipped flag.
+
+    Counts are SQL-exact (cells = the fixed k; assigned rows = the
+    embeddings table); the parity flags are computed from genuine frame
+    comparisons (per-cell count reconciliation; order-insensitive
+    EXCEPT in both directions on the full top-k tuples).
+
+    Scale: the persisted index is the cell-assigned corpus (one parquet
+    table, partitionable by cell for probe-pruned reads) + KB-sized
+    centroids; the comparison is two anti-joins on the k-bounded result."""
+    import shutil
+    import tempfile
+
+    prepare(spark, sf_dir)
+    idx = _ivf_index(spark, sf_dir)
+    assigned, centroids = idx["assigned"], idx["centroids"]
+    mem_topk = _ivf_query(assigned, centroids).localCheckpoint(eager=True)
+
+    tmp = tempfile.mkdtemp(prefix="ecomdw_ivf_")
+    try:
+        assigned.write.parquet(f"{tmp}/assigned")
+        centroids.write.parquet(f"{tmp}/centroids")
+        r_assigned = spark.read.parquet(f"{tmp}/assigned")
+        r_centroids = spark.read.parquet(f"{tmp}/centroids")
+        n_cells = r_centroids.count()
+        n_assigned = r_assigned.count()
+        # assignment conservation: per-cell counts identical after reload
+        mem_cells = {r["cell"]: r["n"] for r in
+                     assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+        rel_cells = {r["cell"]: r["n"] for r in
+                     r_assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+        conserved = mem_cells == rel_cells and n_assigned == assigned.count()
+        reload_topk = _ivf_query(r_assigned, r_centroids).localCheckpoint(eager=True)
+        diff = (
+            mem_topk.exceptAll(reload_topk).count()
+            + reload_topk.exceptAll(mem_topk).count()
+        )
+        identical = diff == 0 and mem_topk.count() == reload_topk.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    rows = [
+        ("n_cells", n_cells),
+        ("n_assigned", n_assigned),
+        ("assignment_conserved_ok", 1 if conserved else 0),
+        ("reloaded_topk_identical_ok", 1 if identical else 0),
+    ]
+    return spark.createDataFrame(rows, schema="label string, value_num bigint")

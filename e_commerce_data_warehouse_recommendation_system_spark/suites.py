@@ -388,6 +388,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         "sim_pq_adc_search",
         # combined IVF probe -> ADC -> rerank (full FAISS-IVFPQ pipeline)
         "sim_ivf_pq_search",
+        # IVF index persist + reload -> identical served top-k (round 11)
+        "sim_ivf_index_persist",
         # per-dimension cohort mean-shift drift monitor (full oracle)
         "sim_embedding_drift",
         # image-text pair curation: CLIP-score keep/drop + caption gate
