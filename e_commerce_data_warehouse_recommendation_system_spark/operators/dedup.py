@@ -1570,7 +1570,8 @@ def _sql_lsh_quality() -> str:
                      // (SELECT COUNT(*) FROM lsh) END AS BIGINT)
              AS precision_micro,
            CAST(CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 1000000
-                ELSE 1000000 * (SELECT COUNT(*) FROM lsh)
+                ELSE 1000000 * ((SELECT COUNT(*) FROM exact)
+                                - (SELECT COUNT(*) FROM missed))
                      // (SELECT COUNT(*) FROM exact) END AS BIGINT)
              AS recall_micro
     """
@@ -1615,7 +1616,12 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision_micro = (
         1000000 if n_lsh == 0 else 1000000 * (n_lsh - n_spurious) // n_lsh
     )
-    recall_micro = 1000000 if n_exact == 0 else 1000000 * n_lsh // n_exact
+    # True-positive recall: (exact - missed) / exact — NOT n_lsh / n_exact,
+    # which would only coincide while lsh ⊆ exact holds; a regressed verify
+    # stage (spurious pairs) must depress precision without inflating recall.
+    recall_micro = (
+        1000000 if n_exact == 0 else 1000000 * (n_exact - n_missed) // n_exact
+    )
     return spark.createDataFrame(
         [(n_exact, n_lsh, n_missed, precision_micro, recall_micro)],
         schema="n_exact_pairs bigint, n_lsh_pairs bigint, n_missed_pairs bigint, "

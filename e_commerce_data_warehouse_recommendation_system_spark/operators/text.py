@@ -3575,10 +3575,16 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark, sf_dir)
     lm = text_lm_score(spark, sf_dir)
     d = spark.table("documents").select("doc_id", "lang")
-    # cache: the scored frame feeds BOTH the boundary aggregate and the
-    # assignment join — without it the whole LM-scoring DAG (bigram model
-    # + scoring join) executes twice, doubling the corpus-scan cost
-    scored = lm.join(d, "doc_id").select("doc_id", "lang", "lm_micro").cache()
+    # The scored frame feeds BOTH the boundary aggregate and the assignment
+    # join. An eager localCheckpoint (not .cache()) runs the LM-scoring DAG
+    # exactly once AND lets the ContextCleaner reclaim the blocks when the
+    # result frame is dropped — a plain cache() here had no unpersist and
+    # accumulated corpus-scale frames across suite runs.
+    scored = (
+        lm.join(d, "doc_id")
+        .select("doc_id", "lang", "lm_micro")
+        .localCheckpoint(eager=True)
+    )
     bounds = (
         scored.filter(F.col("lm_micro").isNotNull())
         .groupBy("lang")

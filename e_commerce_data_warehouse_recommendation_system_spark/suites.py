@@ -450,6 +450,12 @@ SUITE_SPECS: dict[str, list[str]] = {
         # sequential twin: first-order Markov next-basket over consecutive
         # orders, leakage-safe cutoff-crossing eval pair (round 11)
         "rec_backtest_markov",
+        # the learned fourth row: strictly-pre-cutoff ALS scored on the
+        # popularity protocol's novel truth (round 12)
+        "rec_backtest_als",
+        # four-model leaderboard: SQL-exact baseline totals + measured
+        # ALS/MMR rate-floor flags (round 12)
+        "rec_backtest_leaderboard",
     ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [

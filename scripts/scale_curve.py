@@ -316,12 +316,20 @@ def heavy_workloads(spark, scale: int) -> list[tuple[str, "object"]]:
 
         art = _artifacts(spark, SF_DIR)
         feed = art["test"].select("user_idx", "item_idx")
-        big = feed
+        # Offset sized from the data and applied as LONG: a fixed 10M int
+        # offset would silently collide if user_idx ever reached 10M and
+        # overflow int32 at scale >= 215 — either would quietly break the
+        # xN-solves-by-construction claim instead of failing.
+        offset = int(feed.agg(F.max("user_idx")).first()[0]) + 1
+        # fold-in's output schema is int32 — fail loudly before any copy id
+        # could wrap there
+        assert scale * offset < 2**31, (scale, offset)
+        big = feed.withColumn("user_idx", F.col("user_idx").cast("long"))
         for k in range(1, scale):
             big = big.unionByName(
                 feed.withColumn(
                     "user_idx",
-                    (F.col("user_idx") + F.lit(k * 10_000_000)).cast("int"),
+                    (F.col("user_idx").cast("long") + F.lit(k * offset)),
                 )
             )
         return rec_fold_in_user_factors(spark, SF_DIR, interactions_df=big).count()

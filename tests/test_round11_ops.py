@@ -388,8 +388,8 @@ def test_gopher_rules_matrix_consistency(spark):
 @pytest.fixture(scope="module")
 def leakage_dir(spark, tmp_path_factory):
     """Constructed corpus with HAND-DERIVABLE leakage census. md5 first hex
-    digits (computed offline, hashlib): doc 100 -> 'e' (test), 101 -> '3'
-    (train), 103 -> '0' (train), 105 -> '2' (train); source srcA -> 'f'
+    digits (computed offline, hashlib): doc 100 -> 'f' (test), 101 -> '3'
+    (train), 103 -> '6' (train), 105 -> '6' (train); source srcA -> 'd'
     (test), srcB -> '3' (train), srcG -> 'a' (val). Two exact-duplicate
     pairs: (100, 101) share source srcB -> leaks under the doc split
     (test x train) but NOT under the group split (train x train); (103,

@@ -1,0 +1,111 @@
+"""Round-12 tests: the ALS temporal backtest (the learned fourth row of
+the backtest leaderboard) and its measured lift-vs-popularity floors.
+
+The census component's counts are oracle-checked cross-engine
+(scripts/check_correctness.py); these tests pin what SQL cannot — the
+model-valued hit-rates. Measured micro precision@k (1e6 * hits /
+(users * k)) at sf0.001 / 0.01 / 0.1:
+
+    popularity  64583 /  7823 / 729
+    ALS plain   75000 /  7939 / 690   (lift 1.161 / 1.015 / 0.947)
+    ALS + MMR   72916 /  8076 / 765   (lift 1.129 / 1.032 / 1.049)
+
+ALS beats popularity at the two smaller SFs and sits within 6% at sf0.1
+(TPC-H-ish baskets are near-random, so the learnable signal shrinks as
+the catalog grows); MMR diversification does NOT cost temporal hit-rate
+(it slightly helps at 0.01/0.1). The floors below leave wide margin but
+catch a broken serve path (a random shelf measures ~5% of popularity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+    BACKTEST_ALS_LIFT_FLOOR_PCT,
+    TOP_K,
+    _backtest_als_artifacts,
+    _backtest_als_rates,
+    rec_backtest_als,
+    rec_backtest_leaderboard,
+    rec_backtest_popularity,
+)
+from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
+from tests.conftest import SF0001
+
+
+def _pop_rate_micro(spark) -> tuple[int, int, int]:
+    pop = rec_backtest_popularity(spark, SF0001).agg(
+        F.count(F.lit(1)).alias("u"), F.sum("n_hits").alias("h")
+    ).first()
+    return int(pop.u), int(pop.h), 1000000 * int(pop.h) // (int(pop.u) * TOP_K)
+
+
+def test_backtest_als_census_contract(spark):
+    """Census invariants at sf0.001: every eval user trained pre-cutoff,
+    exactly k predictions each (the pool-width guarantee), and both
+    genuine flags hold — novelty (no predicted item seen pre-cutoff) and
+    hit boundedness."""
+    prepare(spark, SF0001)
+    rows = rec_backtest_als(spark, SF0001).collect()
+    assert rows
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users))
+    for r in rows:
+        assert r.n_pred == TOP_K
+        assert r.n_novel_items >= 1
+        assert r.novelty_ok
+        assert r.hits_bounded_ok
+
+
+def test_backtest_als_leakage_guard(spark):
+    """The backtest model must be trained on strictly pre-cutoff pairs:
+    its item dictionary cannot contain an item that first appears
+    post-cutoff (if one exists in the fixture), and the truth set is
+    disjoint from the training pairs by construction — re-derived here
+    from the artifacts, not assumed."""
+    prepare(spark, SF0001)
+    art = _backtest_als_artifacts(spark, SF0001)
+    # truth ∩ pre must be empty (novelty of the eval protocol itself)
+    overlap = art["truth"].join(art["pre"], ["u", "i"], "left_semi").count()
+    assert overlap == 0
+    # every trained item id exists in the pre slice
+    pre_items = art["pre"].select(F.col("i")).distinct()
+    orphan_items = art["items"].join(pre_items, "i", "left_anti").count()
+    assert orphan_items == 0
+
+
+def test_backtest_als_lift_floors(spark):
+    """The measured-rate floors behind the leaderboard's contract flags:
+    plain-ALS and MMR-diversified micro hit-rates vs popularity's
+    SQL-exact rate on the same novel-truth protocol. Pins BOTH the
+    contract floor (>= {floor}% of popularity) and the measured sf0.001
+    values with regression margin (measured 75000 / 72916 vs popularity
+    64583)."""
+    prepare(spark, SF0001)
+    rates = _backtest_als_rates(spark, SF0001)
+    _, _, pop_rate = _pop_rate_micro(spark)
+    assert rates["rate_micro"] * 100 >= pop_rate * BACKTEST_ALS_LIFT_FLOOR_PCT
+    assert rates["mmr_rate_micro"] * 100 >= pop_rate * BACKTEST_ALS_LIFT_FLOOR_PCT
+    # measured-value regression floors (seeded fit, deterministic fixture):
+    # generous margin under the measured 75000/72916
+    assert rates["rate_micro"] >= 55000
+    assert rates["mmr_rate_micro"] >= 55000
+    # and the lift itself: ALS beats popularity at this SF (recorded)
+    assert rates["rate_micro"] > pop_rate
+
+
+def test_backtest_leaderboard_totals_consistent(spark):
+    """The leaderboard's SQL-exact baseline totals must equal the
+    aggregates of the census components it summarizes, and the ALS flags
+    must be true (the lift floors hold at sf0.001)."""
+    prepare(spark, SF0001)
+    row = rec_backtest_leaderboard(spark, SF0001).first()
+    pop_u, pop_h, _ = _pop_rate_micro(spark)
+    assert row.pop_users == pop_u
+    assert row.pop_hits == pop_h
+    assert row.als_users <= row.pop_users  # cold users drop from ALS's side
+    assert row.als_truth <= row.pop_truth
+    assert row.als_rate_floor_met
+    assert row.als_mmr_rate_floor_met
+    assert row.mkv_pred <= row.mkv_users * TOP_K
