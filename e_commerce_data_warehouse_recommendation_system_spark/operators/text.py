@@ -198,6 +198,12 @@ PACK_BUDGET = 2048  # tokens per packed training sequence
 #: -> 4 buckets, 5000 -> 40); a 100 TB run sets this to the window-buffer
 #: scale (~1e6 docs/bucket -> ~1e4 bucket rows per shard in phase 1, still
 #: a broadcastable prefix table).
+#: doc_id range-bucket width for the two-phase tape prefix sum. Tunable
+#: freely (production at 100 TB runs ~1e6): row-identity to the naive
+#: window is pinned at BOTH degenerate extremes — WIDTH=1 and
+#: WIDTH>corpus — in tests/test_round11_ops.py
+#: (test_tape_offsets_degenerate_bucket_regimes), so retuning can change
+#: cost shape but never results.
 PACK_TAPE_BUCKET_DOCS = 128
 
 
@@ -229,12 +235,17 @@ def two_phase_tape_offsets(
 
     Cost shape: phase 1's bucket sums partial-aggregate MAP-SIDE (only
     bucket-count rows cross its exchange); the one corpus-sized shuffle is
-    phase 2's (shard, bucket) clustering — well-spread keys, no skew. The
-    input plan is scanned by both phases (pruned to the three tape columns)
-    — callers whose input is expensive to recompute stage it first: the
-    packing queries cache the fixed-width per-doc length table (the table
-    their docstrings already name as what materializes), the capstone's
-    stage frames are localCheckpointed."""
+    phase 2's (shard, bucket) clustering — well-spread keys, no skew.
+
+    Single-scan CONTRACT (r11 verdict #6, was a docstring caveat): both
+    phases consume the input, so the helper stages it ITSELF with an eager
+    localCheckpoint — the input lineage executes exactly once no matter
+    what the caller passes, and the blocks are ContextCleaner-reclaimed
+    when the result frame drops (unlike a cache, nothing accumulates).
+    Callers no longer pre-cache the per-doc length table; an
+    already-staged input (the capstone's checkpointed stage frames) just
+    copies its slim rows once."""
+    counted = counted.localCheckpoint(eager=True)
     bucketed = counted.withColumn(
         "_tb", F.expr(f"doc_id div {PACK_TAPE_BUCKET_DOCS}")
     )
@@ -313,12 +324,11 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens per packed sequence."""
     prepare(spark, sf_dir)
     d = spark.table("documents")
-    # cache: the fixed-width per-doc length table (3 ints/doc, ~1/1000 of
-    # corpus bytes) feeds both tape phases — uncached, the tokenize scan
-    # replays per phase (the w8 net.cache() convention)
+    # the helper stages the fixed-width per-doc length table itself
+    # (single-scan contract) — no caller-side cache needed
     counted = d.select(
         "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
-    ).cache()
+    )
     offsets = two_phase_tape_offsets(counted, "lang", "n_tokens")
     return (
         offsets.groupBy("lang", pack_seq_id().alias("seq_id"))
@@ -380,11 +390,10 @@ def text_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic; output is one fixed-width row per doc."""
     prepare(spark, sf_dir)
     d = spark.table("documents")
-    # cache: the per-doc length table feeds both tape phases (see
-    # text_pack_sequences)
+    # the helper stages the per-doc length table (single-scan contract)
     counted = d.select(
         "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
-    ).cache()
+    )
     off = two_phase_tape_offsets(counted, "lang", "n_tokens")
     end_seq = F.expr(f"(start_offset + n_tokens - 1) div {PACK_BUDGET}").cast("long")
     return off.select(
@@ -454,11 +463,10 @@ def text_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows ≈ n_docs + corpus_tokens/{PACK_BUDGET}."""
     prepare(spark, sf_dir)
     d = spark.table("documents")
-    # cache: the per-doc length table feeds both tape phases (see
-    # text_pack_sequences)
+    # the helper stages the per-doc length table (single-scan contract)
     counted = d.select(
         "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
-    ).cache()
+    )
     off = two_phase_tape_offsets(counted, "lang", "n_tokens")
     spans = off.select(
         "doc_id",
@@ -735,6 +743,12 @@ def _domain_cap_two_phase(docs: DataFrame) -> DataFrame:
 #: largest (group, bucket) window partition stays ~|group|/65536 rows. The
 #: phase-1 stats table is |groups| x 16^width rows — broadcastable at any
 #: realistic width.
+#: leading-hex-char count keying the md5 rank/cumsum buckets (16^n
+#: buckets). Tunable freely (production runs 3-4 hex chars): identity to
+#: the naive window is pinned at the production width and at 16^7 >>
+#: corpus (one doc per bucket) in tests/test_round11_ops.py
+#: (test_md5_rank_and_cumsum_degenerate_bucket_regimes); widths above 7
+#: overflow the int32 bucket id cast.
 MD5_RANK_BUCKET_HEX = 1
 
 
@@ -2854,11 +2868,11 @@ def text_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Nothing new materializes beyond the per-doc length table."""
     prepare(spark, sf_dir)
     lengths = text_bpe_encode(spark, sf_dir).select("doc_id", "n_bpe_tokens")
-    # cache: both tape phases consume the per-doc length table — uncached,
-    # the whole encode chain (token groupBy + vocab join) replays per phase
+    # the helper's single-scan contract stages the per-doc length table, so
+    # the encode chain (token groupBy + vocab join) runs exactly once
     counted = (
         spark.table("documents").select("doc_id", "lang").join(lengths, "doc_id")
-    ).cache()
+    )
     offsets = two_phase_tape_offsets(counted, "lang", "n_bpe_tokens")
     return (
         offsets.groupBy("lang", pack_seq_id().alias("seq_id"))

@@ -100,6 +100,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         # DQ: the documents-table ingestion contract incl. the derived
         # n_chars==length(text) integrity rule (round 11)
         "dq_documents_checks",
+        # DQ: the embeddings-table ingestion contract — dim/finiteness/
+        # zero-norm/label/coverage + decimal-exact norm digest (round 12)
+        "dq_embeddings_checks",
         # header-vs-lines reconciliation in exact scale-4 integer units
         "dq_reconcile_totals",
         # mergeable HLL sketches: daily -> monthly distinct via union

@@ -516,6 +516,9 @@ COMPONENT_SHUFFLE_BUDGET = {
     "text_gopher_rules": 0,
     # round 11: six-rule documents contract = one agg (+ stack reshape)
     "dq_documents_checks": 2,
+    # round 12: embeddings contract = one table agg + the two coverage
+    # anti-join counts (id-column-pruned) + the 1-row assembly
+    "dq_embeddings_checks": 4,
     # round 11: LM scoring (cached, runs once) + boundary agg + broadcast
     # assignment join
     "text_ccnet_buckets": 7,

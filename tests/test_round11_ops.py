@@ -86,6 +86,80 @@ def test_tape_offsets_identical_under_adversarial_skew(spark, skewed):
     assert counts["en"] > 10 * max(counts["fr"], counts["zh"])
 
 
+@pytest.mark.parametrize(
+    "width",
+    [
+        1,  # one doc per bucket: the prefix table IS the corpus
+        10**9,  # single bucket per shard: reduces to the naive window
+    ],
+)
+def test_tape_offsets_degenerate_bucket_regimes(spark, skewed, width, monkeypatch):
+    """r11 verdict #3: the identity must hold at BOTH ends of the bucket-
+    width dial, not just the many-small-buckets regime the default (128)
+    exercises — production at 100 TB runs few huge buckets (~1e6
+    docs/bucket), and retuning PACK_TAPE_BUCKET_DOCS must never be able
+    to change results. WIDTH=1 and WIDTH>corpus are the two degenerate
+    geometries every intermediate width interpolates between."""
+    import e_commerce_data_warehouse_recommendation_system_spark.operators.text as text_mod
+
+    monkeypatch.setattr(text_mod, "PACK_TAPE_BUCKET_DOCS", width)
+    got = _rows(
+        two_phase_tape_offsets(skewed, "lang", "n_tokens"),
+        ["doc_id", "lang", "start_offset"],
+    )
+    want = _rows(
+        _naive_tape(skewed, "lang", "n_tokens"), ["doc_id", "lang", "start_offset"]
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "hex_width",
+    [
+        4,  # the production posture (65536 buckets; ~1e6-doc buckets at 100 TB corpus sizes come from 3-4 hex chars)
+        7,  # 16^7 buckets >> corpus: every doc (almost surely) its own bucket — the prefix table IS the corpus
+    ],
+)
+def test_md5_rank_and_cumsum_degenerate_bucket_regimes(
+    spark, skewed, hex_width, monkeypatch
+):
+    """r11 verdict #3 for the md5-keyed pair (rank + cumsum): identity
+    under re-tuned MD5_RANK_BUCKET_HEX. The single-bucket reduction is not
+    reachable through a hex width (distinct keys almost surely differ in
+    their first char) — the tape test's WIDTH>corpus case covers that
+    regime for the shared prefix machinery; here the dial runs from the
+    default 16 buckets up past one-doc-per-bucket. 16^7 - 1 still fits
+    the int32 the bucket id is cast to."""
+    import e_commerce_data_warehouse_recommendation_system_spark.operators.text as text_mod
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        two_phase_md5_cumsum,
+    )
+
+    monkeypatch.setattr(text_mod, "MD5_RANK_BUCKET_HEX", hex_width)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    want_rank = _rows(
+        skewed.withColumn("rk", F.row_number().over(w)).select("doc_id", "rk"),
+        ["doc_id", "rk"],
+    )
+    got_rank = _rows(two_phase_md5_rank(skewed, "lang"), ["doc_id", "rk"])
+    assert got_rank == want_rank
+    w_sum = w.rowsBetween(Window.unboundedPreceding, -1)
+    want_sum = _rows(
+        skewed.withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n_tokens").over(w_sum), F.lit(0)).cast("long"),
+        ).select("doc_id", "cum_before"),
+        ["doc_id", "cum_before"],
+    )
+    got_sum = _rows(
+        two_phase_md5_cumsum(skewed, "lang", "n_tokens"),
+        ["doc_id", "cum_before"],
+    )
+    assert got_sum == want_sum
+
+
 def test_md5_rank_identical_to_single_window(spark, skewed):
     prepare(spark, SF0001)
     for df, group in ((spark.table("documents"), "source"), (skewed, "lang")):

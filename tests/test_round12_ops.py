@@ -95,6 +95,63 @@ def test_backtest_als_lift_floors(spark):
     assert rates["rate_micro"] > pop_rate
 
 
+def test_dq_embeddings_contract_clean_and_catches_injection(spark, tmp_path_factory):
+    """The embeddings contract reports zero violations on the shipped
+    sf0.001 testdata (where coverage is exactly 1:1), and each rule fires
+    on an injected corrupted table — driven through the REAL component
+    over a constructed fixture dir, not a re-built rule list."""
+    import math
+    import os
+
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+
+    fn = components()["dq_embeddings_checks"].fn
+    clean = {r.rule: r.violations for r in fn(spark, SF0001).collect()}
+    assert len(clean) == 11
+    for rule, v in clean.items():
+        if rule.startswith("digest:"):
+            continue
+        assert v == 0, (rule, v)
+    # norm digest sanity on the clean table: 64-dim unit-ish vectors
+    assert 0 < clean["digest:min_sqnorm_micro"] <= clean["digest:max_sqnorm_micro"]
+
+    base = tmp_path_factory.mktemp("emb_dq")
+    out = str(base / "fixture")
+    os.makedirs(out)
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+    ).split():
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{out}/{t}.parquet")
+    docs = [(i, f"doc {i}", "en", "src1", 6 + len(str(i))) for i in range(1, 5)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{out}/documents.parquet")
+    vecs = [
+        (1, [1.0, 0.0], 3),  # ok (2-dim majority)
+        (2, [float("nan"), 1.0], 0),  # NaN component
+        (3, [0.0, 0.0], 0),  # zero norm
+        (99, [1.0, float("inf")], 11),  # orphan id + Inf + label out of range
+        (None, [0.5, 0.5, 0.5], None),  # null id + ragged dim + null label
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{out}/embeddings.parquet")
+    got = {r.rule: r.violations for r in fn(spark, out).collect()}
+    assert got["not_null(vec_id)"] == 1
+    assert got["dim_consistent(embedding)"] == 1  # two distinct dims
+    assert got["finite(embedding)"] == 2  # NaN row + Inf row
+    assert got["nonzero_norm(embedding)"] == 1
+    assert got["accepted_range(label)"] == 2  # label 11 + null label
+    assert got["fk_orphan_vectors(documents)"] >= 1  # id 99 (null id joins nothing)
+    assert got["census:docs_without_vector"] == 1  # doc 4 has no vector
+    # NaN/Inf rows fall out of the decimal digest as NULLs (skipped by the
+    # aggregates); the clean rows still produce a well-defined integer sum
+    assert got["digest:sum_sqnorm_micro"] is not None
+    assert math.isfinite(float(got["digest:sum_sqnorm_micro"]))
+
+
 def test_backtest_leaderboard_totals_consistent(spark):
     """The leaderboard's SQL-exact baseline totals must equal the
     aggregates of the census components it summarizes, and the ALS flags
