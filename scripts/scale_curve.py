@@ -254,6 +254,50 @@ def _curation_fixture_dir(spark, scale: int) -> str:
     return out
 
 
+def _rec_fixture_dir(spark, scale: int) -> str:
+    """Serving-capstone scaled fixture: ``scale`` offset copies of orders
+    and lineitem with USERS and ORDERS scaled but the ITEM CATALOG fixed
+    (o_custkey/o_orderkey/l_orderkey shifted per copy, l_partkey untouched)
+    — the dimension a recommender deployment actually grows along. Every
+    copy contributes a disjoint user population with identical per-user
+    behavior, so interactions, trained user factors, serve/MMR/eval/publish
+    row counts all scale xN by construction while the item-factor side
+    stays the bounded catalog. Offsets are sized from the data maxima
+    (the fold_in probe's collision lesson), all other tables symlinked."""
+    from pyspark.sql import functions as F
+
+    out = f"/tmp/scale_fixture_rec_x{scale}"
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out)
+    for t in (
+        "region nation customer supplier part events documents embeddings"
+    ).split():
+        os.symlink(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    okey_off = int(o.agg(F.max("o_orderkey")).first()[0]) + 1
+    cust_off = int(o.agg(F.max("o_custkey")).first()[0]) + 1
+    o_copies = [
+        o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * okey_off))
+        .withColumn("o_custkey", F.col("o_custkey") + F.lit(k * cust_off))
+        for k in range(scale)
+    ]
+    o_all = o_copies[0]
+    for c in o_copies[1:]:
+        o_all = o_all.unionByName(c)
+    o_all.coalesce(4).write.parquet(f"{out}/orders.parquet")
+    li_copies = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * okey_off))
+        for k in range(scale)
+    ]
+    li_all = li_copies[0]
+    for c in li_copies[1:]:
+        li_all = li_all.unionByName(c)
+    li_all.coalesce(8).write.parquet(f"{out}/lineitem.parquet")
+    return out
+
+
 def heavy_workloads(spark, scale: int) -> list[tuple[str, "object"]]:
     """The iterative/pair-mining heavies, driven end-to-end through their
     registered entry points on a scaled fixture dir:
@@ -334,6 +378,20 @@ def heavy_workloads(spark, scale: int) -> list[tuple[str, "object"]]:
             )
         return rec_fold_in_user_factors(spark, SF_DIR, interactions_df=big).count()
 
+    rec_fixture = _rec_fixture_dir(spark, scale)
+
+    def rec_pipeline():
+        # The serving capstone on the user-scaled fixture (r11 verdict #4):
+        # the generic warm call fits the xN ALS and populates the serving
+        # memos OFF-clock (the bench slot's warmed protocol), so the timed
+        # call measures the recurring daily cost — serve contract + MMR +
+        # eval + publish — over xN users against the fixed catalog.
+        from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+            rec_pipeline_e2e,
+        )
+
+        return rec_pipeline_e2e(spark, rec_fixture).count()
+
     return [
         ("graph_triangles", triangles),
         ("ivf_pq_search", ivf_pq),
@@ -341,6 +399,7 @@ def heavy_workloads(spark, scale: int) -> list[tuple[str, "object"]]:
         ("dedup_shared_spans", shared_spans),
         ("text_curation_pipeline", curation_pipeline),
         ("rec_fold_in", fold_in),
+        ("rec_pipeline_e2e", rec_pipeline),
     ]
 
 
@@ -385,15 +444,28 @@ def main() -> None:
     from e_commerce_data_warehouse_recommendation_system_spark.session import get_spark
 
     spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    # SCALE_CURVE_ONLY=<substring>[,<substring>...]: measure only matching
+    # probes (one new curve shouldn't force re-measuring every recorded one;
+    # full sweeps still run with the variable unset)
+    only = [s for s in os.environ.get("SCALE_CURVE_ONLY", "").split(",") if s]
+
+    def _selected(name: str) -> bool:
+        return not only or any(s in name for s in only)
+
     BASE = 16
     results: dict[str, dict] = {}
-    for scale in (BASE, BASE * n):
+    light_any = not only or any(
+        _selected(name) for name, _ in workloads(spark, scaled_events(spark, 1))
+    )
+    for scale in (BASE, BASE * n) if light_any else ():
         # cache + count (NOT localCheckpoint): unpersist() actually frees
         # cached blocks, so the 16x data is out of executor memory before
         # the 64x timings run — checkpoint blocks would linger until GC
         ev = scaled_events(spark, scale).cache()
         ev.count()  # materialize: exclude synthesis cost from timings
         for name, fn in workloads(spark, ev):
+            if not _selected(name):
+                continue
             fn()  # warm (page cache, codegen)
             t0 = time.perf_counter()
             fn()
@@ -412,6 +484,8 @@ def main() -> None:
     heavy: dict[str, dict] = {}
     for scale in (1, n):
         for name, fn in heavy_workloads(spark, scale):
+            if not _selected(name):
+                continue
             fn()  # warm: index/k-means builds + cache population, off-clock
             t0 = time.perf_counter()
             fn()
@@ -430,9 +504,10 @@ def main() -> None:
         _REC_CACHE.clear()
     for name, r in heavy.items():
         r["ratio"] = round(r[f"x{n}"] / max(r["x1"], 1e-9), 2)
-    heavy["dedup_shared_spans"]["cap_evidence"] = {
-        f"x{s}": shared_span_cap_evidence(spark, s) for s in (1, n)
-    }
+    if "dedup_shared_spans" in heavy:
+        heavy["dedup_shared_spans"]["cap_evidence"] = {
+            f"x{s}": shared_span_cap_evidence(spark, s) for s in (1, n)
+        }
     results.update(heavy)
     print(
         json.dumps(
