@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
     cosine_pairs,
@@ -493,6 +494,252 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(docs, pairs, node_col="doc_id")
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_root")
+    )
+
+
+def _sql_cluster_weights() -> str:
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({_sql_minhash_lsh()}),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(label) AS cluster_root
+             FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_root, COUNT(*) AS n FROM comp GROUP BY cluster_root)
+    SELECT c.doc_id, c.cluster_root,
+           CAST(s.n AS BIGINT) AS cluster_size,
+           CAST(1000000 // s.n AS BIGINT) AS weight_micro,
+           c.doc_id = c.cluster_root AS is_keeper
+    FROM comp c JOIN sizes s ON c.cluster_root = s.cluster_root
+    """
+
+
+@component(
+    "dedup_cluster_weights",
+    oracle=_sql_cluster_weights(),
+    cols=[
+        ("doc_id", "num"),
+        ("cluster_root", "num"),
+        ("cluster_size", "num"),
+        ("weight_micro", "num"),
+        ("is_keeper", "bool"),
+    ],
+)
+def dedup_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware SAMPLING WEIGHTS: every document weighted
+    1e6 // |its duplicate cluster| — the soft alternative to hard removal
+    that LLM data recipes use when near-dups carry signal (each duplicate
+    FAMILY contributes one document's worth of training mass in
+    expectation, so a 500-copy boilerplate family stops dominating the
+    epoch while unique documents keep weight 1.0). Clusters are the
+    MinHash-LSH connected components (dedup_clusters); the weight is an
+    exact integer division, so the whole table hash-matches the recursive
+    -CTE oracle; ``is_keeper`` marks the hard-dedup representative
+    (doc_id == cluster_root) so one table serves both the weighted and
+    the keep-one pipelines.
+
+    Sum(weight_micro)/1e6 ≈ the DEDUPLICATED corpus size (exactly the
+    cluster count when every member kept its floor weight) — the
+    "effective tokens" number a data card reports.
+
+    Scale: the component cost IS dedup_clusters' cost (banded pair
+    mining + bounded label propagation); on top of it one groupBy on
+    cluster_root + one join back on the same key."""
+    prepare(spark, sf_dir)
+    comp = dedup_clusters(spark, sf_dir)
+    sizes = comp.groupBy("cluster_root").agg(F.count(F.lit(1)).alias("n"))
+    return comp.join(sizes, "cluster_root").select(
+        "doc_id",
+        "cluster_root",
+        F.col("n").cast("bigint").alias("cluster_size"),
+        F.expr("div(1000000, n)").cast("bigint").alias("weight_micro"),
+        (F.col("doc_id") == F.col("cluster_root")).alias("is_keeper"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: lexical (shingle-Jaccard) + vector (cosine) RRF fusion
+# --------------------------------------------------------------------------
+
+#: RRF rank constant (Cormack et al. 2009's k=60 — the de-facto default)
+RRF_FUSION_K = 60
+
+
+def _sql_hybrid_rrf() -> str:
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
+        _SQL_ELEMS,
+        _SQL_NORMS,
+        QUERY_MODULUS,
+        TOPK,
+    )
+
+    return f"""
+    WITH elems AS ({_SQL_ELEMS}),
+    norms AS ({_SQL_NORMS}),
+    queries AS (SELECT vec_id FROM embeddings WHERE vec_id % {QUERY_MODULUS} = 0),
+    dots AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(CAST(qe.x * e.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM queries q
+      JOIN elems qe ON qe.vec_id = q.vec_id
+      JOIN elems e ON e.i = qe.i AND e.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    vec_ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot / (na.nrm * nb.nrm) DESC,
+                                         neighbor_id) AS rnk
+      FROM dots
+      JOIN norms na ON query_id = na.vec_id
+      JOIN norms nb ON neighbor_id = nb.vec_id
+    ),
+    vec_topk AS (SELECT * FROM vec_ranked WHERE rnk <= {TOPK}),
+    sh AS ({_SQL_SHINGLES}),
+    qsh AS (SELECT doc_id, s FROM sh WHERE doc_id % {QUERY_MODULUS} = 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id, COUNT(*) AS i
+      FROM qsh q JOIN sh d ON q.s = d.s AND d.doc_id <> q.doc_id
+      GROUP BY 1, 2
+    ),
+    lex_ranked AS (
+      SELECT sh.query_id, sh.neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY sh.query_id
+               ORDER BY CAST(sh.i AS DOUBLE) / (sa.n + sb.n - sh.i) DESC,
+                        sh.neighbor_id) AS rnk
+      FROM shared sh
+      JOIN sizes sa ON sh.query_id = sa.doc_id
+      JOIN sizes sb ON sh.neighbor_id = sb.doc_id
+    ),
+    lex_topk AS (SELECT * FROM lex_ranked WHERE rnk <= {TOPK}),
+    fused AS (
+      SELECT COALESCE(v.query_id, l.query_id) AS query_id,
+             COALESCE(v.neighbor_id, l.neighbor_id) AS neighbor_id,
+             COALESCE(1000000 // ({RRF_FUSION_K} + v.rnk), 0)
+               + COALESCE(1000000 // ({RRF_FUSION_K} + l.rnk), 0) AS rrf_micro,
+             v.rnk IS NOT NULL AS from_vector,
+             l.rnk IS NOT NULL AS from_lexical
+      FROM vec_topk v
+      FULL OUTER JOIN lex_topk l
+        ON v.query_id = l.query_id AND v.neighbor_id = l.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(fused_rank AS INT) AS fused_rank, from_vector, from_lexical
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_micro DESC, neighbor_id)
+                  AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= {TOPK}
+    """
+
+
+@component(
+    "sim_hybrid_rrf",
+    oracle=_sql_hybrid_rrf(),
+    cols=[
+        ("query_id", "num"),
+        ("neighbor_id", "num"),
+        ("rrf_micro", "num"),
+        ("fused_rank", "num"),
+        ("from_vector", "bool"),
+        ("from_lexical", "bool"),
+    ],
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL with reciprocal-rank fusion: for each query
+    document, the vector top-k (decimal-exact cosine, the sim_cosine_topk
+    rung) and the lexical top-k (exact shingle Jaccard over the
+    shared-shingle join) fuse by sum(1e6 // (K + rank)), K=RRF_FUSION_K —
+    rank fusion, never raw-score mixing (cosines and Jaccards are not
+    calibrated against each other; the rec_rrf_hybrid lesson applied to
+    retrieval). The two query subsets deliberately differ where coverage
+    differs: vector queries are embedded docs on the residue, lexical
+    queries are ALL docs on the residue — so at sf0.1, where 60 % of
+    documents have no embedding (dq_embeddings_checks' census),
+    vector-less queries still get lexical answers and lexical-only
+    neighbors surface for embedded queries: covering what one modality
+    misses is the point of hybrid search. Integer RRF scores and the
+    both-engines-identical double tiebreaks make the whole fused table
+    hash-exact; the membership flags record which modality contributed
+    each hit.
+
+    Scale: queries are the deterministic ~1 % residue subset (broadcast);
+    the vector side is the verification rung whose production swap is the
+    shared ANN ladder (LSH/IVF-PQ, recall-floored); the lexical side's
+    candidates come from the shared-shingle equi-join (bounded by posting
+    fan-out — production swaps in the BM25 index, text_search_bm25's
+    posture, or caps shingle doc-frequency as dedup_shared_spans does);
+    fusion itself is a k-bounded-per-query full-outer join + window."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
+        QUERY_MODULUS,
+        TOPK,
+        sim_cosine_topk,
+    )
+
+    prepare(spark, sf_dir)
+    vec_topk = sim_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rnk").alias("v_rnk")
+    )
+    sh = shingle_rows(spark).cache()  # three consumers: queries, corpus, sizes
+    qsh = sh.filter(F.col("doc_id") % QUERY_MODULUS == 0).select(
+        F.col("doc_id").alias("query_id"), "s"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        qsh.join(sh, "s")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    w_lex = Window.partitionBy("query_id").orderBy(
+        jac.desc(), F.asc("neighbor_id")
+    )
+    lex_topk = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("query_id"), F.col("n").alias("na")),
+            "query_id",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("neighbor_id"), F.col("n").alias("nb")
+            ),
+            "neighbor_id",
+        )
+        .withColumn("l_rnk", F.row_number().over(w_lex))
+        .filter(F.col("l_rnk") <= TOPK)
+        .select("query_id", "neighbor_id", "l_rnk")
+    )
+    fused = vec_topk.join(lex_topk, ["query_id", "neighbor_id"], "full_outer")
+    rrf = F.coalesce(
+        F.expr(f"div(1000000, {RRF_FUSION_K} + v_rnk)"), F.lit(0)
+    ) + F.coalesce(F.expr(f"div(1000000, {RRF_FUSION_K} + l_rnk)"), F.lit(0))
+    w_fused = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rrf_micro", rrf.cast("bigint"))
+        .withColumn("fused_rank", F.row_number().over(w_fused).cast("int"))
+        .filter(F.col("fused_rank") <= TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rrf_micro",
+            "fused_rank",
+            F.col("v_rnk").isNotNull().alias("from_vector"),
+            F.col("l_rnk").isNotNull().alias("from_lexical"),
+        )
     )
 
 

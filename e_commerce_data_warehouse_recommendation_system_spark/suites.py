@@ -169,6 +169,11 @@ SUITE_SPECS: dict[str, list[str]] = {
         # LSH quality eval: banding recall vs the exact-Jaccard truth,
         # precision computed from the spurious anti-join (round 11)
         "dedup_lsh_quality",
+        # near-dup-aware sampling weights: 1e6 // cluster size per doc,
+        # the soft alternative to hard removal (round 12)
+        "dedup_cluster_weights",
+        # hybrid lexical+vector retrieval fused by reciprocal rank (round 12)
+        "sim_hybrid_rrf",
         # regular-grid resampling: gap fill + forward fill per user
         "ts_resample_ffill",
         # Holt level+trend smoothing: per-series sequential state via

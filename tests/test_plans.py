@@ -519,6 +519,9 @@ COMPONENT_SHUFFLE_BUDGET = {
     # round 12: embeddings contract = one table agg + the two coverage
     # anti-join counts (id-column-pruned) + the 1-row assembly
     "dq_embeddings_checks": 4,
+    # round 12: hybrid RRF = cosine rung (norm pass + per-query window) +
+    # shared-shingle join/sizes/rank + the k-bounded fusion join/window
+    "sim_hybrid_rrf": 9,
     # round 11: LM scoring (cached, runs once) + boundary agg + broadcast
     # assignment join
     "text_ccnet_buckets": 7,

@@ -152,6 +152,75 @@ def test_dq_embeddings_contract_clean_and_catches_injection(spark, tmp_path_fact
     assert math.isfinite(float(got["digest:sum_sqnorm_micro"]))
 
 
+def test_cluster_weights_algebra(spark):
+    """Weight algebra on the real component: every cluster's members share
+    its root and size; exactly one keeper per cluster (the root itself);
+    weight_micro == 1e6 // size; singleton docs keep full weight; the
+    effective-corpus identity holds (sum of 1e6//size over members of a
+    size-s cluster = s * (1e6 // s), summed over clusters)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+
+    rows = components()["dedup_cluster_weights"].fn(spark, SF0001).collect()
+    assert rows
+    by_root: dict = {}
+    for r in rows:
+        by_root.setdefault(r.cluster_root, []).append(r)
+    for root, members in by_root.items():
+        size = len(members)
+        keepers = [m for m in members if m.is_keeper]
+        assert len(keepers) == 1 and keepers[0].doc_id == root
+        assert root == min(m.doc_id for m in members)
+        for m in members:
+            assert m.cluster_size == size
+            assert m.weight_micro == 1000000 // size
+    # at least one non-trivial cluster exists in the fixture, and
+    # singletons keep weight exactly 1.0
+    assert any(len(m) > 1 for m in by_root.values())
+    assert any(
+        len(m) == 1 and m[0].weight_micro == 1000000 for m in by_root.values()
+    )
+
+
+def test_hybrid_rrf_fusion_properties(spark):
+    """Fusion invariants on the real component: <= k rows per query with
+    contiguous ranks; every hit came from at least one modality; RRF
+    scores are consistent with the flags (a both-modality hit outscores
+    floor bounds); ordering is (score desc, id asc); and both
+    single-modality and (if present) dual-modality hits exist."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.dedup import (
+        RRF_FUSION_K,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
+        TOPK,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+
+    rows = components()["sim_hybrid_rrf"].fn(spark, SF0001).collect()
+    assert rows
+    max_single = 1000000 // (RRF_FUSION_K + 1)
+    by_q: dict = {}
+    for r in rows:
+        assert r.from_vector or r.from_lexical
+        assert r.neighbor_id != r.query_id
+        if r.from_vector and r.from_lexical:
+            assert r.rrf_micro > max_single
+        else:
+            assert 0 < r.rrf_micro <= max_single
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, hits in by_q.items():
+        assert len(hits) <= TOPK
+        hits.sort(key=lambda r: r.fused_rank)
+        assert [r.fused_rank for r in hits] == list(range(1, len(hits) + 1))
+        for a, b in zip(hits, hits[1:]):
+            assert (a.rrf_micro, -a.neighbor_id) >= (b.rrf_micro, -b.neighbor_id)
+    assert any(r.from_vector and not r.from_lexical for r in rows)
+    assert any(r.from_lexical and not r.from_vector for r in rows)
+
+
 def test_backtest_leaderboard_totals_consistent(spark):
     """The leaderboard's SQL-exact baseline totals must equal the
     aggregates of the census components it summarizes, and the ALS flags
