@@ -565,6 +565,119 @@ def dedup_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_data_card() -> str:
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        _COMPONENTS,
+    )
+
+    gopher_sql = _COMPONENTS["text_gopher_rules"].oracle
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({_sql_minhash_lsh()}),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(label) AS cluster_root
+             FROM reach GROUP BY node),
+    csizes AS (SELECT cluster_root, COUNT(*) AS n FROM comp GROUP BY cluster_root),
+    weights AS (
+      SELECT c.doc_id, 1000000 // s.n AS weight_micro
+      FROM comp c JOIN csizes s ON c.cluster_root = s.cluster_root
+    ),
+    gopher AS ({gopher_sql}),
+    base AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             md5(text) AS h
+      FROM documents
+    )
+    SELECT b.lang, b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(b.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT b.h) AS BIGINT) AS n_exact_unique,
+           CAST(SUM(w.weight_micro) AS BIGINT) AS effective_docs_micro,
+           CAST(SUM(CASE WHEN g.gopher_keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gopher_pass
+    FROM base b
+    JOIN weights w ON b.doc_id = w.doc_id
+    JOIN gopher g ON b.doc_id = g.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@component(
+    "text_data_card",
+    oracle=_sql_data_card(),
+    cols=[
+        ("lang", "str"),
+        ("source", "str"),
+        ("n_docs", "num"),
+        ("n_chars", "num"),
+        ("n_tokens", "num"),
+        ("n_exact_unique", "num"),
+        ("effective_docs_micro", "num"),
+        ("n_gopher_pass", "num"),
+    ],
+)
+def text_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATA CARD table a corpus release ships: one row per
+    (language, source) with document/char/token counts, exact-unique
+    document counts (content-hash distinct), the near-dup-weighted
+    EFFECTIVE document mass (sum of dedup_cluster_weights' 1e6 //
+    cluster-size — the "each duplicate family counts once" number a
+    data card reports as deduplicated size), and the Gopher quality-gate
+    pass count. Composes three existing oracles (LSH components, Gopher
+    matrix, token convention shared with text_pack_sequences) into the
+    release artifact, so the card is hash-exact cross-engine end to end
+    — a drifted tokenizer, a broken cluster, or a loosened quality gate
+    all flip a cell.
+
+    Scale: the base pass is one scan with map-side expressions; the
+    weight and gate joins are doc_id equi-joins against frames whose
+    cost postures are their own components'; the final rollup groups on
+    the bounded (lang, source) grain with map-side combine."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        text_gopher_rules,
+        tokens,
+    )
+
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    cw = dedup_cluster_weights(spark, sf_dir).select("doc_id", "weight_micro")
+    g = text_gopher_rules(spark, sf_dir).select("doc_id", "gopher_keep")
+    return (
+        base.join(cw, "doc_id")
+        .join(g, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.countDistinct("h").cast("bigint").alias("n_exact_unique"),
+            F.sum("weight_micro").cast("bigint").alias("effective_docs_micro"),
+            F.sum(F.when(F.col("gopher_keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_gopher_pass"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Hybrid retrieval: lexical (shingle-Jaccard) + vector (cosine) RRF fusion
 # --------------------------------------------------------------------------

@@ -275,6 +275,10 @@ SUITE_SPECS: dict[str, list[str]] = {
     ],
     # text analysis: counting / quality / fingerprint / sampling / tf-idf
     "text_profile_suite": [
+        # the release DATA CARD: per-(lang, source) doc/char/token counts,
+        # exact-unique docs, near-dup-weighted effective mass, Gopher pass
+        # rate — three oracles composed into one artifact (round 12)
+        "text_data_card",
         "text_token_count",
         "text_quality_score",
         "text_fingerprint",

@@ -221,6 +221,32 @@ def test_hybrid_rrf_fusion_properties(spark):
     assert any(r.from_lexical and not r.from_vector for r in rows)
 
 
+def test_data_card_consistency(spark):
+    """The release card's cells must be mutually consistent and conserve
+    the corpus: per group, unique <= docs, gopher-pass <= docs, effective
+    mass <= docs (weights never exceed 1.0) and >= the per-group doc count
+    would imply no dedup — at least one group must show effective < docs
+    (the fixture plants duplicate families); the group doc totals must sum
+    to the documents table row count."""
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import (
+        prepare as _prep,
+    )
+
+    _prep(spark, SF0001)
+    rows = components()["text_data_card"].fn(spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_exact_unique <= r.n_docs
+        assert 0 <= r.n_gopher_pass <= r.n_docs
+        assert 0 < r.effective_docs_micro <= r.n_docs * 1000000
+        assert r.n_tokens > 0 and r.n_chars > 0
+    assert sum(r.n_docs for r in rows) == spark.table("documents").count()
+    assert any(r.effective_docs_micro < r.n_docs * 1000000 for r in rows)
+
+
 def test_backtest_leaderboard_totals_consistent(spark):
     """The leaderboard's SQL-exact baseline totals must equal the
     aggregates of the census components it summarizes, and the ALS flags
