@@ -505,7 +505,9 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # language through one task at 100 TB; seq_id in integer arithmetic so
     # Spark and the oracle's ``//`` agree past 2^53 offsets)
     packs = (
-        two_phase_tape_offsets(s6, "lang", "n_bpe_tokens")
+        # staged=True: s6 is localCheckpointed above — the helper's default
+        # self-staging would copy the checkpointed rows a second time
+        two_phase_tape_offsets(s6, "lang", "n_bpe_tokens", staged=True)
         .groupBy("lang", pack_seq_id().alias("seq_id"))
         .agg(F.sum("n_bpe_tokens").cast("long").alias("n_toks"))
     )

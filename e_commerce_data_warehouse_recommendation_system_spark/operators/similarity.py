@@ -1767,3 +1767,149 @@ def sim_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("reloaded_topk_identical_ok", 1 if identical else 0),
     ]
     return spark.createDataFrame(rows, schema="label string, value_num bigint")
+
+
+# --------------------------------------------------------------------------
+# ANN incremental ingestion: grow the IVF index without a refit
+# --------------------------------------------------------------------------
+
+#: residue rule for the "newly arrived" vector batch: vec_id % 10 == 0
+#: (~10% of the corpus). Chosen so every query id (vec_id % 100 == 0) sits
+#: INSIDE the batch by arithmetic — queries are unservable before the add
+#: and servable after, making the ingestion visible in the contract.
+IVF_INC_BATCH_MOD = 10
+
+
+def _nearest_cell(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Map-side nearest-centroid assignment over the broadcast centroid
+    table — the serving-replica form of index placement (no model object,
+    just the KB-sized centroid frame): each vector joins IVF_CELLS
+    centroid rows, squared distance folds element-wise in double, argmin
+    ties break to the lowest cell id. Deterministic by construction, so
+    incremental and one-shot assignment are THE SAME EXPRESSION."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    return (
+        vecs.join(F.broadcast(centroids))
+        .select("vec_id", "v", "nrm", "cell", d2.alias("d2"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", "nrm", "cell")
+    )
+
+
+@component(
+    "sim_ivf_incremental_add",
+    cols=[("label", "str"), ("value_num", "num")],
+    oracle=f"""
+    SELECT label, CAST(value_num AS BIGINT) AS value_num FROM (
+      SELECT 'n_base' AS label,
+             (SELECT COUNT(*) FROM embeddings
+              WHERE vec_id % {IVF_INC_BATCH_MOD} <> 0) AS value_num
+      UNION ALL SELECT 'n_batch',
+             (SELECT COUNT(*) FROM embeddings
+              WHERE vec_id % {IVF_INC_BATCH_MOD} = 0)
+      UNION ALL SELECT 'n_queries_before', 0
+      UNION ALL SELECT 'n_queries_after',
+             (SELECT COUNT(*) FROM embeddings WHERE vec_id % {QUERY_MODULUS} = 0)
+      UNION ALL SELECT 'assignment_additive_ok', 1
+      UNION ALL SELECT 'serve_identical_ok', 1
+    )
+    """,
+)
+def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index ingestion — the growing-vector-store contract:
+    new vectors are placed into the EXISTING IVF index by assigning them
+    to the frozen centroids (no k-means refit — the offline/online split
+    every production ANN store runs: refits are scheduled maintenance,
+    arrivals are continuous). The batch is the vec_id % {IVF_INC_BATCH_MOD}
+    residue; centroids are fitted on the BASE slice only, so the add is a
+    genuine out-of-training ingestion. Every query id sits inside the
+    batch by arithmetic (% {QUERY_MODULUS} ⊂ % {IVF_INC_BATCH_MOD}), so
+    the before/after query counts (0 → all) make the ingestion itself
+    driver-visible, not just internally flagged.
+
+    Contract flags, computed from genuine frame comparisons:
+    ``assignment_additive_ok`` — per-cell counts of base-assignment +
+    incremental batch equal a one-shot assignment of the full corpus
+    against the same centroids (the same deterministic nearest-centroid
+    expression, so any drift is real plumbing breakage: double-added
+    rows, dropped ids, a stale centroid table); ``serve_identical_ok`` —
+    the shared multi-probe query plan (``_ivf_query``) over the
+    incrementally-grown index answers row-identically (ranks AND cosines,
+    both-ways exceptAll) to the one-shot index.
+
+    Scale: assignment is a map-side join against the broadcast KB-sized
+    centroid table (per-vector fan-out = IVF_CELLS, then argmin) — the
+    batch never shuffles against the corpus; the union is metadata; the
+    serve comparison is k-bounded per query."""
+    prepare(spark, sf_dir)
+    key = ("ivf_inc", id(spark.sparkContext), sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        vecs = vectors_with_norms(spark).cache()
+        base = vecs.filter(F.col("vec_id") % IVF_INC_BATCH_MOD != 0)
+        batch = vecs.filter(F.col("vec_id") % IVF_INC_BATCH_MOD == 0)
+        km = KMeans(k=IVF_CELLS, seed=42, featuresCol="fv", predictionCol="cell")
+        model = km.fit(base.select(array_to_vector("v").alias("fv")))
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            schema="cell int, cv array<double>",
+        )
+        _ANN_INDEX_CACHE[key] = {
+            "base": base,
+            "batch": batch,
+            "vecs": vecs,
+            "centroids": centroids,
+        }
+    idx = _ANN_INDEX_CACHE[key]
+    base, batch, vecs, centroids = (
+        idx["base"],
+        idx["batch"],
+        idx["vecs"],
+        idx["centroids"],
+    )
+    base_assigned = _nearest_cell(base, centroids).localCheckpoint(eager=True)
+    n_base = base_assigned.count()
+    # queries live in the batch residue: before the add, the index serves
+    # zero of them (genuine count over the pre-add index)
+    n_queries_before = base_assigned.filter(
+        F.col("vec_id") % QUERY_MODULUS == 0
+    ).count()
+    inc_assigned = _nearest_cell(batch, centroids)
+    grown = base_assigned.unionByName(inc_assigned).localCheckpoint(eager=True)
+    n_batch = grown.count() - n_base
+    n_queries_after = grown.filter(F.col("vec_id") % QUERY_MODULUS == 0).count()
+    oneshot = _nearest_cell(vecs, centroids).localCheckpoint(eager=True)
+    # additivity: per-cell reconciliation (bounded: IVF_CELLS rows)
+    g_cells = {
+        r["cell"]: r["n"]
+        for r in grown.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    o_cells = {
+        r["cell"]: r["n"]
+        for r in oneshot.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    additive = g_cells == o_cells and grown.count() == oneshot.count()
+    grown_topk = _ivf_query(grown, centroids).localCheckpoint(eager=True)
+    oneshot_topk = _ivf_query(oneshot, centroids).localCheckpoint(eager=True)
+    diff = (
+        grown_topk.exceptAll(oneshot_topk).count()
+        + oneshot_topk.exceptAll(grown_topk).count()
+    )
+    identical = diff == 0 and grown_topk.count() == oneshot_topk.count()
+    rows = [
+        ("n_base", n_base),
+        ("n_batch", n_batch),
+        ("n_queries_before", n_queries_before),
+        ("n_queries_after", n_queries_after),
+        ("assignment_additive_ok", 1 if additive else 0),
+        ("serve_identical_ok", 1 if identical else 0),
+    ]
+    return spark.createDataFrame(rows, schema="label string, value_num bigint")

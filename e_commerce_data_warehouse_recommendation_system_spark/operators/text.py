@@ -208,7 +208,10 @@ PACK_TAPE_BUCKET_DOCS = 128
 
 
 def two_phase_tape_offsets(
-    counted: DataFrame, shard_col: str = "lang", count_col: str = "n_tokens"
+    counted: DataFrame,
+    shard_col: str = "lang",
+    count_col: str = "n_tokens",
+    staged: bool = False,
 ) -> DataFrame:
     """Per-shard running start offsets (tape layout) WITHOUT a corpus-sized
     single-partition sort.
@@ -242,10 +245,15 @@ def two_phase_tape_offsets(
     localCheckpoint — the input lineage executes exactly once no matter
     what the caller passes, and the blocks are ContextCleaner-reclaimed
     when the result frame drops (unlike a cache, nothing accumulates).
-    Callers no longer pre-cache the per-doc length table; an
-    already-staged input (the capstone's checkpointed stage frames) just
-    copies its slim rows once."""
-    counted = counted.localCheckpoint(eager=True)
+    Callers no longer pre-cache the per-doc length table. A caller whose
+    input is ALREADY materialized (the capstone passes a localCheckpointed
+    stage frame) opts out with ``staged=True`` — re-checkpointing a
+    checkpointed frame copies its rows for nothing (not measurable at the
+    capstone's post-curation frame size locally, but a pure waste that
+    grows with the survivor count at 100 TB); the default stays the safe
+    self-staging path."""
+    if not staged:
+        counted = counted.localCheckpoint(eager=True)
     bucketed = counted.withColumn(
         "_tb", F.expr(f"doc_id div {PACK_TAPE_BUCKET_DOCS}")
     )

@@ -402,6 +402,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         "sim_ivf_pq_search",
         # IVF index persist + reload -> identical served top-k (round 11)
         "sim_ivf_index_persist",
+        # incremental ingestion: frozen-centroid batch add, additivity +
+        # serve parity vs the one-shot index (round 12)
+        "sim_ivf_incremental_add",
         # per-dimension cohort mean-shift drift monitor (full oracle)
         "sim_embedding_drift",
         # image-text pair curation: CLIP-score keep/drop + caption gate

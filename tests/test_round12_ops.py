@@ -247,6 +247,32 @@ def test_data_card_consistency(spark):
     assert any(r.effective_docs_micro < r.n_docs * 1000000 for r in rows)
 
 
+def test_ivf_incremental_add_contract(spark):
+    """Incremental ANN ingestion: the contract rows must show the batch
+    really arrived (queries unservable before, all servable after), the
+    base/batch split conserves the corpus, and both genuine parity flags
+    hold (additivity + serve identity vs the one-shot index)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import (
+        prepare as _prep,
+    )
+
+    _prep(spark, SF0001)
+    rows = {
+        r.label: r.value_num
+        for r in components()["sim_ivf_incremental_add"].fn(spark, SF0001).collect()
+    }
+    n_emb = spark.table("embeddings").count()
+    assert rows["n_base"] + rows["n_batch"] == n_emb
+    assert rows["n_batch"] >= 1
+    assert rows["n_queries_before"] == 0
+    assert rows["n_queries_after"] >= 1
+    assert rows["assignment_additive_ok"] == 1
+    assert rows["serve_identical_ok"] == 1
+
+
 def test_backtest_leaderboard_totals_consistent(spark):
     """The leaderboard's SQL-exact baseline totals must equal the
     aggregates of the census components it summarizes, and the ALS flags
