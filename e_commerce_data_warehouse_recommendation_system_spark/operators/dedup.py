@@ -686,7 +686,10 @@ def text_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 RRF_FUSION_K = 60
 
 
-def _sql_hybrid_rrf() -> str:
+def _sql_hybrid_ctes() -> str:
+    """The WITH-clause body shared by the hybrid component and its quality
+    digest: vector top-k (vec_topk), lexical top-k (lex_topk), and the
+    RRF-fused candidate set (fused) — one definition, two oracles."""
     from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
         _SQL_ELEMS,
         _SQL_NORMS,
@@ -694,8 +697,7 @@ def _sql_hybrid_rrf() -> str:
         TOPK,
     )
 
-    return f"""
-    WITH elems AS ({_SQL_ELEMS}),
+    return f"""elems AS ({_SQL_ELEMS}),
     norms AS ({_SQL_NORMS}),
     queries AS (SELECT vec_id FROM embeddings WHERE vec_id % {QUERY_MODULUS} = 0),
     dots AS (
@@ -745,15 +747,23 @@ def _sql_hybrid_rrf() -> str:
       FROM vec_topk v
       FULL OUTER JOIN lex_topk l
         ON v.query_id = l.query_id AND v.neighbor_id = l.neighbor_id
-    )
+    ),
+    fused_topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_micro DESC, neighbor_id)
+                    AS fused_rank
+        FROM fused
+      ) WHERE fused_rank <= {TOPK}
+    )"""
+
+
+def _sql_hybrid_rrf() -> str:
+    return f"""
+    WITH {_sql_hybrid_ctes()}
     SELECT query_id, neighbor_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
            CAST(fused_rank AS INT) AS fused_rank, from_vector, from_lexical
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY rrf_micro DESC, neighbor_id)
-                  AS fused_rank
-      FROM fused
-    ) WHERE fused_rank <= {TOPK}
+    FROM fused_topk
     """
 
 
@@ -794,13 +804,23 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out — production swaps in the BM25 index, text_search_bm25's
     posture, or caps shingle doc-frequency as dedup_shared_spans does);
     fusion itself is a k-bounded-per-query full-outer join + window."""
+    prepare(spark, sf_dir)
+    _, _, fused_topk = _hybrid_parts(spark, sf_dir)
+    return fused_topk
+
+
+def _hybrid_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(vec_topk, lex_topk, fused_topk) — the shared build behind
+    sim_hybrid_rrf and sim_hybrid_quality; one definition, two consumers
+    (mirrors the shared SQL CTE body in :func:`_sql_hybrid_ctes`)."""
     from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
         QUERY_MODULUS,
         TOPK,
         sim_cosine_topk,
     )
 
-    prepare(spark, sf_dir)
     vec_topk = sim_cosine_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.col("rnk").alias("v_rnk")
     )
@@ -841,7 +861,7 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_fused = Window.partitionBy("query_id").orderBy(
         F.desc("rrf_micro"), F.asc("neighbor_id")
     )
-    return (
+    fused_topk = (
         fused.withColumn("rrf_micro", rrf.cast("bigint"))
         .withColumn("fused_rank", F.row_number().over(w_fused).cast("int"))
         .filter(F.col("fused_rank") <= TOPK)
@@ -853,6 +873,128 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v_rnk").isNotNull().alias("from_vector"),
             F.col("l_rnk").isNotNull().alias("from_lexical"),
         )
+    )
+    return (
+        vec_topk.select("query_id", "neighbor_id"),
+        lex_topk.select("query_id", "neighbor_id"),
+        fused_topk,
+    )
+
+
+def _sql_hybrid_quality() -> str:
+    return f"""
+    WITH {_sql_hybrid_ctes()}
+    SELECT
+      CAST((SELECT COUNT(DISTINCT query_id) FROM vec_topk) AS BIGINT)
+        AS n_vec_queries,
+      CAST((SELECT COUNT(DISTINCT query_id) FROM lex_topk) AS BIGINT)
+        AS n_lex_queries,
+      CAST((SELECT COUNT(DISTINCT query_id) FROM fused_topk) AS BIGINT)
+        AS n_fused_queries,
+      CAST((SELECT COUNT(*) FROM vec_topk) AS BIGINT) AS n_vec_pairs,
+      CAST((SELECT COUNT(*) FROM lex_topk) AS BIGINT) AS n_lex_pairs,
+      CAST((SELECT COUNT(*) FROM fused_topk) AS BIGINT) AS n_fused_pairs,
+      CAST((SELECT COUNT(*) FROM fused_topk f
+            WHERE EXISTS (SELECT 1 FROM vec_topk v
+                          WHERE v.query_id = f.query_id
+                            AND v.neighbor_id = f.neighbor_id)) AS BIGINT)
+        AS n_vec_kept,
+      CAST((SELECT COUNT(*) FROM fused_topk f
+            WHERE EXISTS (SELECT 1 FROM lex_topk l
+                          WHERE l.query_id = f.query_id
+                            AND l.neighbor_id = f.neighbor_id)) AS BIGINT)
+        AS n_lex_kept,
+      CAST((SELECT COUNT(*) FROM fused_topk
+            WHERE from_vector AND from_lexical) AS BIGINT) AS n_dual,
+      CAST(1000000 * (SELECT COUNT(*) FROM fused_topk f
+            WHERE EXISTS (SELECT 1 FROM vec_topk v
+                          WHERE v.query_id = f.query_id
+                            AND v.neighbor_id = f.neighbor_id))
+           // GREATEST((SELECT COUNT(*) FROM vec_topk), 1) AS BIGINT)
+        AS vec_keep_micro,
+      CAST(1000000 * (SELECT COUNT(*) FROM fused_topk f
+            WHERE EXISTS (SELECT 1 FROM lex_topk l
+                          WHERE l.query_id = f.query_id
+                            AND l.neighbor_id = f.neighbor_id))
+           // GREATEST((SELECT COUNT(*) FROM lex_topk), 1) AS BIGINT)
+        AS lex_keep_micro
+    """
+
+
+@component(
+    "sim_hybrid_quality",
+    oracle=_sql_hybrid_quality(),
+    cols=[
+        ("n_vec_queries", "num"),
+        ("n_lex_queries", "num"),
+        ("n_fused_queries", "num"),
+        ("n_vec_pairs", "num"),
+        ("n_lex_pairs", "num"),
+        ("n_fused_pairs", "num"),
+        ("n_vec_kept", "num"),
+        ("n_lex_kept", "num"),
+        ("n_dual", "num"),
+        ("vec_keep_micro", "num"),
+        ("lex_keep_micro", "num"),
+    ],
+)
+def sim_hybrid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSION QUALITY DIGEST for the hybrid retriever — the
+    dedup_lsh_quality discipline applied to rank fusion: since BOTH input
+    rankings are exactly computable here (decimal cosine; integer-count
+    Jaccard), the fused list's composition is fully hash-exact
+    cross-engine, and this one-row census quantifies the trade RRF makes:
+    per-modality query coverage (lexical covers MORE queries than vector
+    wherever embeddings lag ingestion — the sf0.1 fixture), how many of
+    each modality's top-k pairs SURVIVE into the fused top-k (keep-rate
+    in integer micro, floor-divided), and the dual-hit count (pairs both
+    modalities agree on — RRF ranks these first by construction). A
+    fusion bug that silently drops a modality reads as a zeroed keep
+    rate; rank-K inflation reads in the pair counts.
+
+    Scale: everything here is arithmetic over the k-bounded-per-query
+    top-k frames — the census costs two semi-joins and counts on frames
+    whose size is queries × k, regardless of corpus size."""
+    prepare(spark, sf_dir)
+    vec_topk, lex_topk, fused_topk = _hybrid_parts(spark, sf_dir)
+    fused_topk = fused_topk.localCheckpoint(eager=True)
+    vec_topk = vec_topk.localCheckpoint(eager=True)
+    lex_topk = lex_topk.localCheckpoint(eager=True)
+    n_vec_q = vec_topk.select("query_id").distinct().count()
+    n_lex_q = lex_topk.select("query_id").distinct().count()
+    n_fused_q = fused_topk.select("query_id").distinct().count()
+    n_vec = vec_topk.count()
+    n_lex = lex_topk.count()
+    n_fused = fused_topk.count()
+    n_vec_kept = fused_topk.join(
+        vec_topk, ["query_id", "neighbor_id"], "left_semi"
+    ).count()
+    n_lex_kept = fused_topk.join(
+        lex_topk, ["query_id", "neighbor_id"], "left_semi"
+    ).count()
+    n_dual = fused_topk.filter(
+        F.col("from_vector") & F.col("from_lexical")
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_vec_q,
+                n_lex_q,
+                n_fused_q,
+                n_vec,
+                n_lex,
+                n_fused,
+                n_vec_kept,
+                n_lex_kept,
+                n_dual,
+                1000000 * n_vec_kept // max(n_vec, 1),
+                1000000 * n_lex_kept // max(n_lex, 1),
+            )
+        ],
+        schema="n_vec_queries bigint, n_lex_queries bigint, "
+        "n_fused_queries bigint, n_vec_pairs bigint, n_lex_pairs bigint, "
+        "n_fused_pairs bigint, n_vec_kept bigint, n_lex_kept bigint, "
+        "n_dual bigint, vec_keep_micro bigint, lex_keep_micro bigint",
     )
 
 

@@ -174,6 +174,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         "dedup_cluster_weights",
         # hybrid lexical+vector retrieval fused by reciprocal rank (round 12)
         "sim_hybrid_rrf",
+        # fusion quality census: per-modality coverage + keep rates +
+        # dual-hit count, exact on both sides (round 12)
+        "sim_hybrid_quality",
         # regular-grid resampling: gap fill + forward fill per user
         "ts_resample_ffill",
         # Holt level+trend smoothing: per-series sequential state via
