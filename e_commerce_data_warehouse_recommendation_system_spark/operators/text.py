@@ -140,9 +140,8 @@ def _markers_values_sql() -> str:
     return f"(VALUES {rows}) AS m(lang_code, marker)"
 
 
-@register(
-    "text_lang_id",
-    oracle=f"""
+def _sql_lang_id() -> str:
+    return f"""
     WITH toks AS (
       SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
     ),
@@ -162,8 +161,10 @@ def _markers_values_sql() -> str:
            coalesce(b.hits, 0) AS marker_hits
     FROM documents d
     LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
-    """,
-)
+    """
+
+
+@register("text_lang_id", oracle=_sql_lang_id())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via marker-token voting (n-gram heuristic family).
     Tokens explode -> broadcast join against the marker lexicon -> per-doc
@@ -187,6 +188,53 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce("lang_code", F.lit("und")).alias("predicted_lang"),
         F.coalesce("hits", F.lit(0)).alias("marker_hits"),
+    )
+
+
+@component(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH pred AS ({_sql_lang_id()})
+    SELECT d.lang, p.predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           d.lang = p.predicted_lang AS is_correct
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY d.lang, p.predicted_lang
+    """,
+    cols=[
+        ("lang", "str"),
+        ("predicted_lang", "str"),
+        ("n_docs", "num"),
+        ("is_correct", "bool"),
+    ],
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANG-ID QUALITY EVAL — the classifier-vs-labels confusion census
+    (the eval-discipline family: dedup_lsh_quality measures the LSH
+    against exact truth, this measures the marker-voting language ID
+    against the labeled ``lang`` column): one row per (true, predicted)
+    pair with document counts and a correctness flag. Per-language
+    precision/recall/accuracy all derive from these cells; a lexicon
+    regression (dropped markers, a tie-break change) moves counts between
+    cells and flips the suite digest red. Everything is a join + count,
+    hash-exact cross-engine.
+
+    Scale: the lang-ID side keeps its posture (broadcast lexicon,
+    map-local explode, one per-doc aggregation); the census adds one
+    doc_id equi-join and a rollup onto the bounded langs² grain."""
+    prepare(spark, sf_dir)
+    pred = text_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    d = spark.table("documents").select("doc_id", "lang")
+    return (
+        d.join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            "lang",
+            "predicted_lang",
+            "n_docs",
+            (F.col("lang") == F.col("predicted_lang")).alias("is_correct"),
+        )
     )
 
 

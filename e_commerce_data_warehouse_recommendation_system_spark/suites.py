@@ -282,6 +282,8 @@ SUITE_SPECS: dict[str, list[str]] = {
         # exact-unique docs, near-dup-weighted effective mass, Gopher pass
         # rate — three oracles composed into one artifact (round 12)
         "text_data_card",
+        # lang-ID confusion census vs the labeled column (round 12)
+        "text_langid_confusion",
         "text_token_count",
         "text_quality_score",
         "text_fingerprint",
