@@ -392,11 +392,24 @@ def heavy_workloads(spark, scale: int) -> list[tuple[str, "object"]]:
 
         return rec_pipeline_e2e(spark, rec_fixture).count()
 
+    def minhash_lsh():
+        # the production dedup rung on the copy-disjoint documents fixture:
+        # per-copy shingle statistics are identical and cross-copy shingles
+        # disjoint, so signatures/bands scale xN while candidate pairs stay
+        # within copies — expected ratio ~N if the band join really is
+        # collision-bounded. The op caches its shingle table internally;
+        # clear it so the timed run measures the FULL rung (shingle build +
+        # signatures + band join + verify), not a warm-cache serve — the
+        # first probe without this read a meaningless 0.92.
+        spark.catalog.clearCache()
+        return dedup.dedup_minhash_lsh(spark, fixture).count()
+
     return [
         ("graph_triangles", triangles),
         ("ivf_pq_search", ivf_pq),
         ("graph_kcore", kcore),
         ("dedup_shared_spans", shared_spans),
+        ("dedup_minhash_lsh", minhash_lsh),
         ("text_curation_pipeline", curation_pipeline),
         ("rec_fold_in", fold_in),
         ("rec_pipeline_e2e", rec_pipeline),
