@@ -3103,6 +3103,95 @@ def _backtest_als_rates(spark: SparkSession, sf_dir: str) -> dict:
     }
 
 
+def _sql_backtest_coldstart() -> str:
+    return f"""
+    WITH pre AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate < TIMESTAMP '{BACKTEST_CUTOFF}'
+    ),
+    post AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate >= TIMESTAMP '{BACKTEST_CUTOFF}'
+    ),
+    cold AS (
+      SELECT u, i FROM post
+      WHERE u NOT IN (SELECT DISTINCT u FROM pre)
+    ),
+    topk AS (
+      SELECT i FROM (
+        SELECT i, COUNT(*) AS c FROM pre GROUP BY i
+        ORDER BY c DESC, i LIMIT {TOP_K}
+      )
+    )
+    SELECT u AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_post_items,
+           CAST(COALESCE(SUM((i IN (SELECT i FROM topk))::INT), 0) AS BIGINT)
+             AS n_hits,
+           CAST(1000000 * COALESCE(SUM((i IN (SELECT i FROM topk))::INT), 0)
+                // {TOP_K} AS BIGINT) AS p_at_k_micro
+    FROM cold GROUP BY u
+    """
+
+
+@component(
+    "rec_backtest_coldstart",
+    oracle=_sql_backtest_coldstart(),
+    cols=[
+        ("user_id", "num"),
+        ("n_post_items", "num"),
+        ("n_hits", "num"),
+        ("p_at_k_micro", "num"),
+    ],
+)
+def rec_backtest_coldstart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLD-START temporal backtest — the census of the population gap
+    the leaderboard reports (als_users < pop_users): users whose FIRST
+    interaction lands after the cutoff have no training history, so the
+    learned model cannot score them (the reference refuses them outright,
+    mf_knn_recommender.py:234-242; this engine serves them the
+    rec_popular_fallback shelf) — this component measures what that
+    fallback is actually worth on the temporal split: per cold user,
+    post-cutoff item count and hits against the train-period top-{TOP_K}
+    popularity shelf. Every number is a count or integer ratio over
+    deterministic joins — fully hash-exact, no model flags.
+
+    Together the four learned/baseline rows (leaderboard) + this census
+    cover BOTH serving populations: warm users get the model comparison,
+    cold users get the fallback's measured hit-rate.
+
+    Scale: the same two date-pruned fact scans as the popularity
+    backtest; cold users come from one anti-join on user; scoring is a
+    broadcast semi-join against the k-row shelf + one groupBy on user."""
+    prepare(spark, sf_dir)
+    pre, post = _backtest_pre_post(spark)
+    cold = post.join(pre.select("u").distinct(), "u", "left_anti")
+    shelf = (
+        pre.groupBy("i")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("i"))
+        .limit(TOP_K)
+        .select("i")
+    )
+    hit = cold.join(F.broadcast(shelf), "i", "left_semi").select(
+        "u", F.lit(1).alias("h")
+    )
+    per_user = (
+        cold.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_post_items"))
+        .join(hit.groupBy("u").agg(F.sum("h").alias("nh")), "u", "left")
+    )
+    return per_user.select(
+        F.col("u").alias("user_id"),
+        "n_post_items",
+        F.coalesce("nh", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.expr(f"div(1000000 * coalesce(nh, 0), {TOP_K})")
+        .cast("bigint")
+        .alias("p_at_k_micro"),
+    )
+
+
 def _sql_backtest_leaderboard() -> str:
     return f"""
     WITH pop AS ({_sql_backtest_popularity()}),

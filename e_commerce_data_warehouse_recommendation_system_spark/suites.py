@@ -476,6 +476,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         # four-model leaderboard: SQL-exact baseline totals + measured
         # ALS/MMR rate-floor flags (round 12)
         "rec_backtest_leaderboard",
+        # cold-start census: the population the learned model drops,
+        # scored on the popularity fallback shelf (round 12)
+        "rec_backtest_coldstart",
     ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [

@@ -522,6 +522,9 @@ COMPONENT_SHUFFLE_BUDGET = {
     # round 12: hybrid RRF = cosine rung (norm pass + per-query window) +
     # shared-shingle join/sizes/rank + the k-bounded fusion join/window
     "sim_hybrid_rrf": 9,
+    # round 12: cold-start census = the popularity backtest's two pruned
+    # fact scans + cold anti-join + shelf top-k + per-user rollup
+    "rec_backtest_coldstart": 8,
     # round 11: LM scoring (cached, runs once) + boundary agg + broadcast
     # assignment join
     "text_ccnet_buckets": 7,

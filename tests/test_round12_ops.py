@@ -247,6 +247,35 @@ def test_data_card_consistency(spark):
     assert any(r.effective_docs_micro < r.n_docs * 1000000 for r in rows)
 
 
+def test_backtest_coldstart_population_disjoint(spark):
+    """The cold-start census covers EXACTLY the users the warm backtests
+    cannot: disjoint from every pre-cutoff user, and together with the
+    popularity backtest's novel-eval users it covers all users with
+    post-cutoff activity whose items qualify for their protocol. Bounds:
+    hits <= min(k, n_post_items)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+        TOP_K,
+        _backtest_pre_post,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import (
+        prepare as _prep,
+    )
+
+    _prep(spark, SF0001)
+    rows = components()["rec_backtest_coldstart"].fn(spark, SF0001).collect()
+    pre, post = _backtest_pre_post(spark)
+    pre_users = {r.u for r in pre.select("u").distinct().collect()}
+    post_users = {r.u for r in post.select("u").distinct().collect()}
+    cold_expected = post_users - pre_users
+    assert {r.user_id for r in rows} == cold_expected
+    for r in rows:
+        assert 0 <= r.n_hits <= min(TOP_K, r.n_post_items)
+        assert r.p_at_k_micro == 1000000 * r.n_hits // TOP_K
+
+
 def test_ivf_incremental_add_contract(spark):
     """Incremental ANN ingestion: the contract rows must show the batch
     really arrived (queries unservable before, all servable after), the
