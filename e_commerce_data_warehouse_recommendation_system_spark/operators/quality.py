@@ -467,6 +467,113 @@ def dq_documents_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate(d, rules)
 
 
+#: md5-first-hex split of doc_id into the REFERENCE (0-7, ~half) vs
+#: CURRENT snapshot halves — the deterministic stand-in for week-over-week
+#: corpus snapshots the drift monitor compares
+DRIFT_REF_DIGITS = tuple("01234567")
+
+
+@component(
+    "dq_corpus_drift",
+    cols=[
+        ("lang", "str"),
+        ("n_ref", "num"),
+        ("n_cur", "num"),
+        ("share_ref_micro", "num"),
+        ("share_cur_micro", "num"),
+        ("share_delta_micro", "num"),
+        ("mean_chars_ref_micro", "num"),
+        ("mean_chars_cur_micro", "num"),
+    ],
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang, n_chars,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ({", ".join(f"'{d}'" for d in DRIFT_REF_DIGITS)}) AS is_ref
+      FROM documents
+    ),
+    tot AS (
+      SELECT SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS t_ref,
+             SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS t_cur
+      FROM tagged
+    ),
+    per_lang AS (
+      SELECT lang,
+             SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur,
+             SUM(CASE WHEN is_ref THEN n_chars ELSE 0 END) AS c_ref,
+             SUM(CASE WHEN is_ref THEN 0 ELSE n_chars END) AS c_cur
+      FROM tagged GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(1000000 * n_ref // GREATEST(t_ref, 1) AS BIGINT)
+             AS share_ref_micro,
+           CAST(1000000 * n_cur // GREATEST(t_cur, 1) AS BIGINT)
+             AS share_cur_micro,
+           CAST(ABS(1000000 * n_ref // GREATEST(t_ref, 1)
+                    - 1000000 * n_cur // GREATEST(t_cur, 1)) AS BIGINT)
+             AS share_delta_micro,
+           CAST(1000000 * c_ref // GREATEST(n_ref, 1) AS BIGINT)
+             AS mean_chars_ref_micro,
+           CAST(1000000 * c_cur // GREATEST(n_cur, 1) AS BIGINT)
+             AS mean_chars_cur_micro
+    FROM per_lang CROSS JOIN tot
+    """,
+)
+def dq_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS DRIFT MONITOR — the distribution-comparison gate a
+    continuously-ingested training corpus runs between snapshots: the
+    per-language composition (document share) and length profile (mean
+    chars) of the reference half vs the current half, with the per-lang
+    absolute share delta in integer micro units (summing it gives the
+    total-variation distance × 2 — the alert statistic; a PSI/KL form
+    needs ln(), which is not correctly-rounded identically across
+    engines — the text_lm_score lesson, so the monitor stays in exact
+    integer ratios). The two halves are deterministic md5 splits of one
+    fixture (the stand-in for week-over-week snapshots — the operator
+    takes any two frames in production). Everything is integer counts
+    and floor divisions: the whole monitor hash-matches cross-engine,
+    so a drifted ingest OR a broken monitor both flip cells.
+
+    Scale: ONE scan with a map-side split tag, one groupBy on the
+    bounded lang grain + a 1-row total broadcast — the dq_orders_checks
+    cost shape applied to drift."""
+    prepare(spark, sf_dir)
+    d = spark.table("documents")
+    is_ref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        *DRIFT_REF_DIGITS
+    )
+    tagged = d.select("lang", "n_chars", is_ref.alias("is_ref"))
+    per_lang = tagged.groupBy("lang").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+        F.sum(F.when(F.col("is_ref"), F.col("n_chars")).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(F.col("n_chars"))).alias("c_cur"),
+    )
+    tot = tagged.agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("t_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("t_cur"),
+    )
+    share_ref = F.expr("div(1000000 * n_ref, greatest(t_ref, 1))")
+    share_cur = F.expr("div(1000000 * n_cur, greatest(t_cur, 1))")
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        share_ref.cast("bigint").alias("share_ref_micro"),
+        share_cur.cast("bigint").alias("share_cur_micro"),
+        F.abs(share_ref - share_cur).cast("bigint").alias("share_delta_micro"),
+        F.expr("div(1000000 * c_ref, greatest(n_ref, 1))")
+        .cast("bigint")
+        .alias("mean_chars_ref_micro"),
+        F.expr("div(1000000 * c_cur, greatest(n_cur, 1))")
+        .cast("bigint")
+        .alias("mean_chars_cur_micro"),
+    )
+
+
 #: label domain of the embeddings table (topic/cluster ids in the fixture)
 EMB_LABEL_MAX = 9
 

@@ -103,6 +103,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         # DQ: the embeddings-table ingestion contract — dim/finiteness/
         # zero-norm/label/coverage + decimal-exact norm digest (round 12)
         "dq_embeddings_checks",
+        # DQ: snapshot-over-snapshot corpus drift monitor — per-lang share
+        # and length profile deltas in exact integer micro (round 12)
+        "dq_corpus_drift",
         # header-vs-lines reconciliation in exact scale-4 integer units
         "dq_reconcile_totals",
         # mergeable HLL sketches: daily -> monthly distinct via union

@@ -525,6 +525,9 @@ COMPONENT_SHUFFLE_BUDGET = {
     # round 12: cold-start census = the popularity backtest's two pruned
     # fact scans + cold anti-join + shelf top-k + per-user rollup
     "rec_backtest_coldstart": 8,
+    # round 12: drift monitor = one tagged scan -> lang rollup + the
+    # 1-row totals broadcast
+    "dq_corpus_drift": 2,
     # round 11: LM scoring (cached, runs once) + boundary agg + broadcast
     # assignment join
     "text_ccnet_buckets": 7,
