@@ -1466,6 +1466,150 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Streaming drift monitor: the online half of dq_corpus_drift
+# --------------------------------------------------------------------------
+
+
+def _sql_stream_drift() -> str:
+    # import for its registration side effect: guarantees the batch
+    # monitor exists in the registry even if THIS module is imported
+    # directly (outside registry._load_all's curated order)
+    import e_commerce_data_warehouse_recommendation_system_spark.operators.quality  # noqa: F401
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        _COMPONENTS,
+    )
+
+    # the batch monitor's oracle IS the streaming oracle: the terminal
+    # keyed state must equal the one-shot batch computation exactly
+    return _COMPONENTS["dq_corpus_drift"].oracle
+
+
+@component(
+    "stream_drift_monitor",
+    cols=[
+        ("lang", "str"),
+        ("n_ref", "num"),
+        ("n_cur", "num"),
+        ("share_ref_micro", "num"),
+        ("share_cur_micro", "num"),
+        ("share_delta_micro", "num"),
+        ("mean_chars_ref_micro", "num"),
+        ("mean_chars_cur_micro", "num"),
+    ],
+    oracle=_sql_stream_drift(),
+)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE drift monitoring — the streaming half of
+    :func:`~...operators.quality.dq_corpus_drift`: documents land in
+    micro-batches (three doc_id % 3 shard files, maxFilesPerTrigger=1),
+    each batch folds into a KEYED per-language counter state
+    (ref/cur doc and char sums — the split tag derives from the ROW's
+    md5, not the batch id) via a foreachBatch upsert, and the terminal
+    state renders the drift table. Integer-sum merges are commutative
+    and associative, so the terminal state is ORDER-INDEPENDENT — the
+    property that lets the BATCH monitor's oracle check the stream
+    verbatim (the stream_curation_ingest convention). This is how a
+    drift alert actually deploys: counters maintained continuously at
+    ingest, the alert statistic read from state, never a corpus rescan.
+
+    Scale: per batch, one map-side tag + a groupBy onto the bounded lang
+    grain; the state merge is |langs| rows (KBs at any corpus size); the
+    terminal render is arithmetic over the state."""
+    import os
+
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.quality import (
+        DRIFT_REF_DIGITS,
+    )
+
+    prepare(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ecomdw_drift_")
+    stage = f"{tmp}/landing"
+    os.makedirs(stage)
+    docs = spark.table("documents")
+    for b in range(3):
+        shard_dir = f"{tmp}/shard{b}"
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(shard_dir)
+        part = [f for f in os.listdir(shard_dir) if f.endswith(".parquet")][0]
+        os.symlink(f"{shard_dir}/{part}", f"{stage}/shard{b}.parquet")
+
+    state = {"dir": None}
+    root = f"{tmp}/state"
+    os.makedirs(root)
+    is_ref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        *DRIFT_REF_DIGITS
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        inc = (
+            batch_df.select("lang", "n_chars", is_ref.alias("is_ref"))
+            .groupBy("lang")
+            .agg(
+                F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+                F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+                F.sum(F.when(F.col("is_ref"), F.col("n_chars")).otherwise(0)).alias(
+                    "c_ref"
+                ),
+                F.sum(
+                    F.when(F.col("is_ref"), 0).otherwise(F.col("n_chars"))
+                ).alias("c_cur"),
+            )
+        )
+        if state["dir"] is not None:
+            inc = inc.unionByName(sp.read.parquet(state["dir"]))
+        merged = inc.groupBy("lang").agg(
+            F.sum("n_ref").alias("n_ref"),
+            F.sum("n_cur").alias("n_cur"),
+            F.sum("c_ref").alias("c_ref"),
+            F.sum("c_cur").alias("c_cur"),
+        )
+        out = f"{root}/v{batch_id}"
+        merged.write.parquet(out)
+        state["dir"] = out
+
+    schema = spark.read.parquet(stage).schema
+    try:
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        st = spark.read.parquet(state["dir"])
+        tot = st.agg(
+            F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+        )
+        share_ref = F.expr("div(1000000 * n_ref, greatest(t_ref, 1))")
+        share_cur = F.expr("div(1000000 * n_cur, greatest(t_cur, 1))")
+        return (
+            st.crossJoin(F.broadcast(tot))
+            .select(
+                "lang",
+                F.col("n_ref").cast("bigint").alias("n_ref"),
+                F.col("n_cur").cast("bigint").alias("n_cur"),
+                share_ref.cast("bigint").alias("share_ref_micro"),
+                share_cur.cast("bigint").alias("share_cur_micro"),
+                F.abs(share_ref - share_cur)
+                .cast("bigint")
+                .alias("share_delta_micro"),
+                F.expr("div(1000000 * c_ref, greatest(n_ref, 1))")
+                .cast("bigint")
+                .alias("mean_chars_ref_micro"),
+                F.expr("div(1000000 * c_cur, greatest(n_cur, 1))")
+                .cast("bigint")
+                .alias("mean_chars_cur_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # Incremental tape packing: the streaming half of the packing family
 # --------------------------------------------------------------------------
 

@@ -370,6 +370,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         # the streaming half: micro-batch funnel + min-wins hash-dedup
         # upsert (order-independent terminal corpus, per-shard audit)
         "stream_curation_ingest",
+        # online drift monitoring: keyed per-lang counter state folded
+        # per micro-batch; terminal state == the batch monitor (round 12)
+        "stream_drift_monitor",
         # incremental tape packing: per-batch local two-phase offsets +
         # per-language running state == the batch manifest row-for-row
         # (cross-MODE differential; order-monotonicity asserted)
