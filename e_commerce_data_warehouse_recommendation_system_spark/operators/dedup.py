@@ -809,12 +809,32 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused_topk
 
 
+#: memoized hybrid-retrieval builds, keyed (applicationId, sf_dir) — the
+#: _backtest_als_artifacts convention (recommend/queries.py): the shared
+#: build behind sim_hybrid_rrf and sim_hybrid_quality runs ONCE per
+#: session+SF, so a component sweep that checks both never rebuilds (or
+#: re-stages) the corpus-scale shingle frame twice (r12 verdict #1).
+_HYBRID_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
 def _hybrid_parts(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(vec_topk, lex_topk, fused_topk) — the shared build behind
-    sim_hybrid_rrf and sim_hybrid_quality; one definition, two consumers
-    (mirrors the shared SQL CTE body in :func:`_sql_hybrid_ctes`)."""
+    sim_hybrid_rrf and sim_hybrid_quality: ONE Spark build, two consumers
+    (memoized per session+sf_dir; mirrors the shared SQL CTE body in
+    :func:`_sql_hybrid_ctes`). The three returned frames are eagerly
+    localCheckpointed — queries × k rows each, so the staged blocks are
+    bounded regardless of corpus size and ContextCleaner-reclaimed when
+    the memo entry drops; the corpus-scale shingle frame is a local
+    variable that is never persisted (its two consumers — the query
+    subset and the sizes rollup — execute within the one eager build)."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _HYBRID_CACHE:
+        return _HYBRID_CACHE[cache_key]
+    for stale in [k for k in _HYBRID_CACHE if k[0] != cache_key[0]]:
+        del _HYBRID_CACHE[stale]  # dead session: its frames are unusable
+
     from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
         QUERY_MODULUS,
         TOPK,
@@ -824,7 +844,11 @@ def _hybrid_parts(
     vec_topk = sim_cosine_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.col("rnk").alias("v_rnk")
     )
-    sh = shingle_rows(spark).cache()  # three consumers: queries, corpus, sizes
+    # corpus-scale; staged ONCE for its in-build consumers (queries,
+    # corpus side of the join, sizes) then dropped — an eager
+    # localCheckpoint is ContextCleaner-reclaimed when `sh` goes out of
+    # scope, unlike the never-unpersisted .cache() this replaces
+    sh = shingle_rows(spark).localCheckpoint(eager=True)
     qsh = sh.filter(F.col("doc_id") % QUERY_MODULUS == 0).select(
         F.col("doc_id").alias("query_id"), "s"
     )
@@ -874,11 +898,13 @@ def _hybrid_parts(
             F.col("l_rnk").isNotNull().alias("from_lexical"),
         )
     )
-    return (
-        vec_topk.select("query_id", "neighbor_id"),
-        lex_topk.select("query_id", "neighbor_id"),
-        fused_topk,
+    parts = (
+        vec_topk.select("query_id", "neighbor_id").localCheckpoint(eager=True),
+        lex_topk.select("query_id", "neighbor_id").localCheckpoint(eager=True),
+        fused_topk.localCheckpoint(eager=True),
     )
+    _HYBRID_CACHE[cache_key] = parts
+    return parts
 
 
 def _sql_hybrid_quality() -> str:
@@ -956,10 +982,8 @@ def sim_hybrid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k frames — the census costs two semi-joins and counts on frames
     whose size is queries × k, regardless of corpus size."""
     prepare(spark, sf_dir)
+    # the parts arrive already localCheckpointed (memoized shared build)
     vec_topk, lex_topk, fused_topk = _hybrid_parts(spark, sf_dir)
-    fused_topk = fused_topk.localCheckpoint(eager=True)
-    vec_topk = vec_topk.localCheckpoint(eager=True)
-    lex_topk = lex_topk.localCheckpoint(eager=True)
     n_vec_q = vec_topk.select("query_id").distinct().count()
     n_lex_q = lex_topk.select("query_id").distinct().count()
     n_fused_q = fused_topk.select("query_id").distinct().count()

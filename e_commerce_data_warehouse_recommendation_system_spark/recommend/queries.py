@@ -2922,10 +2922,11 @@ def _backtest_als_artifacts(spark: SparkSession, sf_dir: str) -> dict:
     # pool sizing: k' = MMR_POOL + max pre-items over eval users guarantees
     # >= MMR_POOL (>= TOP_K) unseen candidates per user after the seen
     # anti-join — so n_pred == TOP_K is a STRUCTURAL invariant the census
-    # oracle can pin, not a hope. Two bounded scalars collect here
-    # (documented 1-row class). At 100 TB a mega-user cap replaces the
-    # global max (accepting n_pred < k for capped users — the census's
-    # n_pred column is computed genuinely either way).
+    # oracle can pin, not a hope (asserted below: the pool must FIT the
+    # catalog, never silently clamp to it). Two bounded scalars collect
+    # here (documented 1-row class). At 100 TB a mega-user cap replaces
+    # the global max (accepting n_pred < k for capped users — the
+    # census's n_pred column is computed genuinely either way).
     max_seen = (
         pre.join(eval_users, "u", "left_semi")
         .groupBy("u")
@@ -2934,7 +2935,22 @@ def _backtest_als_artifacts(spark: SparkSession, sf_dir: str) -> dict:
         .first()[0]
     )
     n_items = items.count()
-    k_pool = min(MMR_POOL + int(max_seen), int(n_items))
+    k_pool = MMR_POOL + int(max_seen)
+    # The width guarantee is only a STRUCTURAL invariant while the pool
+    # fits the catalog: if it didn't, a user with many pre-cutoff items
+    # could end up with fewer than TOP_K unseen candidates and the census
+    # oracle's hardcoded n_pred = TOP_K would false-mismatch (r12 ADVICE).
+    # Fail loudly instead of silently clamping — on a catalog where this
+    # binds, the honest fix is a per-user n_pred bound in the oracle, not
+    # a quiet clamp that voids the pinned invariant.
+    if k_pool > int(n_items):
+        raise AssertionError(
+            f"backtest pool width {k_pool} (MMR_POOL={MMR_POOL} + "
+            f"max_seen={int(max_seen)}) exceeds the item catalog "
+            f"({int(n_items)}): the n_pred == TOP_K invariant the census "
+            "oracle pins would be void — widen the catalog or switch the "
+            "oracle to a per-user LEAST(TOP_K, n_items - n_seen) bound"
+        )
     subset = users.join(eval_users, "u", "left_semi")
     recs = model.recommendForUserSubset(subset, k_pool)
     exploded = recs.select(
@@ -3197,11 +3213,22 @@ def _sql_backtest_leaderboard() -> str:
     WITH pop AS ({_sql_backtest_popularity()}),
     repu AS ({_sql_backtest_repurchase()}),
     mkv AS ({_sql_backtest_markov()}),
-    als AS ({_sql_backtest_als_census()})
+    als AS ({_sql_backtest_als_census()}),
+    pre_users AS (
+      SELECT DISTINCT o_custkey AS u
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate < TIMESTAMP '{BACKTEST_CUTOFF}'
+    )
     SELECT
       CAST((SELECT COUNT(*) FROM pop) AS BIGINT) AS pop_users,
       CAST((SELECT SUM(n_novel_items) FROM pop) AS BIGINT) AS pop_truth,
       CAST((SELECT SUM(n_hits) FROM pop) AS BIGINT) AS pop_hits,
+      CAST((SELECT COUNT(*) FROM pop
+            WHERE user_id IN (SELECT u FROM pre_users)) AS BIGINT)
+        AS pop_warm_users,
+      CAST((SELECT COALESCE(SUM(n_hits), 0) FROM pop
+            WHERE user_id IN (SELECT u FROM pre_users)) AS BIGINT)
+        AS pop_warm_hits,
       CAST((SELECT COUNT(*) FROM repu) AS BIGINT) AS repu_users,
       CAST((SELECT SUM(n_post_items) FROM repu) AS BIGINT) AS repu_truth,
       CAST((SELECT SUM(n_hits) FROM repu) AS BIGINT) AS repu_hits,
@@ -3223,6 +3250,8 @@ def _sql_backtest_leaderboard() -> str:
         ("pop_users", "num"),
         ("pop_truth", "num"),
         ("pop_hits", "num"),
+        ("pop_warm_users", "num"),
+        ("pop_warm_hits", "num"),
         ("repu_users", "num"),
         ("repu_truth", "num"),
         ("repu_hits", "num"),
@@ -3248,17 +3277,37 @@ def rec_backtest_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     follow the digest convention: floor flags computed from the genuinely
     measured micro hit-rates (plain and MMR-diversified shelves), with
     the measured rates + lift-vs-popularity recorded in COVERAGE.md and
-    pinned by pytest floors (tests/test_round12_ops.py).
+    pinned by pytest floors (tests/test_round12_ops.py). The floor's
+    popularity denominator is the WARM population (pop_warm_* columns:
+    novel-truth users present pre-cutoff — ALS's exact eval population),
+    so the flag compares the two models on identical users; the
+    full-population popularity numbers (which include cold users only
+    the baseline can serve) stay reported side by side (r12 ADVICE).
 
     Scale: the baseline aggregates reuse their components' postures;
     ALS numbers come from the memoized backtest artifacts (one extra
     subset-serve, no refit); everything emitted here is a 1-row scalar
     frame (documented bounded crossJoin class)."""
     prepare(spark, sf_dir)
-    pop = rec_backtest_popularity(spark, sf_dir).agg(
+    art = _backtest_als_artifacts(spark, sf_dir)
+    pop_census = rec_backtest_popularity(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # two consumers (full + warm aggregates); one user-grain frame
+    pop = pop_census.agg(
         F.count(F.lit(1)).cast("bigint").alias("pop_users"),
         F.sum("n_novel_items").cast("bigint").alias("pop_truth"),
         F.sum("n_hits").cast("bigint").alias("pop_hits"),
+    )
+    # popularity restricted to the ALS-eval population (pre-present users)
+    # — the SAME denominator as the learned model, so the floor compares
+    # like with like (r12 ADVICE: the full-population rate includes cold
+    # users the model never scores, confounding the lift)
+    warm_users = art["pre"].select(F.col("u").alias("user_id")).distinct()
+    pop_warm = pop_census.join(warm_users, "user_id", "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pop_warm_users"),
+        F.coalesce(F.sum("n_hits"), F.lit(0))
+        .cast("bigint")
+        .alias("pop_warm_hits"),
     )
     repu = rec_backtest_repurchase(spark, sf_dir).agg(
         F.count(F.lit(1)).cast("bigint").alias("repu_users"),
@@ -3272,12 +3321,19 @@ def rec_backtest_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_hits").cast("bigint").alias("mkv_hits"),
     )
     rates = _backtest_als_rates(spark, sf_dir)
-    # popularity's micro rate on the same protocol — the relative floor's
-    # denominator (1-row collect, documented bounded class)
-    p = pop.first()
-    pop_rate = 0 if p.pop_users == 0 else 1000000 * p.pop_hits // (p.pop_users * TOP_K)
+    # the floor's denominator: popularity's micro rate ON THE WARM
+    # POPULATION — identical eval users to ALS, so lift is not confounded
+    # by cold users only the baseline serves (1-row collect, documented
+    # bounded class); the full-population rate stays reported separately
+    # in pop_users/pop_hits
+    pw = pop_warm.first()
+    pop_rate = (
+        0
+        if pw.pop_warm_users == 0
+        else 1000000 * pw.pop_warm_hits // (pw.pop_warm_users * TOP_K)
+    )
     floor = pop_rate * BACKTEST_ALS_LIFT_FLOOR_PCT  # both sides ×100
-    truth = _backtest_als_artifacts(spark, sf_dir)["truth"]
+    truth = art["truth"]
     als = truth.agg(
         F.countDistinct("u").cast("bigint").alias("als_users"),
         F.count(F.lit(1)).cast("bigint").alias("als_truth"),
@@ -3289,7 +3345,7 @@ def rec_backtest_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "als_mmr_rate_floor_met"
         ),
     )
-    return pop.crossJoin(repu).crossJoin(mkv).crossJoin(als)
+    return pop.crossJoin(pop_warm).crossJoin(repu).crossJoin(mkv).crossJoin(als)
 
 
 # --------------------------------------------------------------------------

@@ -1424,6 +1424,13 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
+        out = f"{root}/v{batch_id}"
+        if os.path.exists(out):
+            # foreachBatch is AT-LEAST-ONCE: a retried micro-batch must not
+            # re-fold (the md5-min merge is idempotent, but the versioned
+            # write is errorifexists) — the committed version IS the fold
+            state["dir"] = out
+            return
         _acc(batch_df, "in")
         kept = batch_df.filter(keep)
         _acc(kept, "funnel")
@@ -1432,7 +1439,6 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur = sp.read.parquet(state["dir"])
             fresh = fresh.unionByName(cur)
         merged = fresh.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-        out = f"{root}/v{batch_id}"
         merged.write.parquet(out)
         state["dir"] = out
 
@@ -1511,6 +1517,12 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim (the stream_curation_ingest convention). This is how a
     drift alert actually deploys: counters maintained continuously at
     ingest, the alert statistic read from state, never a corpus rescan.
+    The fold is IDEMPOTENT per batch_id (r12 ADVICE): foreachBatch is
+    at-least-once, so a replayed micro-batch finds its committed
+    ``v{batch_id}`` state version and re-points instead of double-counting
+    (or crashing on the errorifexists write), and the base state is the
+    highest committed version read from the store — restart-safe, not an
+    in-memory pointer.
 
     Scale: per batch, one map-side tag + a groupBy onto the bounded lang
     grain; the state merge is |langs| rows (KBs at any corpus size); the
@@ -1541,6 +1553,23 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
+        out = f"{root}/v{batch_id}"
+        if os.path.exists(out):
+            # foreachBatch is AT-LEAST-ONCE and this fold INCREMENTS: a
+            # retried micro-batch must not double-count (nor crash on the
+            # errorifexists write) — the committed version IS this batch's
+            # fold, so a replay just re-points at it (r12 ADVICE)
+            state["dir"] = out
+            return
+        # base state = highest COMMITTED version below this batch, read
+        # from the store, not the in-memory pointer — correct across a
+        # process restart resuming from the stream checkpoint
+        prior = sorted(
+            int(d[1:])
+            for d in os.listdir(root)
+            if d.startswith("v") and int(d[1:]) < batch_id
+        )
+        base = f"{root}/v{prior[-1]}" if prior else None
         inc = (
             batch_df.select("lang", "n_chars", is_ref.alias("is_ref"))
             .groupBy("lang")
@@ -1555,15 +1584,14 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("c_cur"),
             )
         )
-        if state["dir"] is not None:
-            inc = inc.unionByName(sp.read.parquet(state["dir"]))
+        if base is not None:
+            inc = inc.unionByName(sp.read.parquet(base))
         merged = inc.groupBy("lang").agg(
             F.sum("n_ref").alias("n_ref"),
             F.sum("n_cur").alias("n_cur"),
             F.sum("c_ref").alias("c_ref"),
             F.sum("c_cur").alias("c_cur"),
         )
-        out = f"{root}/v{batch_id}"
         merged.write.parquet(out)
         state["dir"] = out
 

@@ -13,8 +13,10 @@ deliberately regenerated (and its bounded-class justification reviewed):
     python scripts/audit_antipatterns.py --update   # regenerate AUDIT.json
     python scripts/audit_antipatterns.py --sites collect   # list the sites
 
-Counting rule: LINE hits (grep -rn | wc -l semantics, the commands
-recorded in COVERAGE.md), non-test package code only. The patterns are
+Counting rule: LINE hits over CODE (each line is truncated at its first
+``#`` before matching, so a docstring-free comment mentioning an
+anti-pattern never counts — prose about ``.cache()`` is not a cache
+site), non-test package code only. The patterns are
 the audit's four anti-pattern classes plus the documented Arrow-boundary
 sites (applyInPandas/mapInPandas), whose count is recorded so "Python
 leaves the JVM only through Arrow at documented sites" stays checkable.
@@ -45,6 +47,16 @@ PATTERNS: dict[str, str] = {
     "collect": r"\.collect\(\)",
     # Arrow boundary sites — the ONLY places Python touches row data
     "arrow_sites": r"applyInPandas|mapInPandas",
+    # .cache() sites (r12 verdict #1: the never-unpersisted-corpus-cache
+    # class was re-introduced the same round it was fixed elsewhere — the
+    # count is now a recorded audit class, so ANY new cache site fails CI
+    # until deliberately regenerated and its boundedness reviewed; the
+    # managed alternative for corpus-scale staging is an eager
+    # localCheckpoint, ContextCleaner-reclaimed when the frame drops)
+    "cache": r"\.cache\(\)",
+    # eager-staging sites (localCheckpoint) — recorded so the
+    # cache-vs-staged split stays visible round over round
+    "local_checkpoint": r"\.localCheckpoint\(",
 }
 
 #: hard ceilings independent of the recorded counts: these two classes
@@ -52,15 +64,39 @@ PATTERNS: dict[str, str] = {
 HARD_ZERO = ("udf", "toPandas")
 
 
-def measure() -> dict[str, int]:
+def _code(line: str) -> str:
+    """The code part of a line: truncated at the first ``#``. Naive about
+    ``#`` inside string literals — acceptable here because none of the
+    audited patterns plausibly follows a hash inside a string."""
+    return line.split("#", 1)[0]
+
+
+def measure(pkg: Path = PKG) -> dict[str, int]:
     counts = dict.fromkeys(PATTERNS, 0)
     compiled = {k: re.compile(v) for k, v in PATTERNS.items()}
-    for path in sorted(PKG.rglob("*.py")):
+    for path in sorted(pkg.rglob("*.py")):
         for line in path.read_text(encoding="utf-8").splitlines():
             for key, rx in compiled.items():
-                if rx.search(line):
+                if rx.search(_code(line)):
                     counts[key] += 1
     return counts
+
+
+def cache_by_file(pkg: Path = PKG) -> dict[str, int]:
+    """Per-file ``.cache()`` site counts — the cache-hygiene ledger: a new
+    cache site shows up as a per-file delta, so review targets the file
+    that moved, not a repo-wide diff."""
+    rx = re.compile(PATTERNS["cache"])
+    out: dict[str, int] = {}
+    for path in sorted(pkg.rglob("*.py")):
+        n = sum(
+            1
+            for line in path.read_text(encoding="utf-8").splitlines()
+            if rx.search(_code(line))
+        )
+        if n:
+            out[str(path.relative_to(pkg))] = n
+    return out
 
 
 def sites(key: str) -> list[str]:
@@ -68,7 +104,7 @@ def sites(key: str) -> list[str]:
     out = []
     for path in sorted(PKG.rglob("*.py")):
         for i, line in enumerate(path.read_text(encoding="utf-8").splitlines(), 1):
-            if rx.search(line):
+            if rx.search(_code(line)):
                 out.append(f"{path.relative_to(REPO)}:{i}: {line.strip()}")
     return out
 
@@ -77,9 +113,17 @@ def recorded() -> dict[str, int]:
     return json.loads(AUDIT_JSON.read_text())["counts"]
 
 
+def recorded_cache_by_file() -> dict[str, int]:
+    return json.loads(AUDIT_JSON.read_text()).get("cache_by_file", {})
+
+
 def check() -> tuple[bool, dict[str, int], dict[str, int]]:
     got, want = measure(), recorded()
-    ok = got == want and all(got[k] == 0 for k in HARD_ZERO)
+    ok = (
+        got == want
+        and all(got[k] == 0 for k in HARD_ZERO)
+        and cache_by_file() == recorded_cache_by_file()
+    )
     return ok, got, want
 
 
@@ -100,6 +144,7 @@ def main() -> int:
                     "note": "generated by scripts/audit_antipatterns.py --update;"
                     " COVERAGE.md cites this file instead of transcribing counts",
                     "counts": got,
+                    "cache_by_file": cache_by_file(),
                 },
                 indent=2,
             )

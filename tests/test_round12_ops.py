@@ -311,6 +311,11 @@ def test_backtest_leaderboard_totals_consistent(spark):
     pop_u, pop_h, _ = _pop_rate_micro(spark)
     assert row.pop_users == pop_u
     assert row.pop_hits == pop_h
+    # warm restriction (r12 ADVICE): the floor's popularity denominator is
+    # the ALS-eval population EXACTLY — novel-truth users present pre-cutoff
+    assert row.pop_warm_users == row.als_users
+    assert row.pop_warm_hits <= row.pop_hits
+    assert row.pop_warm_users <= row.pop_users
     assert row.als_users <= row.pop_users  # cold users drop from ALS's side
     assert row.als_truth <= row.pop_truth
     assert row.als_rate_floor_met
