@@ -41,10 +41,89 @@ SLOT_HISTORY: dict[str, dict] = {
 }
 
 
+#: Host-speed calibration (r12 verdict #1): three consecutive rounds of
+#: bench archaeology ("is the 72->119 s rise code or box?") because the
+#: artifact carried no measure of how fast the HOST was when it was
+#: recorded. Two deterministic fixed-work CPU probes — single-thread
+#: (per-core speed / frequency throttling) and 32-process (all-core
+#: contention, the shape Spark slots actually run) — run at sweep start
+#: and end; their ratio to the pinned idle reference is the slowdown
+#: factor that normalizes slot deltas round-over-round. References were
+#: measured min-of-3 on this box at loadavg < 2 (round 13).
+CALIB_REF_SINGLE_SEC = 0.17
+CALIB_REF_MULTI_SEC = 0.71
+CALIB_PROCS = 32
+#: a sweep started above this 1-min loadavg first WAITS (the r12 artifact
+#: was recorded at loadavg 10.38 and its headline overstated even the
+#: slowed host); if the box never settles, the sweep still runs — a
+#: missing BENCH_r{N} is worse than a flagged one — but the artifact
+#: carries degraded_host=true plus the calibration evidence.
+BENCH_LOADAVG_GATE = float(os.environ.get("BENCH_LOADAVG_GATE", "4.0"))
+BENCH_LOAD_WAIT_SEC = int(os.environ.get("BENCH_LOAD_WAIT_SEC", "300"))
+
+
+def _calib_work(_=None) -> int:
+    """Fixed, seeded, pure-CPU work: xorshift + sort over a 2M int64
+    array, 5 rounds. Deterministic (result value pinned below) so the
+    probe can never optimize away or vary by input."""
+    import numpy as np
+
+    rng = np.random.default_rng(12345)
+    a = rng.integers(0, 1 << 60, size=2_000_000, dtype=np.int64)
+    for _ in range(5):
+        a = np.sort(a ^ (a >> 13))
+    return int(a[0])
+
+
+def calibrate() -> dict:
+    """min-of-3 single-thread and 32-process probe times + slowdown
+    factors vs the pinned idle reference. ~5 s on an idle box."""
+    from multiprocessing import Pool
+
+    _calib_work()  # warm numpy + page cache off the clock
+    with Pool(CALIB_PROCS) as p:  # warm the fork path off the clock too:
+        p.map(_calib_work, range(CALIB_PROCS))  # cold first map read 5x
+    single, multi = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        assert _calib_work() == 40315031199  # seeded => exact
+        single.append(time.perf_counter() - t0)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        with Pool(CALIB_PROCS) as p:
+            p.map(_calib_work, range(CALIB_PROCS))
+        multi.append(time.perf_counter() - t0)
+    st, mt = min(single), min(multi)
+    return {
+        "single_sec": round(st, 3),
+        "multi32_sec": round(mt, 3),
+        "single_slowdown": round(st / CALIB_REF_SINGLE_SEC, 3),
+        "multi32_slowdown": round(mt / CALIB_REF_MULTI_SEC, 3),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    # Load gate: never record the round's comparison artifact from a box
+    # that is still busy (r12: loadavg 10.38 at start, uninterpretable
+    # headline). Wait for settle; proceed-but-flag if it never does.
+    degraded_host = False
+    waited = 0
+    while os.getloadavg()[0] > BENCH_LOADAVG_GATE and waited < BENCH_LOAD_WAIT_SEC:
+        print(
+            f"# load gate: loadavg {os.getloadavg()[0]:.2f} > "
+            f"{BENCH_LOADAVG_GATE}, waiting ({waited}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
+    if os.getloadavg()[0] > BENCH_LOADAVG_GATE:
+        degraded_host = True
     loadavg_start = round(os.getloadavg()[0], 2)
+    calib_start = calibrate()
 
     from e_commerce_data_warehouse_recommendation_system_spark import registry
     from e_commerce_data_warehouse_recommendation_system_spark.session import get_spark
@@ -169,14 +248,41 @@ def main() -> None:
     # carries ONLY the headline fields (~900 chars at 20 slots); the full
     # adjudication evidence (per-slot raw runs/spread + slot genealogy)
     # goes to the BENCH_stats.json sidecar + stderr.
+    calib_end = calibrate()
+    # Normalization: divide the raw total by the sweep's mean all-core
+    # slowdown (the shape Spark slots run). Slot-level deltas divide the
+    # same factor; reference values + both probes are recorded so a
+    # future round can re-derive or re-reference.
+    slowdown = round(
+        (calib_start["multi32_slowdown"] + calib_end["multi32_slowdown"]) / 2, 3
+    )
     sidecar = {
         "query_stats": stats,
         "slot_history": SLOT_HISTORY,
         "iterations": ITERS,
         "extra_iteration_floor_sec": EXTRA_ITER_FLOOR,
         "estimator": "min",
-        "adjudication": "riser is real only if spread < 1.1 and loadavg_1m "
-        "comparable to the idle baseline; see COVERAGE.md round 11",
+        "calibration": {
+            "start": calib_start,
+            "end": calib_end,
+            "reference": {
+                "single_sec": CALIB_REF_SINGLE_SEC,
+                "multi32_sec": CALIB_REF_MULTI_SEC,
+                "note": "idle floor, min over repeated warm runs (round 13)",
+            },
+            "sweep_multi32_slowdown": slowdown,
+            "loadavg_gate": BENCH_LOADAVG_GATE,
+            "degraded_host": degraded_host,
+        },
+        "adjudication": "slot deltas are judged on calibration-normalized "
+        "times (raw / sweep_multi32_slowdown); a riser is real only if its "
+        "NORMALIZED delta holds with spread < 1.1. Normalization DISMISSES "
+        "risers, never claims speedups: CPU-light slots inflate less than "
+        "the all-core probe under contention (measured round 13: 24-hog "
+        "load -> probe 3.1x, slots 1.2-2.3x), so a normalized FALL proves "
+        "nothing while a normalized rise survives any host excuse; "
+        "reference error cancels round-over-round (same definition both "
+        "sides). See COVERAGE.md round 13",
     }
     sidecar_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_stats.json")
     try:
@@ -197,6 +303,12 @@ def main() -> None:
             # wide per-slot spread without a code change.
             "loadavg_start": loadavg_start,
             "loadavg_end": round(os.getloadavg()[0], 2),
+            # host-speed evidence (full probe detail in the sidecar):
+            # value_normalized = value / calib_slowdown is the
+            # round-over-round comparable number
+            "calib_slowdown": slowdown,
+            "value_normalized": round(total / max(slowdown, 1e-9), 3),
+            **({"degraded_host": True} if degraded_host else {}),
             # a partial total sums only the slots that ran — flag it
             # STRUCTURALLY so a round with a failed slot can never read
             # as a speedup in round-over-round comparison
@@ -212,6 +324,9 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "loadavg_start": loadavg_start,
+                "calib_slowdown": slowdown,
+                "value_normalized": round(total / max(slowdown, 1e-9), 3),
+                **({"degraded_host": True} if degraded_host else {}),
                 **({"partial": True} if errors else {}),
             }
         )
