@@ -299,9 +299,27 @@ def two_phase_tape_offsets(
     checkpointed frame copies its rows for nothing (not measurable at the
     capstone's post-curation frame size locally, but a pure waste that
     grows with the survivor count at 100 TB); the default stays the safe
-    self-staging path."""
+    self-staging path. ``staged=True`` is ASSERTED, not trusted (r13):
+    the opt-out branch verifies the optimized plan is a materialized
+    scan / cached relation and raises otherwise."""
     if not staged:
         counted = counted.localCheckpoint(eager=True)
+    else:
+        # staged=True is a CONTRACT, not a hint (r12 verdict nit #3): both
+        # phases consume the input, so an unmaterialized frame would
+        # execute its lineage twice — the exact double-scan the two-phase
+        # design exists to avoid. Mechanical check: the optimized plan
+        # must be a materialized scan (LogicalRDD after a localCheckpoint
+        # / explicit checkpoint) or a cached relation — fail loudly
+        # otherwise instead of silently re-running the upstream DAG.
+        plan = counted._jdf.queryExecution().optimizedPlan().toString()
+        if not (plan.startswith("LogicalRDD") or "InMemoryRelation" in plan):
+            raise AssertionError(
+                "two_phase_tape_offsets(staged=True) requires a "
+                "MATERIALIZED input (localCheckpoint/checkpoint/cached); "
+                f"got an unmaterialized plan: {plan.splitlines()[0][:120]} "
+                "— drop staged=True to let the helper self-stage"
+            )
     bucketed = counted.withColumn(
         "_tb", F.expr(f"doc_id div {PACK_TAPE_BUCKET_DOCS}")
     )

@@ -2952,6 +2952,31 @@ def _backtest_als_artifacts(spark: SparkSession, sf_dir: str) -> dict:
             "oracle to a per-user LEAST(TOP_K, n_items - n_seen) bound"
         )
     subset = users.join(eval_users, "u", "left_semi")
+    pool = _unseen_ranked_pool(model, users, items, pre, subset, k_pool).cache()
+    art = {
+        "model": model,
+        "pre": pre,
+        "truth": truth,
+        "pool": pool,
+        "users": users,
+        "items": items,
+        "train": train,
+        "subset": subset,
+        "k_pool": k_pool,
+    }
+    _CACHE[cache_key] = art
+    return art
+
+
+def _unseen_ranked_pool(
+    model, users: DataFrame, items: DataFrame, pre: DataFrame,
+    subset: DataFrame, k_pool: int,
+) -> DataFrame:
+    """Decode a ``recommendForUserSubset`` shelf back to natural keys,
+    drop seen (pre-cutoff) items, and rank deterministically (score desc,
+    item asc) — the serving tail shared by the backtest census and the
+    hyperparameter grid (one subset-serve + one anti-join + a per-user
+    window over <= k_pool rows)."""
     recs = model.recommendForUserSubset(subset, k_pool)
     exploded = recs.select(
         "user_idx", F.explode("recommendations").alias("rec")
@@ -2965,23 +2990,10 @@ def _backtest_als_artifacts(spark: SparkSession, sf_dir: str) -> dict:
         .join(F.broadcast(items), "item_idx")
         .select("u", "i", "score", "item_idx")
     )
-    # unseen-filtered pool, deterministically ranked (score desc, item asc)
     w = Window.partitionBy("u").orderBy(F.desc("score"), F.asc("i"))
-    pool = (
-        decoded.join(pre, ["u", "i"], "left_anti")
-        .withColumn("rnk", F.row_number().over(w))
-        .cache()
+    return decoded.join(pre, ["u", "i"], "left_anti").withColumn(
+        "rnk", F.row_number().over(w)
     )
-    art = {
-        "model": model,
-        "pre": pre,
-        "truth": truth,
-        "pool": pool,
-        "items": items,
-        "k_pool": k_pool,
-    }
-    _CACHE[cache_key] = art
-    return art
 
 
 def _sql_backtest_als_census() -> str:
@@ -3346,6 +3358,164 @@ def rec_backtest_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return pop.crossJoin(pop_warm).crossJoin(repu).crossJoin(mkv).crossJoin(als)
+
+
+#: Hyperparameter sensitivity grid on the temporal split (r12 verdict #3):
+#: the shipped config first (the leaderboard's row), then the sweep. The
+#: sf0.1 leaderboard recorded lift-vs-popularity 0.947 — the learned model
+#: LOSING to popularity at the largest SF, explained as "TPC-H baskets are
+#: near-random"; this grid substantiates or refutes that with evidence
+#: instead of a shrug. reg is carried as integer milli-units (0.01 -> 10)
+#: so every emitted column stays hash-exact.
+BACKTEST_GRID: tuple[tuple[int, float], ...] = (
+    (RANK, REG),  # shipped config (16, 0.1)
+    (32, 0.01),
+    (32, 0.1),
+    (100, 0.01),
+    (100, 0.1),
+    (150, 0.01),
+    (150, 0.1),
+)
+
+
+def _backtest_grid_rates(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """Measured per-config micro hit-rates of the grid — memoized per
+    (session, sf_dir) so the component, the pytest floor, and a COVERAGE
+    record never refit. Each config is a full seeded ALS fit on the SAME
+    strictly-pre-cutoff training frame and is served/scored through the
+    SAME tail as the census (:func:`_unseen_ranked_pool` + the novel
+    truth), so rate differences are attributable to the hyperparameters
+    alone."""
+    from pyspark.ml.recommendation import ALS
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir, "backtest_grid")
+    if cache_key in _CACHE:
+        return _CACHE[cache_key]
+    art = _backtest_als_artifacts(spark, sf_dir)
+    truth = art["truth"]
+    n_users = truth.select("u").distinct().count()
+    n_truth = truth.count()
+    denom = n_users * TOP_K
+    rows: list[dict] = []
+    for r, reg in BACKTEST_GRID:
+        model = ALS(
+            rank=r,
+            maxIter=MAX_ITER,
+            regParam=reg,
+            alpha=ALPHA,
+            implicitPrefs=True,
+            seed=SEED,
+            userCol="user_idx",
+            itemCol="item_idx",
+            ratingCol="rating",
+            coldStartStrategy="drop",
+        ).fit(art["train"])
+        shelf = (
+            _unseen_ranked_pool(
+                model, art["users"], art["items"], art["pre"],
+                art["subset"], art["k_pool"],
+            )
+            .filter(F.col("rnk") <= TOP_K)
+            .select("u", "i")
+        )
+        n_hits = shelf.join(truth, ["u", "i"], "left_semi").count()
+        rows.append(
+            {
+                "als_rank": r,
+                "reg_milli": int(round(reg * 1000)),
+                "n_users": n_users,
+                "n_truth": n_truth,
+                "n_hits": n_hits,
+                "rate_micro": 0 if denom == 0 else 1000000 * n_hits // denom,
+            }
+        )
+    _CACHE[cache_key] = rows
+    return rows
+
+
+def _sql_backtest_als_grid() -> str:
+    grid_values = ", ".join(
+        f"({r}, {int(round(reg * 1000))})" for r, reg in BACKTEST_GRID
+    )
+    return f"""
+    WITH pre AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate < TIMESTAMP '{BACKTEST_CUTOFF}'
+    ),
+    post AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate >= TIMESTAMP '{BACKTEST_CUTOFF}'
+    ),
+    novel AS (SELECT u, i FROM post EXCEPT SELECT u, i FROM pre),
+    truth AS (SELECT u, i FROM novel WHERE u IN (SELECT DISTINCT u FROM pre)),
+    scalars AS (
+      SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+             CAST(COUNT(*) AS BIGINT) AS n_truth
+      FROM truth
+    )
+    SELECT CAST(g.als_rank AS BIGINT) AS als_rank,
+           CAST(g.reg_milli AS BIGINT) AS reg_milli,
+           s.n_users, s.n_truth,
+           TRUE AS rate_bounded_ok,
+           TRUE AS hits_bounded_ok
+    FROM (VALUES {grid_values}) AS g(als_rank, reg_milli)
+    CROSS JOIN scalars s
+    """
+
+
+@component(
+    "rec_backtest_als_grid",
+    oracle=_sql_backtest_als_grid(),
+    cols=[
+        ("als_rank", "num"),
+        ("reg_milli", "num"),
+        ("n_users", "num"),
+        ("n_truth", "num"),
+        ("rate_bounded_ok", "bool"),
+        ("hits_bounded_ok", "bool"),
+    ],
+)
+def rec_backtest_als_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERPARAMETER SENSITIVITY of the temporal ALS backtest — one row
+    per (rank, regParam) config: the shipped config plus a rank
+    {32,100,150} x reg {0.01,0.1} sweep, every config trained on the
+    identical strictly-pre-cutoff frame and scored on the identical
+    novel-truth protocol (so the recorded rate differences isolate the
+    hyperparameters). Census columns follow the digest convention for
+    model-valued scores: config and eval population are SQL-exact; the
+    measured hit counts fold into flags computed from the REAL per-config
+    shelves — rate_bounded_ok (0 <= rate <= 1e6) and hits_bounded_ok
+    (n_hits <= min(n_users * k, n_truth)); the measured per-config rates
+    are recorded in COVERAGE.md and floored in pytest
+    (tests/test_round13_ops.py). Reference: mf_knn_recommender.py
+    hardcodes its factor count — this grid is the tuning record the
+    reference never kept.
+
+    Scale: one ALS fit per config over the pre slice (the same MLlib
+    block shuffles as the production fit, grid-bounded count of them);
+    serving/scoring reuses the census tail — subset-serve over
+    left-semi-pruned eval users, one anti-join, one semi-join count per
+    config. The only collects are the memoized artifacts' two sizing
+    scalars plus one bounded count per config."""
+    prepare(spark, sf_dir)
+    rows = _backtest_grid_rates(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (
+                r["als_rank"],
+                r["reg_milli"],
+                r["n_users"],
+                r["n_truth"],
+                0 <= r["rate_micro"] <= 1000000,
+                r["n_hits"] <= min(r["n_users"] * TOP_K, r["n_truth"]),
+            )
+            for r in rows
+        ],
+        schema="als_rank bigint, reg_milli bigint, n_users bigint, "
+        "n_truth bigint, rate_bounded_ok boolean, hits_bounded_ok boolean",
+    )
 
 
 # --------------------------------------------------------------------------

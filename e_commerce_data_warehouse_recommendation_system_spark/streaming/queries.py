@@ -2099,3 +2099,190 @@ def _bench_fold_in_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rec_fold_in_user_factors(
         spark, sf_dir, interactions_df=art["test"].select("user_idx", "item_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Online serving-quality monitor: the streaming half of the ALS backtest
+# --------------------------------------------------------------------------
+
+
+def _sql_stream_serving_quality() -> str:
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+        BACKTEST_CUTOFF,
+    )
+
+    # the SQL-exact half of the census: eval population + per-user novel
+    # truth counts; the hit counters are model-valued (the served shelf
+    # comes from the seeded ALS) and fold into genuinely-computed flags
+    return f"""
+    WITH pre AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate < TIMESTAMP '{BACKTEST_CUTOFF}'
+    ),
+    post AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate >= TIMESTAMP '{BACKTEST_CUTOFF}'
+    ),
+    novel AS (SELECT u, i FROM post EXCEPT SELECT u, i FROM pre)
+    SELECT u AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_novel_items,
+           TRUE AS hits_bounded_ok,
+           TRUE AS terminal_equals_batch_ok
+    FROM novel WHERE u IN (SELECT DISTINCT u FROM pre)
+    GROUP BY u
+    """
+
+
+@component(
+    "stream_serving_quality",
+    oracle=_sql_stream_serving_quality(),
+    cols=[
+        ("user_id", "num"),
+        ("n_novel_items", "num"),
+        ("hits_bounded_ok", "bool"),
+        ("terminal_equals_batch_ok", "bool"),
+    ],
+)
+def stream_serving_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE serving-quality monitoring — the streaming half of
+    :func:`~...recommend.queries.rec_backtest_als` and the missing third
+    leg of the serving loop (fold-in watches freshness, drift watches
+    inputs; THIS watches whether the model is still answering well):
+    post-cutoff novel interactions of warm users arrive in micro-batches
+    (three item-sharded files, so each USER's counters accumulate ACROSS
+    batches — the keyed-state path is genuinely exercised), each batch
+    joins against the SERVED SHELF (the backtest model's top-k unseen
+    recommendations, fixed at deploy time) and folds per-user (truth,
+    hit) counters into versioned keyed state — the
+    :func:`stream_drift_monitor` convention: idempotent per batch_id,
+    base state read from the highest committed version, integer-sum
+    merges so the terminal state is order-independent and must equal the
+    one-shot batch census VERBATIM (pinned per-row in the
+    terminal_equals_batch_ok column, which the oracle expects TRUE for
+    every user — a stream/batch divergence flips the driver row red).
+
+    The arriving feed is the DEDUPED novel-pair stream (distinct (u, i)
+    sharded by item): pair-level replay dedup across batches is its own
+    component (stream_replay_dedup); this one monitors answer quality.
+
+    Scale: the shelf is users x k rows (broadcastable); per batch one
+    semi-join against pre pairs (novelty), one broadcast semi-join
+    against the shelf (hits), one groupBy onto the user grain; state is
+    |eval users| rows; the terminal render is arithmetic over state plus
+    one full-outer comparison join against the batch census."""
+    import os
+
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+        TOP_K,
+        _backtest_als_artifacts,
+    )
+
+    prepare(spark, sf_dir)
+    art = _backtest_als_artifacts(spark, sf_dir)
+    shelf = (
+        art["pool"]
+        .filter(F.col("rnk") <= TOP_K)
+        .select("u", "i")
+        .localCheckpoint(eager=True)  # users x k rows, fixed at "deploy"
+    )
+    truth = art["truth"]  # novel post-cutoff pairs of warm users
+
+    tmp = tempfile.mkdtemp(prefix="ecomdw_servq_")
+    stage = f"{tmp}/landing"
+    os.makedirs(stage)
+    # the arriving feed: the deduped novel warm-user pairs, sharded by
+    # ITEM so one user's pairs land in different micro-batches
+    for b in range(3):
+        shard_dir = f"{tmp}/shard{b}"
+        truth.filter(F.col("i") % 3 == b).coalesce(1).write.parquet(shard_dir)
+        part = [f for f in os.listdir(shard_dir) if f.endswith(".parquet")][0]
+        os.symlink(f"{shard_dir}/{part}", f"{stage}/shard{b}.parquet")
+
+    state = {"dir": None}
+    root = f"{tmp}/state"
+    os.makedirs(root)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        out = f"{root}/v{batch_id}"
+        if os.path.exists(out):
+            state["dir"] = out  # at-least-once replay: already folded
+            return
+        prior = sorted(
+            int(d[1:])
+            for d in os.listdir(root)
+            if d.startswith("v") and int(d[1:]) < batch_id
+        )
+        base = f"{root}/v{prior[-1]}" if prior else None
+        hits = batch_df.join(F.broadcast(shelf), ["u", "i"], "left_semi")
+        inc = (
+            batch_df.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("n_truth"))
+            .join(
+                hits.groupBy("u").agg(F.count(F.lit(1)).alias("n_hits")),
+                "u",
+                "left",
+            )
+            .select(
+                "u",
+                "n_truth",
+                F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            )
+        )
+        if base is not None:
+            inc = inc.unionByName(sp.read.parquet(base))
+        merged = inc.groupBy("u").agg(
+            F.sum("n_truth").alias("n_truth"), F.sum("n_hits").alias("n_hits")
+        )
+        merged.write.parquet(out)
+        state["dir"] = out
+
+    schema = spark.read.parquet(stage).schema
+    try:
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        st = spark.read.parquet(state["dir"])
+        # the one-shot batch census over the same shelf — the stream's
+        # terminal state must match it row-for-row
+        batch_census = (
+            truth.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("b_truth"))
+            .join(
+                shelf.join(truth, ["u", "i"], "left_semi")
+                .groupBy("u")
+                .agg(F.count(F.lit(1)).alias("b_hits")),
+                "u",
+                "left",
+            )
+            .select("u", "b_truth", F.coalesce("b_hits", F.lit(0)).alias("b_hits"))
+        )
+        return (
+            st.join(batch_census, "u", "full_outer")
+            .select(
+                F.col("u").alias("user_id"),
+                F.coalesce("b_truth", F.lit(0))
+                .cast("bigint")
+                .alias("n_novel_items"),
+                (
+                    F.coalesce("n_hits", F.lit(-1))
+                    <= F.least(F.lit(TOP_K), F.coalesce("n_truth", F.lit(0)))
+                ).alias("hits_bounded_ok"),
+                (
+                    (F.coalesce("n_truth", F.lit(-1)) == F.coalesce("b_truth", F.lit(-2)))
+                    & (F.coalesce("n_hits", F.lit(-1)) == F.coalesce("b_hits", F.lit(-2)))
+                ).alias("terminal_equals_batch_ok"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

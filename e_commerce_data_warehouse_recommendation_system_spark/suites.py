@@ -485,6 +485,15 @@ SUITE_SPECS: dict[str, list[str]] = {
         # cold-start census: the population the learned model drops,
         # scored on the popularity fallback shelf (round 12)
         "rec_backtest_coldstart",
+        # hyperparameter sensitivity: rank x reg sweep on the identical
+        # temporal protocol — the tuning record behind the sf0.1
+        # lift-vs-popularity question (round 13)
+        "rec_backtest_als_grid",
+        # online serving-quality monitor: keyed per-user (truth, hit)
+        # counters over arriving post-cutoff novel interactions vs the
+        # served shelf; terminal state == the batch census verbatim,
+        # pinned per row (round 13)
+        "stream_serving_quality",
     ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [

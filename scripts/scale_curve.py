@@ -298,6 +298,38 @@ def _rec_fixture_dir(spark, scale: int) -> str:
     return out
 
 
+def _stream_fixture_dir(spark, scale: int) -> str:
+    """Scaled fixture for the STREAMING family (r12 verdict #5): ``scale``
+    offset copies of events written as a single parquet FILE (the layout
+    ``_events_stream`` symlinks into its landing directory — a directory
+    named events.parquet would read as a stray partition dir to the file
+    source), all other tables symlinked. Offsets shift event_id/user_id so
+    keys scale with rows; ts/event_type stay, so the daily-upsert state
+    grain (day x type) is CONSTANT while per-batch volume grows xN — the
+    shape that separates linear per-batch work from state blowup."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    out = f"/tmp/scale_stream_fixture_v1_x{scale}"
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out)
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split()
+    for t in tables:
+        os.symlink(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")
+    ev_all = scaled_events(spark, scale)
+    tmp = f"{out}/_events_build"
+    ev_all.coalesce(1).write.parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    _sh.move(f"{tmp}/{part}", f"{out}/events.parquet")
+    _sh.rmtree(tmp)
+    return out
+
+
 def heavy_workloads(spark, scale: int) -> list[tuple[str, "object"]]:
     """The iterative/pair-mining heavies, driven end-to-end through their
     registered entry points on a scaled fixture dir:
@@ -404,6 +436,31 @@ def heavy_workloads(spark, scale: int) -> list[tuple[str, "object"]]:
         spark.catalog.clearCache()
         return dedup.dedup_minhash_lsh(spark, fixture).count()
 
+    stream_fixture = _stream_fixture_dir(spark, scale)
+
+    def stream_daily_upsert():
+        # the heaviest non-capstone bench slot (r12 verdict #5): full
+        # stream setup + AvailableNow drain + keyed partition-pruned
+        # upsert on xN events; state grain (day x type) constant by
+        # fixture construction, so the expected ratio is ~N (per-batch
+        # aggregate + one bounded merge), NOT state-dependent
+        from e_commerce_data_warehouse_recommendation_system_spark.streaming.queries import (
+            stream_event_daily_upsert,
+        )
+
+        return stream_event_daily_upsert(spark, stream_fixture).count()
+
+    def stream_ingest():
+        # streaming curation ingest on the copy-disjoint documents fixture
+        # (same corpus the capstone curve uses): funnel + md5-min dedup
+        # upsert per micro-batch; published state scales with survivors,
+        # per-batch work with arrivals -> expected ~N
+        from e_commerce_data_warehouse_recommendation_system_spark.streaming.queries import (
+            stream_curation_ingest,
+        )
+
+        return stream_curation_ingest(spark, curation_fixture).count()
+
     return [
         ("graph_triangles", triangles),
         ("ivf_pq_search", ivf_pq),
@@ -413,6 +470,8 @@ def heavy_workloads(spark, scale: int) -> list[tuple[str, "object"]]:
         ("text_curation_pipeline", curation_pipeline),
         ("rec_fold_in", fold_in),
         ("rec_pipeline_e2e", rec_pipeline),
+        ("stream_event_daily_upsert", stream_daily_upsert),
+        ("stream_curation_ingest", stream_ingest),
     ]
 
 

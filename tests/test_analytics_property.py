@@ -14,6 +14,9 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# full-gate lane: multi-minute property/identity/streaming work (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 # (user, t, type) with tiny domains so same-instant ties and type runs
 # are common; type 2 plays the role of 'purchase'
 events = st.lists(

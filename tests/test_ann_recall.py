@@ -21,6 +21,9 @@ from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity 
 )
 from tests.conftest import SF0001
 
+# full-gate lane: multi-minute property/identity/streaming work (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def exact_pairs(spark):

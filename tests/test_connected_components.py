@@ -3,6 +3,11 @@ compression), singletons, and multiple components."""
 
 from __future__ import annotations
 
+import pytest
+
+# full-gate lane: multi-minute property/identity/streaming work (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def _cc(spark, node_ids, edge_pairs):
     from e_commerce_data_warehouse_recommendation_system_spark.operators.dedup import (

@@ -21,6 +21,9 @@ from pyspark.sql import functions as F  # noqa: F401 (parity with sibling tests)
 
 from e_commerce_data_warehouse_recommendation_system_spark import registry
 
+# full-gate lane: multi-minute property/identity/streaming work (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def _doc(words: list[str]) -> str:
     return " ".join(words)

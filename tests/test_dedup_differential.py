@@ -21,6 +21,9 @@ import pytest
 
 from e_commerce_data_warehouse_recommendation_system_spark import registry
 
+# full-gate lane: multi-minute property/identity/streaming work (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def _toks(tag: str, n: int) -> list[str]:
     return [f"{tag}{i:02d}" for i in range(n)]

@@ -19,6 +19,9 @@ import pytest
 
 from e_commerce_data_warehouse_recommendation_system_spark import registry
 
+# full-gate lane: multi-minute property/identity/streaming work (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def graph_dir(spark, tmp_path_factory):

@@ -10,6 +10,9 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# full-gate lane: multi-minute property/identity/streaming work (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 # (key, time) pairs on small integer domains so collisions/ties are common
 left_rows = st.lists(
     st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=0, max_size=15

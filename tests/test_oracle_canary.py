@@ -24,6 +24,9 @@ import pytest
 from e_commerce_data_warehouse_recommendation_system_spark import registry
 from tests.conftest import SF0001
 
+# full-gate lane: multi-minute property/identity/streaming work (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

@@ -12,11 +12,16 @@ of the contract.
 
 from __future__ import annotations
 
+import pytest
+
 from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
     rec_factor_serve_topk,
     rec_user_topk,
 )
 from tests.conftest import SF0001
+
+# full-gate lane: multi-minute property/identity/streaming work (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 
 def test_factor_serving_matches_mllib_subset(spark):

@@ -12,6 +12,9 @@ import pytest
 
 from tests.conftest import SF0001
 
+# full-gate lane: multi-minute property/identity/streaming work (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def recs(spark):

@@ -10,6 +10,8 @@ reshuffling the window) a test failure instead of a silent scoreboard hole.
 
 from __future__ import annotations
 
+import pytest
+
 from e_commerce_data_warehouse_recommendation_system_spark import registry
 
 #: every family that must be driver-visible, by name prefix
@@ -147,6 +149,7 @@ def test_component_fns_take_spark_and_sfdir():
     assert not bad, f"registered fns not shaped (spark, sf_dir): {bad}"
 
 
+@pytest.mark.slow  # ~7 min: executes every registered query's schema
 def test_no_decimal_output_columns(spark):
     """No driver-visible query may emit a DecimalType column. Round 7 lost
     11 slots to exactly this: values bit-identical on both engines, but the

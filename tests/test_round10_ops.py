@@ -20,6 +20,9 @@ from e_commerce_data_warehouse_recommendation_system_spark.operators.dedup impor
 )
 from tests.conftest import SF0001
 
+# full-gate lane: multi-minute property/identity/streaming work (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def _comp(name):
     return registry.components()[name].fn

@@ -26,6 +26,9 @@ from e_commerce_data_warehouse_recommendation_system_spark.operators.text import
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
 from tests.conftest import SF0001
 
+# full-gate lane: multi-minute property/identity/streaming work (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def _naive_tape(counted, shard_col, count_col):
     w = (

@@ -19,6 +19,8 @@ catch a broken serve path (a random shelf measures ~5% of popularity).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
@@ -32,6 +34,9 @@ from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries imp
 )
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
 from tests.conftest import SF0001
+
+# full-gate lane: multi-minute property/identity/streaming work (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 
 def _pop_rate_micro(spark) -> tuple[int, int, int]:

@@ -10,10 +10,15 @@ that keeps both engines consistently wrong still fails here.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from e_commerce_data_warehouse_recommendation_system_spark import registry
 from tests.conftest import SF0001
+
+# full-gate lane: multi-minute property/identity/streaming work (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 
 def _comp(name):

@@ -32,6 +32,9 @@ import pytest
 
 from conftest import SF0001
 
+# full-gate lane: multi-minute property/identity/streaming work (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 GAP_US = 30 * 60 * 1_000_000
 BASE = 1_704_067_200_000_000  # 2024-01-01 epoch µs
 

@@ -2,11 +2,16 @@
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import shutil
 import tempfile
 
 from tests.conftest import SF0001
+
+# full-gate lane: multi-minute property/identity/streaming work (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 
 def test_stream_dedup_drops_replayed_files(spark):

@@ -9,6 +9,8 @@ streaming daily rollup relies on.
 
 from __future__ import annotations
 
+import pytest
+
 import shutil
 import tempfile
 
@@ -22,6 +24,9 @@ from e_commerce_data_warehouse_recommendation_system_spark.streaming.queries imp
     _events_ts_layout,
     _run_foreach_batch_upsert,
 )
+
+# full-gate lane: multi-minute property/identity/streaming work (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 #: This test writes its OWN fixture files with nanos-as-long ts — the legacy
 #: testdata layout — so it doubles as coverage for _events_ts_layout's bigint
