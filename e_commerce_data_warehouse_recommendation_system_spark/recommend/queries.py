@@ -3364,9 +3364,15 @@ def rec_backtest_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the shipped config first (the leaderboard's row), then the sweep. The
 #: sf0.1 leaderboard recorded lift-vs-popularity 0.947 — the learned model
 #: LOSING to popularity at the largest SF, explained as "TPC-H baskets are
-#: near-random"; this grid substantiates or refutes that with evidence
-#: instead of a shrug. reg is carried as integer milli-units (0.01 -> 10)
-#: so every emitted column stays hash-exact.
+#: near-random". MEASURED ANSWER (round 13, warm-population lift, full
+#: table in COVERAGE.md): the explanation was wrong — rank 150 beats
+#: popularity at EVERY SF (reg 0.1: 1.19/1.05/1.25 at sf0.001/0.01/0.1;
+#: reg 0.01 peaks at 1.30 at sf0.1) — the rank-16 model was
+#: capacity-starved as the catalog grew. Rank 16 stays the shipped
+#: default (~10x fewer factor parameters; serving cost scales with rank);
+#: this grid is the recorded evidence for that trade. reg is carried as
+#: integer milli-units (0.01 -> 10) so every emitted column stays
+#: hash-exact.
 BACKTEST_GRID: tuple[tuple[int, float], ...] = (
     (RANK, REG),  # shipped config (16, 0.1)
     (32, 0.01),

@@ -10,10 +10,17 @@ model-valued hit-rates. Measured micro precision@k (1e6 * hits /
     ALS plain   75000 /  7939 / 690   (lift 1.161 / 1.015 / 0.947)
     ALS + MMR   72916 /  8076 / 765   (lift 1.129 / 1.032 / 1.049)
 
-ALS beats popularity at the two smaller SFs and sits within 6% at sf0.1
-(TPC-H-ish baskets are near-random, so the learnable signal shrinks as
-the catalog grows); MMR diversification does NOT cost temporal hit-rate
-(it slightly helps at 0.01/0.1). The floors below leave wide margin but
+ALS at the SHIPPED config (rank 16) beats popularity at the two smaller
+SFs and loses by ~6% at sf0.1. Round 12 explained the sf0.1 loss as
+"TPC-H baskets are near-random"; the round-13 hyperparameter grid
+(rec_backtest_als_grid, tests/test_round13_ops.py, COVERAGE.md round
+13) REFUTED that: rank 150 wins at every SF (reg 0.1: lift
+1.19/1.05/1.25; reg 0.01 at sf0.1: lift 1.30) — the rank-16 model was
+capacity-starved as the catalog grew, not facing an unlearnable
+dataset. The shipped config stays rank 16 as the cost/quality default
+(≈10x fewer factor parameters); the grid is the recorded evidence for
+the trade. MMR diversification does NOT cost temporal hit-rate (it
+slightly helps at 0.01/0.1). The floors below leave wide margin but
 catch a broken serve path (a random shelf measures ~5% of popularity).
 """
 
