@@ -3524,6 +3524,129 @@ def rec_backtest_als_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _backtest_blend_rates(spark: SparkSession, sf_dir: str) -> dict:
+    """Measured micro hit-rate of the RRF BLEND shelf — ALS x popularity
+    fused on ranks (RRF_C smoothing, the rec_rrf_hybrid convention) over
+    the temporal protocol; memoized per (session, sf_dir). The blend is
+    the production-realistic serving strategy the leaderboard's four
+    single-model rows frame: fuse the personalized ranker with the
+    non-personal prior instead of picking one."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir, "backtest_blend")
+    if cache_key in _CACHE:
+        return _CACHE[cache_key]
+    art = _backtest_als_artifacts(spark, sf_dir)
+    truth = art["truth"]
+    eval_users = truth.select("u").distinct()
+    # train-period popularity shelf with ranks: global top-k via map-side
+    # partials + a tiny sort, then a k-row window (never a corpus window)
+    top = (
+        art["pre"]
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("i"))
+        .limit(TOP_K)
+    )
+    pop_shelf = top.withColumn(
+        "p_rnk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("i")))
+    ).select("i", "p_rnk")
+    # per-user popularity candidates, seen-filtered (the blend keeps the
+    # ALS census's novelty discipline on BOTH arms): eval_users x k rows —
+    # the documented bounded factor-serve cartesian class
+    pop_user = (
+        eval_users.crossJoin(F.broadcast(pop_shelf))
+        .select("u", "i", "p_rnk")
+        .join(art["pre"], ["u", "i"], "left_anti")
+    )
+    als_ranked = art["pool"].select("u", "i", F.col("rnk").alias("a_rnk"))
+    fused = als_ranked.join(pop_user, ["u", "i"], "full_outer")
+    rrf = F.coalesce(
+        F.expr(f"div(1000000, {RRF_C} + a_rnk)"), F.lit(0)
+    ) + F.coalesce(F.expr(f"div(1000000, {RRF_C} + p_rnk)"), F.lit(0))
+    w = Window.partitionBy("u").orderBy(F.desc("rrf_micro"), F.asc("i"))
+    shelf = (
+        fused.withColumn("rrf_micro", rrf.cast("bigint"))
+        .withColumn("b_rnk", F.row_number().over(w))
+        .filter(F.col("b_rnk") <= TOP_K)
+        .select("u", "i")
+        .localCheckpoint(eager=True)  # users x k rows; census + rate reader
+    )
+    n_users = eval_users.count()
+    n_hits = shelf.join(truth, ["u", "i"], "left_semi").count()
+    denom = n_users * TOP_K
+    out = {
+        "shelf": shelf,
+        "n_users": n_users,
+        "n_hits": n_hits,
+        "rate_micro": 0 if denom == 0 else 1000000 * n_hits // denom,
+    }
+    _CACHE[cache_key] = out
+    return out
+
+
+@component(
+    "rec_backtest_blend",
+    oracle=_sql_backtest_als_census(),  # identical protocol => same SQL half
+    cols=[
+        ("user_id", "num"),
+        ("n_novel_items", "num"),
+        ("n_pred", "num"),
+        ("novelty_ok", "bool"),
+        ("hits_bounded_ok", "bool"),
+    ],
+)
+def rec_backtest_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FIFTH LEADERBOARD ROW — RRF blend of the learned ranker and the
+    popularity prior on the temporal split: per warm eval user, the ALS
+    unseen pool and the (seen-filtered) train-period popularity shelf
+    fuse by reciprocal rank (RRF_C = 60, rank fusion never score mixing —
+    the rec_rrf_hybrid / sim_hybrid_rrf discipline), and the fused
+    top-{TOP_K} is scored against the SAME novel truth as every other
+    row. This is how the serving capstone's fallback question resolves in
+    production: blend, don't switch. Census shape and oracle are the ALS
+    census's verbatim (identical protocol; n_pred == k stays structural
+    because the ALS arm alone guarantees >= k unseen candidates); the
+    measured blend rate is recorded in COVERAGE.md + floored in pytest.
+
+    Scale: the popularity arm is a broadcast k-row cartesian per eval
+    user (bounded class); fusion is a per-user full-outer over <= k_pool
+    + k rows; everything downstream reuses the census joins."""
+    prepare(spark, sf_dir)
+    art = _backtest_als_artifacts(spark, sf_dir)
+    shelf = _backtest_blend_rates(spark, sf_dir)["shelf"]
+    truth = art["truth"]
+    n_novel = truth.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel_items")
+    )
+    n_pred = shelf.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pred")
+    )
+    hits = (
+        shelf.join(truth, ["u", "i"], "left_semi")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    seen_preds = (
+        shelf.join(art["pre"], ["u", "i"], "left_semi")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n_seen"))
+    )
+    return (
+        n_novel.join(n_pred, "u", "left")
+        .join(hits, "u", "left")
+        .join(seen_preds, "u", "left")
+        .select(
+            F.col("u").alias("user_id"),
+            "n_novel_items",
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            (F.coalesce("n_seen", F.lit(0)) == 0).alias("novelty_ok"),
+            (
+                F.coalesce("n_hits", F.lit(0))
+                <= F.least(F.coalesce("n_pred", F.lit(0)), F.col("n_novel_items"))
+            ).alias("hits_bounded_ok"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Graph analytics moved to recommend/graph.py (round 10); re-exported here
 # so existing imports (tests, scripts, scale probes) keep working.

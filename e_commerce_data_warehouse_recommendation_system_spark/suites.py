@@ -494,6 +494,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         # served shelf; terminal state == the batch census verbatim,
         # pinned per row (round 13)
         "stream_serving_quality",
+        # the fifth leaderboard row: RRF blend of ALS and the popularity
+        # prior on the identical temporal protocol (round 13)
+        "rec_backtest_blend",
     ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [

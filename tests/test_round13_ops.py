@@ -86,6 +86,40 @@ def test_backtest_grid_contract(spark):
         assert r["n_users"] == shipped["n_users"]  # shared eval population
 
 
+@pytest.mark.slow  # ALS fit behind the artifacts
+def test_backtest_blend_floors(spark):
+    """The RRF blend's measured rate at sf0.001 must clear both the
+    recorded regression floor and the SAME-ENGINE popularity rate
+    (measured 79861 vs ALS-plain 75000 vs popularity 64583 — 'blend,
+    don't switch' holds at every SF against the plain rank-16 arm;
+    full three-SF table in COVERAGE.md round 13)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+        TOP_K,
+        _backtest_blend_rates,
+        rec_backtest_blend,
+        rec_backtest_popularity,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import (
+        prepare,
+    )
+    from pyspark.sql import functions as F
+
+    prepare(spark, SF0001)
+    r = _backtest_blend_rates(spark, SF0001)
+    pop = rec_backtest_popularity(spark, SF0001).agg(
+        F.count(F.lit(1)).alias("u"), F.sum("n_hits").alias("h")
+    ).first()
+    pop_rate = 1000000 * int(pop.h) // (int(pop.u) * TOP_K)
+    assert r["rate_micro"] >= 65000  # regression floor under measured 79861
+    assert r["rate_micro"] > pop_rate
+    # census contract: exactly k predictions, both flags true
+    rows = rec_backtest_blend(spark, SF0001).collect()
+    assert rows
+    for row in rows:
+        assert row.n_pred == TOP_K
+        assert row.novelty_ok and row.hits_bounded_ok
+
+
 @pytest.mark.slow  # ALS fit + full stream drain
 def test_stream_serving_quality_terminal_equals_batch(spark):
     """The online monitor's terminal keyed state must equal the one-shot
