@@ -147,6 +147,55 @@ def test_stream_serving_quality_terminal_equals_batch(spark):
     assert got == census
 
 
+def test_bench_calibration_probe_is_deterministic_and_measures():
+    """The host-speed probe must be pure fixed work: the seeded value is
+    pinned (a drifting value would mean the probe's work changed and all
+    recorded slowdowns silently re-based), and calibrate() returns sane
+    positive slowdowns against the committed references."""
+    import bench
+
+    assert bench._calib_work() == 40315031199
+    c = bench.calibrate()
+    assert c["single_sec"] > 0 and c["multi32_sec"] > 0
+    assert c["single_slowdown"] > 0 and c["multi32_slowdown"] > 0
+
+
+@pytest.mark.slow  # ALS fit behind the artifacts
+def test_blend_popularity_arm_broadcasts(spark):
+    """The blend's per-user popularity candidates are a crossJoin of the
+    eval users with the k-row shelf: the plan MUST compile to a
+    broadcast nested-loop (k rows shipped to every user partition) —
+    a plain CartesianProduct here would shuffle corpus-scale users
+    against the shelf and not survive 100 TB."""
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+        TOP_K,
+        _backtest_als_artifacts,
+    )
+    from pyspark.sql.window import Window
+
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import (
+        prepare,
+    )
+
+    prepare(spark, SF0001)
+    art = _backtest_als_artifacts(spark, SF0001)
+    eval_users = art["truth"].select("u").distinct()
+    top = (
+        art["pre"]
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("i"))
+        .limit(TOP_K)
+    )
+    pop_shelf = top.withColumn(
+        "p_rnk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("i")))
+    ).select("i", "p_rnk")
+    pop_user = eval_users.crossJoin(F.broadcast(pop_shelf))
+    plan = pop_user._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_staged_true_accepts_cached_input(spark):
     """A cached (InMemoryRelation) input also satisfies the contract."""
     counted = _counted(spark).cache()
