@@ -256,6 +256,11 @@ def main() -> None:
     slowdown = round(
         (calib_start["multi32_slowdown"] + calib_end["multi32_slowdown"]) / 2, 3
     )
+    # per-slot calibration-normalized minima — the numbers the
+    # adjudication rule actually compares round-over-round
+    for name, t in timings.items():
+        if name in stats:
+            stats[name]["normalized"] = round(t / max(slowdown, 1e-9), 3)
     sidecar = {
         "query_stats": stats,
         "slot_history": SLOT_HISTORY,
