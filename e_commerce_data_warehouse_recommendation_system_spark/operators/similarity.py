@@ -276,11 +276,15 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_query(idx["assigned"], idx["centroids"])
 
 
-def _ivf_query(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+def _ivf_query(
+    assigned: DataFrame, centroids: DataFrame, probes: int = IVF_PROBES
+) -> DataFrame:
     """The IVF multi-probe serving path over ANY (assigned, centroids)
     pair — split from :func:`sim_ann_ivf_topk` so the persisted-index
     round-trip (``sim_ivf_index_persist``) can drive the IDENTICAL query
-    plan from a reloaded index."""
+    plan from a reloaded index. ``probes`` defaults to the production
+    constant; the rebalance maintenance op scales it with its grown cell
+    count so probed-mass fraction (probes/cells) is preserved."""
     queries = assigned.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -290,17 +294,17 @@ def _ivf_query(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
         lambda acc, x: acc + x,
     )
     w_probe = Window.partitionBy("query_id").orderBy("d2", "cell")
-    probes = (
+    probed = (
         queries.join(F.broadcast(centroids))
         .select("query_id", "qv", "qn", "cell", dist2.alias("d2"))
         .withColumn("probe_rnk", F.row_number().over(w_probe))
-        .filter(F.col("probe_rnk") <= IVF_PROBES)
+        .filter(F.col("probe_rnk") <= probes)
         .select("query_id", "qv", "qn", "cell")
     )
     corpus = assigned.select(
         "cell", F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
-    pairs = probes.join(corpus, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    pairs = probed.join(corpus, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = pairs.select("query_id", "neighbor_id", cos.alias("cosine")).dropDuplicates(
         ["query_id", "neighbor_id"]
@@ -1913,3 +1917,206 @@ def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("serve_identical_ok", 1 if identical else 0),
     ]
     return spark.createDataFrame(rows, schema="label string, value_num bigint")
+
+
+# --------------------------------------------------------------------------
+# IVF index maintenance: cell-balance census + hot-cell split (round 13)
+# --------------------------------------------------------------------------
+
+#: a cell is HOT when its size exceeds this percentage of the mean cell
+#: size (100 * n * IVF_CELLS > PCT * n_vectors) — integer arithmetic so
+#: the threshold is engine-portable. 125 % catches the measured skew at
+#: every shipped SF (max/mean 1.92 / 2.14 / 1.42 at sf0.001/0.01/0.1).
+IVF_HOT_CELL_PCT = 125
+
+
+def _rebalanced_index(spark: SparkSession, sf_dir: str) -> dict:
+    """Build (or fetch) the REBALANCED index: census the production IVF
+    index's cell sizes, split every hot cell (> IVF_HOT_CELL_PCT% of the
+    mean) with a seeded 2-means over its own members, and keep cold cells
+    byte-identical. Memoized so the maintenance component and the recall
+    floor test drive the SAME index. ``probes`` is the production probe
+    count scaled (ceil) with the grown cell count — probed-mass fraction
+    preserved."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    key = ("ivf_rebal", id(spark.sparkContext), sf_dir)
+    if key in _ANN_INDEX_CACHE:
+        return _ANN_INDEX_CACHE[key]
+    idx = _ivf_index(spark, sf_dir)
+    assigned, centroids = idx["assigned"], idx["centroids"]
+    sizes = {
+        r["cell"]: r["n"]
+        for r in assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # IVF_CELLS rows: the bounded-collect census class
+    }
+    n_vectors = sum(sizes.values())
+    max_before = max(sizes.values())
+    hot = sorted(
+        c
+        for c, n in sizes.items()
+        if 100 * n * IVF_CELLS > IVF_HOT_CELL_PCT * n_vectors
+    )
+    cold = assigned.filter(
+        ~F.col("cell").isin([int(c) for c in hot]) if hot else F.lit(True)
+    )
+    new_rows = []
+    next_cell = IVF_CELLS
+    rebalanced_parts = [cold]
+    kept_centroids = [
+        r for r in centroids.collect() if int(r["cell"]) not in set(hot)
+    ]  # IVF_CELLS rows
+    for c in hot:
+        members = assigned.filter(F.col("cell") == int(c)).localCheckpoint(
+            eager=True
+        )  # one posting list
+        km = KMeans(k=2, seed=42, featuresCol="fv", predictionCol="sub")
+        model = km.fit(members.select(array_to_vector("v").alias("fv")))
+        sub_centroids = spark.createDataFrame(
+            [
+                (next_cell + j, [float(x) for x in ctr])
+                for j, ctr in enumerate(model.clusterCenters())
+            ],
+            schema="cell int, cv array<double>",
+        )
+        reassigned = _nearest_cell(
+            members.select("vec_id", "v", "nrm"), sub_centroids
+        )
+        rebalanced_parts.append(reassigned)
+        new_rows.extend(
+            (int(r["cell"]), list(r["cv"])) for r in sub_centroids.collect()
+        )  # 2 rows per hot cell
+        next_cell += 2
+    rebalanced = rebalanced_parts[0]
+    for p in rebalanced_parts[1:]:
+        rebalanced = rebalanced.unionByName(p)
+    rebalanced = rebalanced.localCheckpoint(eager=True)
+    new_centroids = spark.createDataFrame(
+        [(int(r["cell"]), list(r["cv"])) for r in kept_centroids] + new_rows,
+        schema="cell int, cv array<double>",
+    )
+    n_cells_after = IVF_CELLS - len(hot) + 2 * len(hot)
+    out = {
+        "rebalanced": rebalanced,
+        "centroids": new_centroids,
+        "hot": hot,
+        "n_vectors": n_vectors,
+        "max_before": max_before,
+        "n_cells_after": n_cells_after,
+        "probes": -(-IVF_PROBES * n_cells_after // IVF_CELLS),  # ceil
+    }
+    _ANN_INDEX_CACHE[key] = out
+    return out
+
+
+def _sql_ivf_rebalance() -> str:
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST({IVF_CELLS} AS BIGINT) AS n_cells_before,
+           TRUE AS conservation_ok,
+           TRUE AS only_hot_split_ok,
+           TRUE AS max_not_worse_ok,
+           TRUE AS serve_shape_ok
+    FROM embeddings
+    """
+
+
+@component(
+    "sim_ivf_rebalance",
+    oracle=_sql_ivf_rebalance(),
+    cols=[
+        ("n_vectors", "num"),
+        ("n_cells_before", "num"),
+        ("conservation_ok", "bool"),
+        ("only_hot_split_ok", "bool"),
+        ("max_not_worse_ok", "bool"),
+        ("serve_shape_ok", "bool"),
+    ],
+)
+def sim_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF INDEX MAINTENANCE — the scheduled-refit half of the
+    offline/online split :func:`sim_ivf_incremental_add` documents:
+    continuous frozen-centroid adds SKEW cells over time, and a skewed
+    cell is a latency tail (every probe of it scans its whole posting
+    list). This op is the maintenance pass a production vector store
+    schedules: census the cell sizes (one bounded groupBy), mark cells
+    over {IVF_HOT_CELL_PCT}% of the mean HOT, and split each hot cell
+    with a seeded 2-means over ITS OWN members only — cold cells and
+    their assignments are untouched (re-fitting the whole index would be
+    the expensive full rebuild this pass exists to avoid; FAISS-style
+    stores do exactly this local split).
+
+    Contract flags, computed from genuine frame comparisons:
+    ``conservation_ok`` — the rebalanced index holds exactly the original
+    vector ids (both-ways anti-join on vec_id empty, counts equal);
+    ``only_hot_split_ok`` — every vector of a cold cell kept its original
+    cell id; ``max_not_worse_ok`` — the largest cell did not grow;
+    ``serve_shape_ok`` — the multi-probe query path over the rebalanced
+    index (probe count scaled with the grown cell count, so probed-mass
+    fraction is preserved) returns exactly top-k rows per query. The
+    recall floor before/after the split is pinned in pytest
+    (tests/test_round13_ops.py) — measured values, not flags.
+
+    Scale: the census is IVF_CELLS rows (bounded collect class); each
+    hot-cell 2-means fits on ONE cell's members (the hot-cell count is
+    bounded by IVF_CELLS, and at production scale each fit is a sampled
+    mini-batch k-means over one posting list); reassignment is the
+    map-side broadcast-centroid argmin over hot-cell members only —
+    the corpus never reshuffles."""
+    prepare(spark, sf_dir)
+    idx = _ivf_index(spark, sf_dir)
+    assigned = idx["assigned"]
+    reb = _rebalanced_index(spark, sf_dir)
+    rebalanced, new_centroids = reb["rebalanced"], reb["centroids"]
+    hot, n_vectors, max_before = reb["hot"], reb["n_vectors"], reb["max_before"]
+    # conservation: identical id sets, equal counts
+    ids_a = assigned.select("vec_id")
+    ids_b = rebalanced.select("vec_id")
+    conservation = (
+        rebalanced.count() == n_vectors
+        and ids_a.exceptAll(ids_b).count() == 0
+        and ids_b.exceptAll(ids_a).count() == 0
+    )
+    # cold cells untouched: every non-hot assignment identical
+    cold_before = assigned.filter(
+        ~F.col("cell").isin([int(c) for c in hot]) if hot else F.lit(True)
+    ).select("vec_id", "cell")
+    cold_after = rebalanced.filter(F.col("cell") < IVF_CELLS).select(
+        "vec_id", "cell"
+    )
+    only_hot = (
+        cold_before.exceptAll(cold_after).count() == 0
+        and cold_after.exceptAll(cold_before).count() == 0
+    )
+    sizes_after = [
+        r["n"]
+        for r in rebalanced.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    max_not_worse = max(sizes_after) <= max_before
+    # serve shape over the rebalanced index, probe fraction preserved
+    topk = _ivf_query(rebalanced, new_centroids, probes=reb["probes"])
+    per_q = topk.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    shape = per_q.agg(
+        F.min("k").alias("mn"), F.max("k").alias("mx"), F.count(F.lit(1)).alias("nq")
+    ).first()
+    serve_shape = (
+        shape["nq"] > 0 and shape["mn"] == TOPK and shape["mx"] == TOPK
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_vectors,
+                IVF_CELLS,
+                bool(conservation),
+                bool(only_hot),
+                bool(max_not_worse),
+                bool(serve_shape),
+            )
+        ],
+        schema="n_vectors bigint, n_cells_before bigint, conservation_ok boolean, "
+        "only_hot_split_ok boolean, max_not_worse_ok boolean, serve_shape_ok boolean",
+    )

