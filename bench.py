@@ -53,6 +53,32 @@ SLOT_HISTORY: dict[str, dict] = {
 CALIB_REF_SINGLE_SEC = 0.17
 CALIB_REF_MULTI_SEC = 0.71
 CALIB_PROCS = 32
+#: r13 verdict #1: the pinned constants above are only the INITIAL floor.
+#: BENCH_r13's own loaded sweep beat the pinned "idle floor" (multi32
+#: 0.600 s vs 0.71), proving the constant was measured on a slower host
+#: era — a sub-1 slowdown then INFLATED value_normalized above raw. The
+#: floor is therefore self-maintaining: each sweep persists
+#: min(previous floor, observed) in BENCH_stats.json, and the sweep
+#: slowdown used for normalization is clamped to >= 1, so
+#: value_normalized can never exceed raw (normalization DISMISSES risers,
+#: it never manufactures them).
+
+
+def _load_floor(sidecar_path: str) -> dict:
+    """Previous sweep's persisted probe floor, falling back to the pinned
+    round-13 constants for a fresh checkout."""
+    try:
+        with open(sidecar_path) as f:
+            fl = json.load(f)["calibration"]["floor"]
+        return {
+            "single_sec": float(fl["single_sec"]),
+            "multi32_sec": float(fl["multi32_sec"]),
+        }
+    except (OSError, KeyError, ValueError, TypeError):
+        return {
+            "single_sec": CALIB_REF_SINGLE_SEC,
+            "multi32_sec": CALIB_REF_MULTI_SEC,
+        }
 #: a sweep started above this 1-min loadavg first WAITS (the r12 artifact
 #: was recorded at loadavg 10.38 and its headline overstated even the
 #: slowed host); if the box never settles, the sweep still runs — a
@@ -60,6 +86,31 @@ CALIB_PROCS = 32
 #: carries degraded_host=true plus the calibration evidence.
 BENCH_LOADAVG_GATE = float(os.environ.get("BENCH_LOADAVG_GATE", "4.0"))
 BENCH_LOAD_WAIT_SEC = int(os.environ.get("BENCH_LOAD_WAIT_SEC", "300"))
+
+
+def _floor_and_slowdown(floor: dict, calib_start: dict, calib_end: dict) -> tuple[dict, float]:
+    """Update the self-maintaining floor with this sweep's probes and
+    derive the sweep slowdown against it. floor <= observed by
+    construction, so slowdown >= 1 structurally; the max(1.0, ...) is
+    belt-and-braces — normalized can NEVER exceed raw (r13 verdict #1)."""
+    floor = {
+        "single_sec": round(
+            min(floor["single_sec"], calib_start["single_sec"], calib_end["single_sec"]), 3
+        ),
+        "multi32_sec": round(
+            min(floor["multi32_sec"], calib_start["multi32_sec"], calib_end["multi32_sec"]), 3
+        ),
+    }
+    slowdown = round(
+        max(
+            1.0,
+            (calib_start["multi32_sec"] + calib_end["multi32_sec"])
+            / 2
+            / floor["multi32_sec"],
+        ),
+        3,
+    )
+    return floor, slowdown
 
 
 def _calib_work(_=None) -> int:
@@ -84,9 +135,15 @@ def calibrate() -> dict:
     with Pool(CALIB_PROCS) as p:  # warm the fork path off the clock too:
         p.map(_calib_work, range(CALIB_PROCS))  # cold first map read 5x
     single, multi = [], []
+    # Seeded => exact on the numpy this was pinned against, but NumPy does
+    # not guarantee Generator stream stability across feature releases
+    # (r13 ADVICE): a mismatch is FLAGGED in the artifact (probe timing is
+    # still valid — the work is identical either way), never asserted, so
+    # a numpy upgrade can't turn every bench run into a crash.
+    probe_value_ok = True
     for _ in range(3):
         t0 = time.perf_counter()
-        assert _calib_work() == 40315031199  # seeded => exact
+        probe_value_ok = (_calib_work() == 40315031199) and probe_value_ok
         single.append(time.perf_counter() - t0)
     for _ in range(3):
         t0 = time.perf_counter()
@@ -100,6 +157,7 @@ def calibrate() -> dict:
         "single_slowdown": round(st / CALIB_REF_SINGLE_SEC, 3),
         "multi32_slowdown": round(mt / CALIB_REF_MULTI_SEC, 3),
         "loadavg_1m": round(os.getloadavg()[0], 2),
+        "probe_value_ok": probe_value_ok,
     }
 
 
@@ -250,12 +308,15 @@ def main() -> None:
     # goes to the BENCH_stats.json sidecar + stderr.
     calib_end = calibrate()
     # Normalization: divide the raw total by the sweep's mean all-core
-    # slowdown (the shape Spark slots run). Slot-level deltas divide the
-    # same factor; reference values + both probes are recorded so a
-    # future round can re-derive or re-reference.
-    slowdown = round(
-        (calib_start["multi32_slowdown"] + calib_end["multi32_slowdown"]) / 2, 3
-    )
+    # slowdown (the shape Spark slots run), measured against the
+    # SELF-MAINTAINING floor: min(persisted floor, both probes of this
+    # sweep). floor <= observed by construction, so each per-probe
+    # slowdown >= 1 and the clamp below is belt-and-braces — the
+    # normalized value can never exceed raw (r13 verdict #1: the pinned
+    # constant floor was beaten by a loaded sweep and inflated the
+    # normalized total ~17 %).
+    sidecar_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_stats.json")
+    floor, slowdown = _floor_and_slowdown(_load_floor(sidecar_path), calib_start, calib_end)
     # per-slot calibration-normalized minima — the numbers the
     # adjudication rule actually compares round-over-round
     for name, t in timings.items():
@@ -273,23 +334,30 @@ def main() -> None:
             "reference": {
                 "single_sec": CALIB_REF_SINGLE_SEC,
                 "multi32_sec": CALIB_REF_MULTI_SEC,
-                "note": "idle floor, min over repeated warm runs (round 13)",
+                "note": "initial pinned floor (round 13); superseded by the "
+                "self-maintaining 'floor' block below",
+            },
+            "floor": {
+                **floor,
+                "note": "self-maintaining idle floor: min(previous sweep's "
+                "persisted floor, this sweep's probes); sweep slowdown is "
+                "measured against THIS and clamped >= 1 (round 14)",
             },
             "sweep_multi32_slowdown": slowdown,
             "loadavg_gate": BENCH_LOADAVG_GATE,
             "degraded_host": degraded_host,
         },
         "adjudication": "slot deltas are judged on calibration-normalized "
-        "times (raw / sweep_multi32_slowdown); a riser is real only if its "
-        "NORMALIZED delta holds with spread < 1.1. Normalization DISMISSES "
-        "risers, never claims speedups: CPU-light slots inflate less than "
-        "the all-core probe under contention (measured round 13: 24-hog "
-        "load -> probe 3.1x, slots 1.2-2.3x), so a normalized FALL proves "
-        "nothing while a normalized rise survives any host excuse; "
-        "reference error cancels round-over-round (same definition both "
-        "sides). See COVERAGE.md round 13",
+        "times (raw / sweep_multi32_slowdown, slowdown measured vs the "
+        "self-maintaining floor and clamped >= 1 so normalized <= raw "
+        "always); a riser is real only if its NORMALIZED delta holds with "
+        "spread < 1.1. Normalization DISMISSES risers, never claims "
+        "speedups: CPU-light slots inflate less than the all-core probe "
+        "under contention (measured round 13: 24-hog load -> probe 3.1x, "
+        "slots 1.2-2.3x), so a normalized FALL proves nothing while a "
+        "normalized rise survives any host excuse. See COVERAGE.md "
+        "rounds 13-14",
     }
-    sidecar_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_stats.json")
     try:
         with open(sidecar_path, "w") as f:
             json.dump(sidecar, f, indent=1)

@@ -312,12 +312,19 @@ def two_phase_tape_offsets(
         # must be a materialized scan (LogicalRDD after a localCheckpoint
         # / explicit checkpoint) or a cached relation — fail loudly
         # otherwise instead of silently re-running the upstream DAG.
-        plan = counted._jdf.queryExecution().optimizedPlan().toString()
-        if not (plan.startswith("LogicalRDD") or "InMemoryRelation" in plan):
+        # Inspect the plan ROOT node class (r13 ADVICE): substring-matching
+        # the whole tree passed any plan built ON TOP OF a cached subtree
+        # (e.g. a join over a cached frame) — a false negative in a guard
+        # whose whole purpose is to fail loudly, since the outer lineage
+        # above the cache point still re-executes twice.
+        root = counted._jdf.queryExecution().optimizedPlan()
+        root_cls = root.getClass().getSimpleName()
+        if root_cls not in ("LogicalRDD", "InMemoryRelation"):
+            first_line = root.toString().splitlines()[0][:120]
             raise AssertionError(
                 "two_phase_tape_offsets(staged=True) requires a "
                 "MATERIALIZED input (localCheckpoint/checkpoint/cached); "
-                f"got an unmaterialized plan: {plan.splitlines()[0][:120]} "
+                f"got plan root {root_cls}: {first_line} "
                 "— drop staged=True to let the helper self-stage"
             )
     bucketed = counted.withColumn(

@@ -2871,6 +2871,59 @@ def _backtest_pre_post(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     return pre, post
 
 
+def _pool_sizing(pre: DataFrame, eval_users: DataFrame, n_items: int) -> int:
+    """Backtest pool width k' = MMR_POOL + max pre-items over eval users.
+    The width guarantee is only a STRUCTURAL invariant while the pool
+    fits the catalog: if it didn't, a user with many pre-cutoff items
+    could end up with fewer than TOP_K unseen candidates and the census
+    oracle's hardcoded n_pred = TOP_K would false-mismatch (r12 ADVICE).
+    Fail loudly instead of silently clamping — on a catalog where this
+    binds, the honest fix is a per-user LEAST(TOP_K, n_items - n_seen)
+    bound in the oracle, not a quiet clamp that voids the pinned
+    invariant. The raise converts a data-shape condition into a hard
+    failure of the whole backtest family (r13 ADVICE), so the invariant
+    is verified FIT-FREE at every shipped SF in a fast-lane test
+    (tests/test_round14_ops.py::test_backtest_pool_fits_all_shipped_sfs
+    via :func:`backtest_pool_fits`) — on shipped data it cannot fire."""
+    max_seen = (
+        pre.join(eval_users, "u", "left_semi")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    k_pool = MMR_POOL + int(max_seen)
+    if k_pool > int(n_items):
+        raise AssertionError(
+            f"backtest pool width {k_pool} (MMR_POOL={MMR_POOL} + "
+            f"max_seen={int(max_seen)}) exceeds the item catalog "
+            f"({int(n_items)}): the n_pred == TOP_K invariant the census "
+            "oracle pins would be void — widen the catalog or switch the "
+            "oracle to a per-user LEAST(TOP_K, n_items - n_seen) bound"
+        )
+    return k_pool
+
+
+def backtest_pool_fits(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """Fit-free guard-rail check of the pool-width invariant: recomputes
+    the exact frames _backtest_als_artifacts sizes its pool from (pre
+    pairs, novel-truth eval users, pre item catalog) WITHOUT the ALS fit,
+    and returns (k_pool, n_items) — raising exactly when the artifacts
+    builder would. Cheap enough for the fast lane at every shipped SF."""
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
+
+    prepare(spark, sf_dir)
+    pre, post = _backtest_pre_post(spark)
+    novel = post.join(pre, ["u", "i"], "left_anti")
+    eval_users = (
+        novel.join(pre.select("u").distinct(), "u", "left_semi")
+        .select("u")
+        .distinct()
+    )
+    n_items = pre.select("i").distinct().count()
+    return _pool_sizing(pre, eval_users, n_items), int(n_items)
+
+
 def _backtest_als_artifacts(spark: SparkSession, sf_dir: str) -> dict:
     """Memoized ALS-backtest artifact store, per (session, sf_dir): a SECOND
     seeded ALS fit on STRICTLY pre-cutoff interactions (the md5-split model
@@ -2927,30 +2980,7 @@ def _backtest_als_artifacts(spark: SparkSession, sf_dir: str) -> dict:
     # here (documented 1-row class). At 100 TB a mega-user cap replaces
     # the global max (accepting n_pred < k for capped users — the
     # census's n_pred column is computed genuinely either way).
-    max_seen = (
-        pre.join(eval_users, "u", "left_semi")
-        .groupBy("u")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n"))
-        .first()[0]
-    )
-    n_items = items.count()
-    k_pool = MMR_POOL + int(max_seen)
-    # The width guarantee is only a STRUCTURAL invariant while the pool
-    # fits the catalog: if it didn't, a user with many pre-cutoff items
-    # could end up with fewer than TOP_K unseen candidates and the census
-    # oracle's hardcoded n_pred = TOP_K would false-mismatch (r12 ADVICE).
-    # Fail loudly instead of silently clamping — on a catalog where this
-    # binds, the honest fix is a per-user n_pred bound in the oracle, not
-    # a quiet clamp that voids the pinned invariant.
-    if k_pool > int(n_items):
-        raise AssertionError(
-            f"backtest pool width {k_pool} (MMR_POOL={MMR_POOL} + "
-            f"max_seen={int(max_seen)}) exceeds the item catalog "
-            f"({int(n_items)}): the n_pred == TOP_K invariant the census "
-            "oracle pins would be void — widen the catalog or switch the "
-            "oracle to a per-user LEAST(TOP_K, n_items - n_seen) bound"
-        )
+    k_pool = _pool_sizing(pre, eval_users, items.count())
     subset = users.join(eval_users, "u", "left_semi")
     pool = _unseen_ranked_pool(model, users, items, pre, subset, k_pool).cache()
     art = {
@@ -3524,6 +3554,51 @@ def rec_backtest_als_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pop_user_candidates(art: dict) -> DataFrame:
+    """Per-eval-user popularity candidates, seen-filtered (the blend keeps
+    the ALS census's novelty discipline on BOTH arms). Train-period
+    popularity shelf with ranks: global top-k via map-side partials + a
+    tiny sort, then a k-row window (never a corpus window); per-user
+    fan-out is eval_users x k rows — the documented bounded factor-serve
+    cartesian class."""
+    eval_users = art["truth"].select("u").distinct()
+    top = (
+        art["pre"]
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("i"))
+        .limit(TOP_K)
+    )
+    pop_shelf = top.withColumn(
+        "p_rnk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("i")))
+    ).select("i", "p_rnk")
+    return (
+        eval_users.crossJoin(F.broadcast(pop_shelf))
+        .select("u", "i", "p_rnk")
+        .join(art["pre"], ["u", "i"], "left_anti")
+    )
+
+
+def _blend_shelf(als_pool: DataFrame, pop_user: DataFrame, rrf_c: int) -> DataFrame:
+    """RRF fusion core shared by the shipped blend row and the r14 blend
+    sensitivity grid: fuse the ALS unseen pool with the popularity
+    candidates by reciprocal rank (rank fusion, never score mixing) and
+    keep the per-user top-{TOP_K}. Fusion is a per-user full-outer over
+    <= k_pool + k rows."""
+    als_ranked = als_pool.select("u", "i", F.col("rnk").alias("a_rnk"))
+    fused = als_ranked.join(pop_user, ["u", "i"], "full_outer")
+    rrf = F.coalesce(
+        F.expr(f"div(1000000, {rrf_c} + a_rnk)"), F.lit(0)
+    ) + F.coalesce(F.expr(f"div(1000000, {rrf_c} + p_rnk)"), F.lit(0))
+    w = Window.partitionBy("u").orderBy(F.desc("rrf_micro"), F.asc("i"))
+    return (
+        fused.withColumn("rrf_micro", rrf.cast("bigint"))
+        .withColumn("b_rnk", F.row_number().over(w))
+        .filter(F.col("b_rnk") <= TOP_K)
+        .select("u", "i")
+    )
+
+
 def _backtest_blend_rates(spark: SparkSession, sf_dir: str) -> dict:
     """Measured micro hit-rate of the RRF BLEND shelf — ALS x popularity
     fused on ranks (RRF_C smoothing, the rec_rrf_hybrid convention) over
@@ -3537,39 +3612,10 @@ def _backtest_blend_rates(spark: SparkSession, sf_dir: str) -> dict:
     art = _backtest_als_artifacts(spark, sf_dir)
     truth = art["truth"]
     eval_users = truth.select("u").distinct()
-    # train-period popularity shelf with ranks: global top-k via map-side
-    # partials + a tiny sort, then a k-row window (never a corpus window)
-    top = (
-        art["pre"]
-        .groupBy("i")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), F.asc("i"))
-        .limit(TOP_K)
-    )
-    pop_shelf = top.withColumn(
-        "p_rnk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("i")))
-    ).select("i", "p_rnk")
-    # per-user popularity candidates, seen-filtered (the blend keeps the
-    # ALS census's novelty discipline on BOTH arms): eval_users x k rows —
-    # the documented bounded factor-serve cartesian class
-    pop_user = (
-        eval_users.crossJoin(F.broadcast(pop_shelf))
-        .select("u", "i", "p_rnk")
-        .join(art["pre"], ["u", "i"], "left_anti")
-    )
-    als_ranked = art["pool"].select("u", "i", F.col("rnk").alias("a_rnk"))
-    fused = als_ranked.join(pop_user, ["u", "i"], "full_outer")
-    rrf = F.coalesce(
-        F.expr(f"div(1000000, {RRF_C} + a_rnk)"), F.lit(0)
-    ) + F.coalesce(F.expr(f"div(1000000, {RRF_C} + p_rnk)"), F.lit(0))
-    w = Window.partitionBy("u").orderBy(F.desc("rrf_micro"), F.asc("i"))
-    shelf = (
-        fused.withColumn("rrf_micro", rrf.cast("bigint"))
-        .withColumn("b_rnk", F.row_number().over(w))
-        .filter(F.col("b_rnk") <= TOP_K)
-        .select("u", "i")
-        .localCheckpoint(eager=True)  # users x k rows; census + rate reader
-    )
+    pop_user = _pop_user_candidates(art)
+    shelf = _blend_shelf(art["pool"], pop_user, RRF_C).localCheckpoint(
+        eager=True
+    )  # users x k rows; census + rate reader
     n_users = eval_users.count()
     n_hits = shelf.join(truth, ["u", "i"], "left_semi").count()
     denom = n_users * TOP_K
@@ -3645,6 +3691,295 @@ def rec_backtest_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hits_bounded_ok"),
         )
     )
+
+
+#: The grid's winner (r13, COVERAGE round 13): rank 150 beats popularity at
+#: every SF, with reg 0.01 peaking at sf0.1 (warm lift 1.30). Round 14
+#: promotes it to a first-class leaderboard row + a serving-cost bench twin
+#: so the shipped rank-16 default is justified by TWO recorded numbers
+#: (quality AND serving seconds), not an asserted "serving cost scales with
+#: rank" (r13 verdict #4).
+RANK150 = 150
+RANK150_REG = 0.01
+
+
+def _backtest_rank150_artifacts(spark: SparkSession, sf_dir: str) -> dict:
+    """Memoized rank-150 twin of the backtest artifacts: same strictly
+    pre-cutoff training frame, same dictionaries, same pool tail — only
+    the factor rank (and the grid-winning reg) differ, so every number
+    derived from it is attributable to capacity alone. Shared by the
+    rank-150 leaderboard row, the blend sensitivity grid's 150 arm, and
+    the serving-cost bench workload (ONE extra fit per session/sf)."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir, "backtest_rank150")
+    if cache_key in _CACHE:
+        return _CACHE[cache_key]
+    from pyspark.ml.recommendation import ALS
+
+    art = _backtest_als_artifacts(spark, sf_dir)
+    model = ALS(
+        rank=RANK150,
+        maxIter=MAX_ITER,
+        regParam=RANK150_REG,
+        alpha=ALPHA,
+        implicitPrefs=True,
+        seed=SEED,
+        userCol="user_idx",
+        itemCol="item_idx",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    ).fit(art["train"])
+    pool = _unseen_ranked_pool(
+        model, art["users"], art["items"], art["pre"], art["subset"], art["k_pool"]
+    ).cache()
+    shelf = (
+        pool.filter(F.col("rnk") <= TOP_K)
+        .select("u", "i")
+        .localCheckpoint(eager=True)  # users x k rows; census + rate readers
+    )
+    truth = art["truth"]
+    n_users = truth.select("u").distinct().count()
+    n_hits = shelf.join(truth, ["u", "i"], "left_semi").count()
+    denom = n_users * TOP_K
+    out = {
+        "model": model,
+        "pool": pool,
+        "shelf": shelf,
+        "n_users": n_users,
+        "n_hits": n_hits,
+        "rate_micro": 0 if denom == 0 else 1000000 * n_hits // denom,
+    }
+    _CACHE[cache_key] = out
+    return out
+
+
+@component(
+    "rec_backtest_rank150",
+    oracle=_sql_backtest_als_census(),  # identical protocol => same SQL half
+    cols=[
+        ("user_id", "num"),
+        ("n_novel_items", "num"),
+        ("n_pred", "num"),
+        ("novelty_ok", "bool"),
+        ("hits_bounded_ok", "bool"),
+    ],
+)
+def rec_backtest_rank150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE SIXTH LEADERBOARD ROW — the grid-winning rank-150 ALS
+    (reg {RANK150_REG}) promoted from a grid cell to a first-class census
+    on the identical temporal protocol (r13 verdict #4): same training
+    frame, same novel truth, same unseen-pool tail as the shipped rank-16
+    row, so the rate difference is pure model capacity. The measured rate
+    and its warm-popularity lift are recorded in COVERAGE.md and floored
+    in pytest (tests/test_round14_ops.py); the serving-cost half of the
+    trade is the rec_als_serve_eval_rank16/rank150 bench pair.
+
+    Census shape and oracle are the ALS census's verbatim (n_pred == k
+    stays structural: the pool tail guarantees >= k unseen candidates).
+
+    Scale: one extra grid-bounded ALS fit per session (memoized); the
+    census tail reuses the rank-16 row's joins."""
+    prepare(spark, sf_dir)
+    art = _backtest_als_artifacts(spark, sf_dir)
+    shelf = _backtest_rank150_artifacts(spark, sf_dir)["shelf"]
+    truth = art["truth"]
+    n_novel = truth.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel_items")
+    )
+    n_pred = shelf.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pred")
+    )
+    hits = (
+        shelf.join(truth, ["u", "i"], "left_semi")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    seen_preds = (
+        shelf.join(art["pre"], ["u", "i"], "left_semi")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n_seen"))
+    )
+    return (
+        n_novel.join(n_pred, "u", "left")
+        .join(hits, "u", "left")
+        .join(seen_preds, "u", "left")
+        .select(
+            F.col("u").alias("user_id"),
+            "n_novel_items",
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            (F.coalesce("n_seen", F.lit(0)) == 0).alias("novelty_ok"),
+            (
+                F.coalesce("n_hits", F.lit(0))
+                <= F.least(F.coalesce("n_pred", F.lit(0)), F.col("n_novel_items"))
+            ).alias("hits_bounded_ok"),
+        )
+    )
+
+
+#: Blend sensitivity grid (r13 verdict #5): the shipped blend (rank 16,
+#: RRF_C 60) beat both arms at sf0.001/0.01 but landed BETWEEN them at
+#: sf0.1 with RRF_C fixed — this grid sweeps the smoothing constant and the
+#: rank-150 arm through the identical protocol (the ALS grid convention) to
+#: answer whether a tuned blend closes the sf0.1 gap. Measured rates in
+#: COVERAGE.md, floors in pytest.
+BLEND_GRID: tuple[tuple[int, int], ...] = (
+    (RANK, 10),
+    (RANK, 60),  # shipped config
+    (RANK, 240),
+    (RANK150, 10),
+    (RANK150, 60),
+    (RANK150, 240),
+)
+
+
+def _backtest_blend_grid_rates(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """Measured per-config micro hit-rates of the blend grid — memoized
+    per (session, sf_dir). Both ALS pools come from the memoized artifact
+    stores (zero extra fits beyond the rank-150 twin); the popularity
+    candidates are built once and localCheckpointed for the six fusions."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir, "backtest_blend_grid")
+    if cache_key in _CACHE:
+        return _CACHE[cache_key]
+    art = _backtest_als_artifacts(spark, sf_dir)
+    truth = art["truth"]
+    pop_user = _pop_user_candidates(art).localCheckpoint(
+        eager=True
+    )  # eval_users x <= k rows, reused by every grid cell
+    pools = {
+        RANK: art["pool"],
+        RANK150: _backtest_rank150_artifacts(spark, sf_dir)["pool"],
+    }
+    n_users = truth.select("u").distinct().count()
+    n_truth = truth.count()
+    denom = n_users * TOP_K
+    rows: list[dict] = []
+    for rank, c in BLEND_GRID:
+        shelf = _blend_shelf(pools[rank], pop_user, c)
+        n_hits = shelf.join(truth, ["u", "i"], "left_semi").count()
+        rows.append(
+            {
+                "als_rank": rank,
+                "rrf_c": c,
+                "n_users": n_users,
+                "n_truth": n_truth,
+                "n_hits": n_hits,
+                "rate_micro": 0 if denom == 0 else 1000000 * n_hits // denom,
+            }
+        )
+    _CACHE[cache_key] = rows
+    return rows
+
+
+def _sql_backtest_blend_grid() -> str:
+    grid_values = ", ".join(f"({r}, {c})" for r, c in BLEND_GRID)
+    return f"""
+    WITH pre AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate < TIMESTAMP '{BACKTEST_CUTOFF}'
+    ),
+    post AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate >= TIMESTAMP '{BACKTEST_CUTOFF}'
+    ),
+    novel AS (SELECT u, i FROM post EXCEPT SELECT u, i FROM pre),
+    truth AS (SELECT u, i FROM novel WHERE u IN (SELECT DISTINCT u FROM pre)),
+    scalars AS (
+      SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+             CAST(COUNT(*) AS BIGINT) AS n_truth
+      FROM truth
+    )
+    SELECT CAST(g.als_rank AS BIGINT) AS als_rank,
+           CAST(g.rrf_c AS BIGINT) AS rrf_c,
+           s.n_users, s.n_truth,
+           TRUE AS rate_bounded_ok,
+           TRUE AS hits_bounded_ok
+    FROM (VALUES {grid_values}) AS g(als_rank, rrf_c)
+    CROSS JOIN scalars s
+    """
+
+
+@component(
+    "rec_backtest_blend_grid",
+    oracle=_sql_backtest_blend_grid(),
+    cols=[
+        ("als_rank", "num"),
+        ("rrf_c", "num"),
+        ("n_users", "num"),
+        ("n_truth", "num"),
+        ("rate_bounded_ok", "bool"),
+        ("hits_bounded_ok", "bool"),
+    ],
+)
+def rec_backtest_blend_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEND SENSITIVITY on the temporal split (r13 verdict #5) — one row
+    per (als_rank, RRF_C) config: the shipped blend plus RRF_C in
+    {{10, 60, 240}} crossed with both the shipped rank-16 pool and the
+    grid-winning rank-150 pool, every cell fused and scored through the
+    identical protocol so rate differences isolate the smoothing constant
+    and the arm capacity. Follows the ALS grid's census convention:
+    config + eval population SQL-exact, measured hit counts folded into
+    genuinely-computed bound flags, the rates themselves recorded in
+    COVERAGE.md + floored in pytest (tests/test_round14_ops.py).
+
+    Scale: zero extra fits (both pools are memoized artifacts); the
+    popularity candidates build once (eval_users x k broadcast class) and
+    each cell is one per-user bounded fusion window + one semi-join
+    count."""
+    prepare(spark, sf_dir)
+    rows = _backtest_blend_grid_rates(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (
+                r["als_rank"],
+                r["rrf_c"],
+                r["n_users"],
+                r["n_truth"],
+                0 <= r["rate_micro"] <= 1000000,
+                r["n_hits"] <= min(r["n_users"] * TOP_K, r["n_truth"]),
+            )
+            for r in rows
+        ],
+        schema="als_rank bigint, rrf_c bigint, n_users bigint, "
+        "n_truth bigint, rate_bounded_ok boolean, hits_bounded_ok boolean",
+    )
+
+
+def _warm_backtest_rank16(spark: SparkSession, sf_dir: str) -> None:
+    """Off-the-clock warmup: the rank-16 backtest model + dictionaries."""
+    prepare(spark, sf_dir)
+    _backtest_als_artifacts(spark, sf_dir)
+
+
+def _warm_backtest_rank150(spark: SparkSession, sf_dir: str) -> None:
+    """Off-the-clock warmup: the rank-150 twin (fit + dictionaries)."""
+    prepare(spark, sf_dir)
+    _backtest_rank150_artifacts(spark, sf_dir)
+
+
+@bench_workload("rec_als_serve_eval_rank16", warmup=_warm_backtest_rank16)
+def rec_als_serve_eval_rank16_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving cost of the SHIPPED rank on the warmed backtest model: a
+    fresh ``recommendForUserSubset`` pool build over the eval users (the
+    memoized pool is deliberately bypassed — this times serving, not a
+    cache read). Pairs with rec_als_serve_eval_rank150 so the rank
+    quality/cost trade is two recorded numbers (r13 verdict #4)."""
+    art = _backtest_als_artifacts(spark, sf_dir)
+    return _unseen_ranked_pool(
+        art["model"], art["users"], art["items"], art["pre"], art["subset"], art["k_pool"]
+    ).filter(F.col("rnk") <= TOP_K)
+
+
+@bench_workload("rec_als_serve_eval_rank150", warmup=_warm_backtest_rank150)
+def rec_als_serve_eval_rank150_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving cost of the grid-winning rank 150 — identical eval users,
+    pool width, and tail as the rank-16 twin; only the factor rank
+    differs, so the seconds delta IS the serving cost of capacity."""
+    art = _backtest_als_artifacts(spark, sf_dir)
+    model150 = _backtest_rank150_artifacts(spark, sf_dir)["model"]
+    return _unseen_ranked_pool(
+        model150, art["users"], art["items"], art["pre"], art["subset"], art["k_pool"]
+    ).filter(F.col("rnk") <= TOP_K)
 
 
 # --------------------------------------------------------------------------

@@ -24,6 +24,7 @@ ingest path: swap the file source for Kafka and nothing downstream changes.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -44,6 +45,39 @@ from e_commerce_data_warehouse_recommendation_system_spark.sources.writers impor
     wap_publish,
     wap_read,
 )
+
+def _fold_committed(out: str) -> bool:
+    """At-least-once replay guard for versioned foreachBatch folds (r13
+    ADVICE, medium): a version directory EXISTING is not "batch committed"
+    — a crash mid ``write.parquet(out)`` leaves the directory behind
+    without the ``_SUCCESS`` marker, and treating it as committed would
+    re-point state at a partial/corrupt version that every later batch
+    then folds on. Committed = ``_SUCCESS`` present. A partial directory
+    is removed here so the replay re-folds cleanly (the errorifexists
+    write would otherwise crash on the leftovers)."""
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return True
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    return False
+
+
+def _latest_committed_version(root: str, batch_id: int) -> str | None:
+    """Base state for an incremental fold: the highest COMMITTED
+    (``_SUCCESS``-marked) version below ``batch_id``, read from the store
+    rather than the in-memory pointer — correct across a process restart
+    resuming from the stream checkpoint, and immune to partial directories
+    a crashed writer left behind (same contract as _fold_committed)."""
+    prior = sorted(
+        int(d[1:])
+        for d in os.listdir(root)
+        if d.startswith("v")
+        and d[1:].isdigit()
+        and int(d[1:]) < batch_id
+        and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+    )
+    return f"{root}/v{prior[-1]}" if prior else None
+
 
 def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
     """File-source schema for the events landing directory, parameterized by
@@ -1425,19 +1459,22 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         out = f"{root}/v{batch_id}"
-        if os.path.exists(out):
+        if _fold_committed(out):
             # foreachBatch is AT-LEAST-ONCE: a retried micro-batch must not
             # re-fold (the md5-min merge is idempotent, but the versioned
-            # write is errorifexists) — the committed version IS the fold
+            # write is errorifexists) — the committed (_SUCCESS-marked)
+            # version IS the fold; a partial dir was rmtree'd by the guard
             state["dir"] = out
             return
         _acc(batch_df, "in")
         kept = batch_df.filter(keep)
         _acc(kept, "funnel")
         fresh = kept.select(F.md5("text").alias("h"), "doc_id")
-        if state["dir"] is not None:
-            cur = sp.read.parquet(state["dir"])
-            fresh = fresh.unionByName(cur)
+        # base = highest committed version from the store (not the
+        # in-memory pointer): correct across restart AND skips partials
+        base = _latest_committed_version(root, batch_id)
+        if base is not None:
+            fresh = fresh.unionByName(sp.read.parquet(base))
         merged = fresh.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
         merged.write.parquet(out)
         state["dir"] = out
@@ -1554,22 +1591,15 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         out = f"{root}/v{batch_id}"
-        if os.path.exists(out):
+        if _fold_committed(out):
             # foreachBatch is AT-LEAST-ONCE and this fold INCREMENTS: a
             # retried micro-batch must not double-count (nor crash on the
-            # errorifexists write) — the committed version IS this batch's
-            # fold, so a replay just re-points at it (r12 ADVICE)
+            # errorifexists write) — the committed (_SUCCESS-marked)
+            # version IS this batch's fold, so a replay just re-points at
+            # it; a partial dir was rmtree'd by the guard (r12+r13 ADVICE)
             state["dir"] = out
             return
-        # base state = highest COMMITTED version below this batch, read
-        # from the store, not the in-memory pointer — correct across a
-        # process restart resuming from the stream checkpoint
-        prior = sorted(
-            int(d[1:])
-            for d in os.listdir(root)
-            if d.startswith("v") and int(d[1:]) < batch_id
-        )
-        base = f"{root}/v{prior[-1]}" if prior else None
+        base = _latest_committed_version(root, batch_id)
         inc = (
             batch_df.select("lang", "n_chars", is_ref.alias("is_ref"))
             .groupBy("lang")
@@ -2207,15 +2237,10 @@ def stream_serving_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         out = f"{root}/v{batch_id}"
-        if os.path.exists(out):
+        if _fold_committed(out):
             state["dir"] = out  # at-least-once replay: already folded
-            return
-        prior = sorted(
-            int(d[1:])
-            for d in os.listdir(root)
-            if d.startswith("v") and int(d[1:]) < batch_id
-        )
-        base = f"{root}/v{prior[-1]}" if prior else None
+            return  # (committed = _SUCCESS present; partials rmtree'd)
+        base = _latest_committed_version(root, batch_id)
         hits = batch_df.join(F.broadcast(shelf), ["u", "i"], "left_semi")
         inc = (
             batch_df.groupBy("u")

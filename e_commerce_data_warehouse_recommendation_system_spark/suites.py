@@ -419,6 +419,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         # index maintenance: cell-balance census + seeded 2-means split of
         # hot cells, conservation/locality/shape flags (round 13)
         "sim_ivf_rebalance",
+        # the full lifecycle rung: incremental add -> rebalance the GROWN
+        # index -> serve, recall floor held end-to-end (round 14)
+        "sim_ivf_lifecycle",
         # per-dimension cohort mean-shift drift monitor (full oracle)
         "sim_embedding_drift",
         # image-text pair curation: CLIP-score keep/drop + caption gate
@@ -500,6 +503,12 @@ SUITE_SPECS: dict[str, list[str]] = {
         # the fifth leaderboard row: RRF blend of ALS and the popularity
         # prior on the identical temporal protocol (round 13)
         "rec_backtest_blend",
+        # the sixth row: the grid-winning rank-150 ALS promoted to a
+        # first-class census — quality half of the rank trade (round 14)
+        "rec_backtest_rank150",
+        # blend sensitivity: RRF_C x arm sweep answering the sf0.1 blend
+        # gap on the identical protocol (round 14)
+        "rec_backtest_blend_grid",
     ],
     # sinks: upsert/delete/append/truncate + format round-trips
     "wr_sinks_suite": [

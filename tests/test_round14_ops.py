@@ -1,0 +1,213 @@
+"""Round-14 regression tests.
+
+Round 14 closed the r13 ADVICE items: versioned foreachBatch replay
+guards now gate on the _SUCCESS marker (a bare directory is a crash
+leftover, not a commit), the staged=True contract inspects the plan ROOT
+(substring matching passed plans built on top of any cached subtree),
+the bench calibration floor is self-maintaining with slowdown clamped
+>= 1 (normalized can never exceed raw), the ANN index memo keys on
+applicationId (id() recycling could serve a dead session's frames), and
+the backtest pool-width invariant is verified fit-free at every shipped
+SF so its deliberate hard-raise can only fire on novel data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF0001
+
+SF_ALL = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+
+# --------------------------------------------------------------------------
+# foreachBatch replay guards: _SUCCESS is the commit marker (r13 ADVICE, medium)
+# --------------------------------------------------------------------------
+
+
+def test_fold_committed_gates_on_success_marker(tmp_path):
+    """A version directory WITHOUT _SUCCESS is a crash leftover: the guard
+    must report not-committed AND remove it so the re-fold's errorifexists
+    write can succeed. With _SUCCESS it is committed and left intact."""
+    from e_commerce_data_warehouse_recommendation_system_spark.streaming.queries import (
+        _fold_committed,
+    )
+
+    partial = tmp_path / "v3"
+    partial.mkdir()
+    (partial / "part-00000.parquet").write_bytes(b"partial")
+    assert _fold_committed(str(partial)) is False
+    assert not partial.exists()  # leftovers removed for the re-fold
+
+    committed = tmp_path / "v4"
+    committed.mkdir()
+    (committed / "part-00000.parquet").write_bytes(b"data")
+    (committed / "_SUCCESS").write_bytes(b"")
+    assert _fold_committed(str(committed)) is True
+    assert committed.exists()
+
+    assert _fold_committed(str(tmp_path / "v5")) is False  # absent = not committed
+
+
+def test_latest_committed_version_skips_partials(tmp_path):
+    """Base-state selection must skip partial (no _SUCCESS) versions: a
+    fold that based itself on a crash leftover would propagate the
+    corruption into every later batch."""
+    from e_commerce_data_warehouse_recommendation_system_spark.streaming.queries import (
+        _latest_committed_version,
+    )
+
+    for v, ok in ((0, True), (1, True), (2, False)):
+        d = tmp_path / f"v{v}"
+        d.mkdir()
+        if ok:
+            (d / "_SUCCESS").write_bytes(b"")
+    # v2 exists but is partial: the base for batch 3 is v1, not v2
+    assert _latest_committed_version(str(tmp_path), 3) == str(tmp_path / "v1")
+    # only versions BELOW the batch id qualify
+    assert _latest_committed_version(str(tmp_path), 1) == str(tmp_path / "v0")
+    assert _latest_committed_version(str(tmp_path), 0) is None
+
+
+# --------------------------------------------------------------------------
+# staged=True inspects the plan ROOT (r13 ADVICE, low)
+# --------------------------------------------------------------------------
+
+
+def test_staged_assert_rejects_plan_over_cached_subtree(spark):
+    """The old substring check passed if InMemoryRelation appeared ANYWHERE
+    in the plan — an aggregate built ON TOP OF a cached frame satisfied the
+    contract yet re-executed its outer lineage twice. The root-node check
+    must reject it."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.text import (
+        two_phase_tape_offsets,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import (
+        prepare,
+    )
+
+    prepare(spark, SF0001)
+    cached = spark.table("documents").select("doc_id", "lang", "text").cache()
+    cached.count()  # materialize: InMemoryRelation IS in the subtree
+    try:
+        on_top = cached.groupBy("doc_id", "lang").agg(
+            F.sum(F.length("text")).alias("n_tokens")
+        )
+        plan = on_top._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan  # the false-negative precondition
+        with pytest.raises(AssertionError, match="MATERIALIZED"):
+            two_phase_tape_offsets(on_top, "lang", "n_tokens", staged=True)
+    finally:
+        cached.unpersist()
+
+
+# --------------------------------------------------------------------------
+# bench calibration: self-maintaining floor, slowdown clamped >= 1 (r13 #1)
+# --------------------------------------------------------------------------
+
+
+def test_bench_floor_and_slowdown_semantics():
+    """The r13 artifact refuted its own reference: a loaded sweep beat the
+    pinned idle floor, slowdown went sub-1, and value_normalized INFLATED
+    raw. The floor must absorb any faster observation and the slowdown can
+    never drop below 1 — normalized <= raw structurally."""
+    import bench
+
+    floor0 = {"single_sec": 0.17, "multi32_sec": 0.71}
+    # the r13 scenario: probes FASTER than the pinned floor
+    fast = {"single_sec": 0.15, "multi32_sec": 0.600}
+    fast2 = {"single_sec": 0.16, "multi32_sec": 0.607}
+    floor, slowdown = bench._floor_and_slowdown(floor0, fast, fast2)
+    assert floor["multi32_sec"] == 0.600  # floor self-maintains downward
+    assert floor["single_sec"] == 0.15
+    assert slowdown >= 1.0  # can never inflate: normalized <= raw
+    # a genuinely loaded sweep still normalizes down
+    slow = {"single_sec": 0.4, "multi32_sec": 1.42}
+    floor2, slowdown2 = bench._floor_and_slowdown(floor, slow, slow)
+    assert floor2 == floor  # slow probes never raise the floor
+    assert slowdown2 == pytest.approx(1.42 / 0.600, rel=0.01)
+
+
+def test_bench_load_floor_falls_back_to_pinned(tmp_path):
+    """A fresh checkout (no sidecar) starts from the pinned round-13
+    constants; a sidecar with a persisted floor block wins over them."""
+    import json
+
+    import bench
+
+    assert bench._load_floor(str(tmp_path / "nope.json")) == {
+        "single_sec": bench.CALIB_REF_SINGLE_SEC,
+        "multi32_sec": bench.CALIB_REF_MULTI_SEC,
+    }
+    p = tmp_path / "BENCH_stats.json"
+    p.write_text(
+        json.dumps(
+            {"calibration": {"floor": {"single_sec": 0.15, "multi32_sec": 0.6}}}
+        )
+    )
+    assert bench._load_floor(str(p)) == {"single_sec": 0.15, "multi32_sec": 0.6}
+
+
+def _drifted_probe(_=None) -> int:
+    """Stand-in for _calib_work on a numpy whose Generator stream moved —
+    module-level so multiprocessing.Pool can pickle it by reference."""
+    return 123
+
+
+def test_calibrate_flags_probe_value_instead_of_crashing(monkeypatch):
+    """A numpy upgrade that shifts the Generator stream must FLAG the
+    artifact (probe_value_ok=false), never crash the sweep (r13 ADVICE)."""
+    import bench
+
+    monkeypatch.setattr(bench, "_calib_work", _drifted_probe)
+    monkeypatch.setattr(bench, "CALIB_PROCS", 2)  # keep the probe pools tiny
+    c = bench.calibrate()
+    assert c["probe_value_ok"] is False
+    # timing fields still produced (the fake probe rounds to 0.0s — the
+    # point is calibrate() RETURNED instead of raising)
+    assert c["single_sec"] >= 0 and c["multi32_sec"] >= 0
+
+
+# --------------------------------------------------------------------------
+# ANN memo keyed on applicationId with dead-session eviction (r13 ADVICE)
+# --------------------------------------------------------------------------
+
+
+def test_session_key_evicts_dead_sessions(spark):
+    """id(sparkContext) can be recycled by CPython after GC — the memo must
+    key on applicationId and evict entries from other application ids, so a
+    new session can never be served a dead session's checkpointed frames."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators import (
+        similarity as sim,
+    )
+
+    app = spark.sparkContext.applicationId
+    sim._ANN_INDEX_CACHE[("sess", "dead-app-123", "ivf", "/x")] = "stale"
+    sim._ANN_INDEX_CACHE[("pq", "/x", 4, 16)] = "codebooks"  # session-independent
+    key = sim._session_key(spark, "ivf", "/x")
+    assert key == ("sess", app, "ivf", "/x")
+    assert ("sess", "dead-app-123", "ivf", "/x") not in sim._ANN_INDEX_CACHE
+    assert ("pq", "/x", 4, 16) in sim._ANN_INDEX_CACHE  # codebooks survive
+    del sim._ANN_INDEX_CACHE[("pq", "/x", 4, 16)]
+
+
+# --------------------------------------------------------------------------
+# backtest pool-width invariant holds fit-free at every shipped SF (r13 ADVICE)
+# --------------------------------------------------------------------------
+
+
+def test_backtest_pool_fits_all_shipped_sfs(spark):
+    """_pool_sizing raises (deliberately: a silent clamp voids the census
+    oracle's n_pred == TOP_K invariant) when MMR_POOL + max_seen exceeds
+    the catalog. This fit-free check proves the invariant at every shipped
+    SF, so the raise can only fire on novel data (r13 ADVICE)."""
+    from e_commerce_data_warehouse_recommendation_system_spark.recommend.queries import (
+        backtest_pool_fits,
+    )
+
+    for sf_dir in SF_ALL:
+        k_pool, n_items = backtest_pool_fits(spark, sf_dir)
+        assert 0 < k_pool <= n_items, (sf_dir, k_pool, n_items)
