@@ -334,11 +334,29 @@ def _doc_stats(df: DataFrame, prefix: str) -> DataFrame:
         ("docs_checksum", "num"),
     ],
 )
-def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_curation_pipeline(
+    spark: SparkSession, sf_dir: str, stage_times: dict | None = None
+) -> DataFrame:
     """See the module docstring: the 7-stage chained curation pipeline with
     per-stage conservation columns. Each stage frame is localCheckpointed
     so span mining, the funnel, and the BPE fold each run exactly once even
-    though both the next stage and the summary aggregates consume them."""
+    though both the next stage and the summary aggregates consume them.
+
+    ``stage_times`` (r13 verdict #3 — the slot's three-round bench rise
+    needed per-stage attribution): pass a dict and each stage's eager
+    materialization wall-seconds are recorded into it (the stage's upstream
+    compute executes AT its checkpoint, so the timing attributes correctly);
+    stage 7 + the summary land in the caller's final action and are the
+    remainder vs total. Driven by scripts/probe_slot.py."""
+    import time as _time
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        t0 = _time.perf_counter()
+        out = df.localCheckpoint(eager=True)
+        if stage_times is not None:
+            stage_times[name] = round(_time.perf_counter() - t0, 3)
+        return out
+
     prepare(spark, sf_dir)
     k = SPAN_SHINGLE_K
     raw = spark.table("documents").select(
@@ -353,13 +371,16 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     L = F.length("text")
     T = F.size("t")
     SW = F.size(F.filter(F.col("t"), lambda x: x.isin(*STOPWORDS)))
-    s1 = tok0.filter(
-        (L >= FUNNEL_MIN_CHARS)
-        & T.between(*FUNNEL_TOKENS)
-        & (L.cast("double") / T).between(*FUNNEL_MEAN_TOKLEN)
-        & ((SW.cast("double") / T) >= FUNNEL_MIN_STOPWORD_FRAC)
-        & (F.col("lang") == FUNNEL_LANG)
-    ).localCheckpoint(eager=True)
+    s1 = _stage(
+        tok0.filter(
+            (L >= FUNNEL_MIN_CHARS)
+            & T.between(*FUNNEL_TOKENS)
+            & (L.cast("double") / T).between(*FUNNEL_MEAN_TOKLEN)
+            & ((SW.cast("double") / T) >= FUNNEL_MIN_STOPWORD_FRAC)
+            & (F.col("lang") == FUNNEL_LANG)
+        ),
+        "s1_funnel",
+    )
 
     # -- stage 2: exact dedup, keep-first by content hash
     keepers2 = (
@@ -367,7 +388,7 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    s2 = s1.join(keepers2, "doc_id", "left_semi").localCheckpoint(eager=True)
+    s2 = _stage(s1.join(keepers2, "doc_id", "left_semi"), "s2_exact_dedup")
 
     # -- stage 3: shared-span excision among survivors (keep-first: the
     # LATER doc of each colliding pair loses the duplicated range)
@@ -419,8 +440,8 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"
             ).alias("t"),
         )
-        .localCheckpoint(eager=True)
     )
+    s3 = _stage(s3, "s3_span_excision")
 
     # -- stage 4: 13-gram decontamination on the POST-EXCISION sequences
     sh4 = s3.select(
@@ -447,7 +468,7 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = (
         spans4.filter(F.col("span") >= DECONTAM_SPAN_TOKENS).select("doc_id").distinct()
     )
-    s4 = s3.join(contaminated, "doc_id", "left_anti").localCheckpoint(eager=True)
+    s4 = _stage(s3.join(contaminated, "doc_id", "left_anti"), "s4_decontaminate")
 
     # -- stage 5: temperature-mixture downsample (alpha = 0.5, exact
     # integer micro-units; deterministic md5-rank selection within source)
@@ -481,8 +502,8 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(targets), "source")
         .filter(F.col("rk") <= F.least("n_docs", "target_docs"))
         .select("doc_id", "lang", "source", "t")
-        .localCheckpoint(eager=True)
     )
+    s5 = _stage(s5, "s5_mixture_downsample")
 
     # -- stage 6: BPE encode (fold on the survivor corpus's DISTINCT words)
     tw = s5.select("doc_id", F.explode("t").alias("w")).filter(F.col("w") != "")
@@ -496,8 +517,8 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("n_tokens").cast("long").alias("n_bpe_tokens"))
         .join(s5.select("doc_id", "lang"), "doc_id")
-        .localCheckpoint(eager=True)
     )
+    s6 = _stage(s6, "s6_bpe_encode")
 
     # -- stage 7: fixed-budget per-language packing on the real BPE lengths
     # (two-phase tape prefix sum + integer-div seq_id, same plan as
