@@ -66,12 +66,19 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def vectors_with_norms(spark: SparkSession) -> DataFrame:
-    """(vec_id, v: array<double>, nrm: double) — the shared prep step."""
-    e = spark.table("embeddings")
+def frame_with_norms(e: DataFrame) -> DataFrame:
+    """(vec_id, v: array<double>, nrm: double) from any frame carrying
+    (vec_id, embedding: array<float>) — the prep step, parameterized so
+    streaming micro-batches (stream_ivf_ingest) run the IDENTICAL
+    expression as the batch index builds."""
     v = F.transform("embedding", lambda x: x.cast("double"))
     with_v = e.select("vec_id", v.alias("v"))
     return with_v.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
+
+
+def vectors_with_norms(spark: SparkSession) -> DataFrame:
+    """(vec_id, v: array<double>, nrm: double) — the shared prep step."""
+    return frame_with_norms(spark.table("embeddings"))
 
 
 # DuckDB twin: long-format elements -> decimal-summed dots and norms.

@@ -422,6 +422,10 @@ SUITE_SPECS: dict[str, list[str]] = {
         # the full lifecycle rung: incremental add -> rebalance the GROWN
         # index -> serve, recall floor held end-to-end (round 14)
         "sim_ivf_lifecycle",
+        # streaming vector-store ingestion: frozen-centroid assignment per
+        # micro-batch, _SUCCESS-gated append-only versions, terminal ==
+        # one-shot + runtime replay no-op (round 14)
+        "stream_ivf_ingest",
         # per-dimension cohort mean-shift drift monitor (full oracle)
         "sim_embedding_drift",
         # image-text pair curation: CLIP-score keep/drop + caption gate

@@ -313,3 +313,31 @@ def test_ivf_lifecycle_recall_floor_all_sfs(spark):
             sf_dir,
             art["recall_micro_after"],
         )
+
+
+# --------------------------------------------------------------------------
+# streaming ANN ingestion (round 14): terminal == one-shot, replay no-op
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.slow  # full stream drain + KMeans fixture
+def test_stream_ivf_ingest_contract(spark):
+    """The streaming ingest's five contract rows must all hold at
+    sf0.001: every vector lands (n_vectors == corpus), 3 micro-batches,
+    terminal assignment identical to the one-shot, census additive, and
+    the at-least-once replay guard no-ops on a committed batch — the
+    runtime proof of the r14 _SUCCESS-gated fold."""
+    from e_commerce_data_warehouse_recommendation_system_spark.registry import (
+        components,
+    )
+
+    rows = {
+        r.label: r.value_num
+        for r in components()["stream_ivf_ingest"].fn(spark, SF0001).collect()
+    }
+    n_emb = spark.read.parquet(os.path.join(SF0001, "embeddings.parquet")).count()
+    assert rows["n_vectors"] == n_emb
+    assert rows["n_batches"] == 3
+    assert rows["terminal_equals_oneshot_ok"] == 1
+    assert rows["census_additive_ok"] == 1
+    assert rows["replay_noop_ok"] == 1
