@@ -92,7 +92,15 @@ def _floor_and_slowdown(floor: dict, calib_start: dict, calib_end: dict) -> tupl
     """Update the self-maintaining floor with this sweep's probes and
     derive the sweep slowdown against it. floor <= observed by
     construction, so slowdown >= 1 structurally; the max(1.0, ...) is
-    belt-and-braces — normalized can NEVER exceed raw (r13 verdict #1)."""
+    belt-and-braces — normalized can NEVER exceed raw (r13 verdict #1).
+
+    The slowdown uses the sweep's BEST (min) probe, not the mean: the
+    best probe is the host's demonstrated capability, so one anomalous
+    probe can never over-excuse a riser (measured round 14: a cold-start
+    probe read 1.398 s at loadavg 0.12 while the end probe read 0.535 s
+    — the mean would have normalized the whole sweep by 1.8x on the
+    strength of a single unexplained reading). Normalization exists only
+    to DISMISS risers; min is the conservative direction."""
     floor = {
         "single_sec": round(
             min(floor["single_sec"], calib_start["single_sec"], calib_end["single_sec"]), 3
@@ -104,8 +112,7 @@ def _floor_and_slowdown(floor: dict, calib_start: dict, calib_end: dict) -> tupl
     slowdown = round(
         max(
             1.0,
-            (calib_start["multi32_sec"] + calib_end["multi32_sec"])
-            / 2
+            min(calib_start["multi32_sec"], calib_end["multi32_sec"])
             / floor["multi32_sec"],
         ),
         3,

@@ -62,6 +62,19 @@ from e_commerce_data_warehouse_recommendation_system_spark.registry import (
 )
 from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import prepare
 
+#: The shipped factor rank. The quality/cost trade is two RECORDED numbers
+#: per round (r13 verdict #4, measured round 14, both at sf0.1): quality —
+#: rank-150 (reg 0.01) backtest rate 950 vs rank-16's 690 and warm
+#: popularity's 731 (but rank-16 WINS at sf0.001, 75000 vs 67361: capacity
+#: pays only as the catalog grows); cost — the rec_als_serve_eval_*
+#: bench pair measured rank 16 at 5.41/7.12 s vs rank 150 at
+#: 5.91/6.03 s across two idle sweeps: the deltas are INSIDE harness
+#: noise, i.e. at this SF serving is dominated by the pool tail, not
+#: the factor product — the old "serving cost scales with rank" claim
+#: is now bounded by measurement at ~noise. 16 stays the default: best at the small
+#: SFs, ~10x smaller factor tables (the asset every serving/broadcast
+#: path ships), and the rank-150 row (rec_backtest_rank150) serves the
+#: large-catalog case as a first-class recorded alternative.
 RANK = 16
 MAX_ITER = 8
 REG = 0.1
@@ -3399,7 +3412,9 @@ def rec_backtest_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: popularity at EVERY SF (reg 0.1: 1.19/1.05/1.25 at sf0.001/0.01/0.1;
 #: reg 0.01 peaks at 1.30 at sf0.1) — the rank-16 model was
 #: capacity-starved as the catalog grew. Rank 16 stays the shipped
-#: default (~10x fewer factor parameters; serving cost scales with rank);
+#: default (~10x fewer factor parameters; the serving-cost half is now
+#: MEASURED, not asserted — see the RANK constant's note and the
+#: rec_als_serve_eval_rank16/150 bench pair, round 14);
 #: this grid is the recorded evidence for that trade. reg is carried as
 #: integer milli-units (0.01 -> 10) so every emitted column stays
 #: hash-exact.

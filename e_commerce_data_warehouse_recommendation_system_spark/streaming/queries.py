@@ -1953,25 +1953,37 @@ def stream_fold_in_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        fresh = batch_df.select("user_idx", "item_idx")
-        if acc_state["dir"] is not None:
-            fresh = fresh.unionByName(sp.read.parquet(acc_state["dir"]))
         acc_out = f"{acc_root}/v{batch_id}"
-        fresh.dropDuplicates(["user_idx", "item_idx"]).write.parquet(acc_out)
+        fac_out = f"{fac_root}/v{batch_id}"
+        # at-least-once replay guard, TWO-STORE variant (r14, the
+        # _fold_committed discipline): the write order is acc -> fac, so
+        # the reachable states are {neither, acc only, both} committed —
+        # each half recomputes only if ITS version is missing (the guard
+        # rmtree'd any partial), and bases come from the highest committed
+        # version in the store, never the in-memory pointer.
+        acc_committed = _fold_committed(acc_out)
+        fac_committed = _fold_committed(fac_out)
+        if not acc_committed:
+            fresh = batch_df.select("user_idx", "item_idx")
+            acc_base = _latest_committed_version(acc_root, batch_id)
+            if acc_base is not None:
+                fresh = fresh.unionByName(sp.read.parquet(acc_base))
+            fresh.dropDuplicates(["user_idx", "item_idx"]).write.parquet(acc_out)
         acc_state["dir"] = acc_out
 
-        touched = batch_df.select("user_idx").distinct()
-        acc = sp.read.parquet(acc_out)
-        refold = rec_fold_in_user_factors(
-            sp, sf_dir, interactions_df=acc.join(touched, "user_idx", "left_semi")
-        )
-        if fac_state["dir"] is not None:
-            kept = sp.read.parquet(fac_state["dir"]).join(
-                touched, "user_idx", "left_anti"
+        if not fac_committed:
+            touched = batch_df.select("user_idx").distinct()
+            acc = sp.read.parquet(acc_out)
+            refold = rec_fold_in_user_factors(
+                sp, sf_dir, interactions_df=acc.join(touched, "user_idx", "left_semi")
             )
-            refold = refold.unionByName(kept)
-        fac_out = f"{fac_root}/v{batch_id}"
-        refold.write.parquet(fac_out)
+            fac_base = _latest_committed_version(fac_root, batch_id)
+            if fac_base is not None:
+                kept = sp.read.parquet(fac_base).join(
+                    touched, "user_idx", "left_anti"
+                )
+                refold = refold.unionByName(kept)
+            refold.write.parquet(fac_out)
         fac_state["dir"] = fac_out
 
     schema = spark.read.parquet(stage).schema

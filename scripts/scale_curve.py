@@ -298,6 +298,35 @@ def _rec_fixture_dir(spark, scale: int) -> str:
     return out
 
 
+def _embeddings_fixture_dir(spark, scale: int) -> str:
+    """Scaled fixture for the ANN streaming family (round 14): ``scale``
+    offset copies of embeddings (vec_id shifted by max+1 per copy, the
+    vectors unchanged — disjoint id spaces over the same geometry, so
+    per-cell occupancy scales xN while the cell count stays IVF_CELLS),
+    all other tables symlinked."""
+    from pyspark.sql import functions as F
+
+    out = f"/tmp/scale_fixture_emb_x{scale}"
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out)
+    for t in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        os.symlink(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    off = int(e.agg(F.max("vec_id")).first()[0]) + 1
+    copies = [
+        e.withColumn("vec_id", F.col("vec_id") + F.lit(k * off))
+        for k in range(scale)
+    ]
+    alle = copies[0]
+    for c in copies[1:]:
+        alle = alle.unionByName(c)
+    alle.coalesce(4).write.parquet(f"{out}/embeddings.parquet")
+    return out
+
+
 def _stream_fixture_dir(spark, scale: int) -> str:
     """Scaled fixture for the STREAMING family (r12 verdict #5): ``scale``
     offset copies of events written as a single parquet FILE (the layout
@@ -461,6 +490,21 @@ def heavy_workloads(spark, scale: int) -> list[tuple[str, "object"]]:
 
         return stream_curation_ingest(spark, curation_fixture).count()
 
+    emb_fixture = _embeddings_fixture_dir(spark, scale)
+
+    def stream_ivf():
+        # streaming vector-store ingestion on xN embeddings (round 14,
+        # copy-disjoint vec_ids): shard staging + AvailableNow drain +
+        # per-batch broadcast-centroid argmin + append-only versioned
+        # commits + terminal one-shot parity. The centroid fit and the
+        # base/batch fixtures are memoized on the warm run (index DEPLOY
+        # is off-clock, the rec_als_serve convention) -> expected ~N
+        from e_commerce_data_warehouse_recommendation_system_spark.streaming.queries import (
+            stream_ivf_ingest,
+        )
+
+        return stream_ivf_ingest(spark, emb_fixture).count()
+
     return [
         ("graph_triangles", triangles),
         ("ivf_pq_search", ivf_pq),
@@ -472,6 +516,7 @@ def heavy_workloads(spark, scale: int) -> list[tuple[str, "object"]]:
         ("rec_pipeline_e2e", rec_pipeline),
         ("stream_event_daily_upsert", stream_daily_upsert),
         ("stream_curation_ingest", stream_ingest),
+        ("stream_ivf_ingest", stream_ivf),
     ]
 
 

@@ -129,6 +129,14 @@ def test_bench_floor_and_slowdown_semantics():
     floor2, slowdown2 = bench._floor_and_slowdown(floor, slow, slow)
     assert floor2 == floor  # slow probes never raise the floor
     assert slowdown2 == pytest.approx(1.42 / 0.600, rel=0.01)
+    # one anomalous probe cannot over-excuse the sweep: slowdown is the
+    # BEST probe vs floor (r14: cold start read 1.398 while the end probe
+    # read 0.535 — mean semantics would have normalized 1.8x)
+    anomalous = {"single_sec": 0.2, "multi32_sec": 1.398}
+    good = {"single_sec": 0.17, "multi32_sec": 0.535}
+    floor3, slowdown3 = bench._floor_and_slowdown(floor, anomalous, good)
+    assert floor3["multi32_sec"] == 0.535
+    assert slowdown3 == 1.0  # best probe == floor => raw stands
 
 
 def test_bench_load_floor_falls_back_to_pinned(tmp_path):
