@@ -2057,6 +2057,8 @@ def _rebalanced_index(spark: SparkSession, sf_dir: str) -> dict:
 def _sql_ivf_rebalance() -> str:
     return f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE vec_id % {QUERY_MODULUS} = 0) AS BIGINT) AS n_queries,
            CAST({IVF_CELLS} AS BIGINT) AS n_cells_before,
            TRUE AS conservation_ok,
            TRUE AS only_hot_split_ok,
@@ -2071,6 +2073,7 @@ def _sql_ivf_rebalance() -> str:
     oracle=_sql_ivf_rebalance(),
     cols=[
         ("n_vectors", "num"),
+        ("n_queries", "num"),
         ("n_cells_before", "num"),
         ("conservation_ok", "bool"),
         ("only_hot_split_ok", "bool"),
@@ -2153,6 +2156,7 @@ def sim_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 n_vectors,
+                int(shape["nq"]),  # served query count — cross-engine exact
                 IVF_CELLS,
                 bool(conservation),
                 bool(only_hot),
@@ -2160,8 +2164,9 @@ def sim_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(serve_shape),
             )
         ],
-        schema="n_vectors bigint, n_cells_before bigint, conservation_ok boolean, "
-        "only_hot_split_ok boolean, max_not_worse_ok boolean, serve_shape_ok boolean",
+        schema="n_vectors bigint, n_queries bigint, n_cells_before bigint, "
+        "conservation_ok boolean, only_hot_split_ok boolean, "
+        "max_not_worse_ok boolean, serve_shape_ok boolean",
     )
 
 
