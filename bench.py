@@ -70,10 +70,16 @@ def _load_floor(sidecar_path: str) -> dict:
     try:
         with open(sidecar_path) as f:
             fl = json.load(f)["calibration"]["floor"]
-        return {
+        out = {
             "single_sec": float(fl["single_sec"]),
             "multi32_sec": float(fl["multi32_sec"]),
         }
+        # a zero/negative floor (truncated or badly merged sidecar) would
+        # divide-by-zero at the very END of a full sweep (r14 review) —
+        # treat it like a missing sidecar and restart from the pinned era
+        if out["single_sec"] <= 0 or out["multi32_sec"] <= 0:
+            raise ValueError("non-positive persisted floor")
+        return out
     except (OSError, KeyError, ValueError, TypeError):
         return {
             "single_sec": CALIB_REF_SINGLE_SEC,

@@ -604,7 +604,7 @@ def sim_ann_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_ann_ivf workloads (exact baseline has its own sim_cosine_topk
     slot) — this digest verifies, it is not what the clock measures."""
     prepare(spark, sf_dir)
-    exact = sim_cosine_topk(spark, sf_dir).cache()
+    exact = _exact_cosine_pairs(spark, sf_dir)  # memoized per (session, sf)
     lsh_recall = _recall_vs_exact(exact, sim_ann_lsh_topk(spark, sf_dir))
     ivf_recall = _recall_vs_exact(exact, sim_ann_ivf_topk(spark, sf_dir))
     n_queries = exact.select("query_id").distinct().count()
@@ -1961,15 +1961,20 @@ IVF_HOT_CELL_PCT = 125
 
 
 def _rebalance_assignments(
-    spark: SparkSession, assigned: DataFrame, centroids: DataFrame
+    spark: SparkSession,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    probes: int = IVF_PROBES,
 ) -> dict:
     """The rebalance CORE over any (assigned, centroids) index — the
     production one-shot index (sim_ivf_rebalance) or an incrementally
     grown one (sim_ivf_lifecycle, round 14): census the cell sizes, split
     every hot cell (> IVF_HOT_CELL_PCT% of the mean) with a seeded
     2-means over its own members, keep cold cells byte-identical.
-    ``probes`` is the input probe count scaled (ceil) with the grown
-    cell count — probed-mass fraction preserved."""
+    ``probes`` is the INPUT index's probe count (pass the count the input
+    was actually served at — an already-rebalanced input has more than
+    IVF_PROBES; r14 review) scaled (ceil) with the grown cell count —
+    probed-mass fraction preserved."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -1990,15 +1995,14 @@ def _rebalance_assignments(
     cold = assigned.filter(
         ~F.col("cell").isin([int(c) for c in hot]) if hot else F.lit(True)
     )
+    all_centroids = centroids.collect()  # <= n_cells rows, collected ONCE
     kept_centroids = [
-        r for r in centroids.collect() if int(r["cell"]) not in set(hot)
-    ]  # <= n_cells rows
+        r for r in all_centroids if int(r["cell"]) not in set(hot)
+    ]
     new_rows = []
     # fresh cell ids start above every existing id (works whether the
     # input is the IVF_CELLS one-shot index or an already-split one)
-    next_cell = 1 + max(
-        int(r["cell"]) for r in centroids.select("cell").collect()
-    )
+    next_cell = 1 + max(int(r["cell"]) for r in all_centroids)
     rebalanced_parts = [cold]
     for c in hot:
         members = assigned.filter(F.col("cell") == int(c)).localCheckpoint(
@@ -2037,7 +2041,7 @@ def _rebalance_assignments(
         "n_vectors": n_vectors,
         "max_before": max_before,
         "n_cells_after": n_cells_after,
-        "probes": -(-IVF_PROBES * n_cells_after // n_cells_before),  # ceil
+        "probes": -(-probes * n_cells_after // n_cells_before),  # ceil
     }
 
 
@@ -2175,6 +2179,21 @@ def sim_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _exact_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact brute-force cosine top-k pairs, memoized per (session,
+    sf_dir) — the _exact_l2_baseline convention (r14 review): the most
+    expensive scan in the module runs once per session, not once per
+    consumer (ANN digest + lifecycle recall both read it)."""
+    key = _session_key(spark, "exact_cosine", sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        _ANN_INDEX_CACHE[key] = (
+            sim_cosine_topk(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+    return _ANN_INDEX_CACHE[key]
+
+
 def _lifecycle_artifacts(spark: SparkSession, sf_dir: str) -> dict:
     """Memoized end-to-end lifecycle artifacts (r13 verdict #6: the
     incremental-add -> rebalance -> serve chain was only pairwise tested):
@@ -2193,11 +2212,7 @@ def _lifecycle_artifacts(spark: SparkSession, sf_dir: str) -> dict:
         .localCheckpoint(eager=True)
     )
     reb = _rebalance_assignments(spark, grown, fix["centroids"])
-    exact = (
-        sim_cosine_topk(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)  # queries x k rows, two semi-join readers
-    )
+    exact = _exact_cosine_pairs(spark, sf_dir)  # memoized queries x k rows
     n_exact = exact.count()
     pre_topk = _ivf_query(grown, fix["centroids"])
     post_topk = _ivf_query(

@@ -2905,7 +2905,10 @@ def _pool_sizing(pre: DataFrame, eval_users: DataFrame, n_items: int) -> int:
         .agg(F.max("n"))
         .first()[0]
     )
-    k_pool = MMR_POOL + int(max_seen)
+    # zero eval users => the max aggregate is NULL (r14 review): the
+    # invariant is trivially satisfiable then — size the pool at its
+    # floor instead of crashing on int(None)
+    k_pool = MMR_POOL + int(max_seen or 0)
     if k_pool > int(n_items):
         raise AssertionError(
             f"backtest pool width {k_pool} (MMR_POOL={MMR_POOL} + "

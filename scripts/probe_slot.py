@@ -90,10 +90,12 @@ def main() -> None:
             continue
         runs = []
         n = 0
+        df = None
         for _ in range(ITERS):
             la = round(os.getloadavg()[0], 2)
             t0 = time.perf_counter()
-            n = fn(spark, SF_DIR).count()
+            df = fn(spark, SF_DIR)  # plan build is part of the timed cost
+            n = df.count()
             runs.append(round(time.perf_counter() - t0, 3))
         rec = {
             "runs": runs,
@@ -102,7 +104,10 @@ def main() -> None:
             "rows": n,
             "loadavg_last": la,
             "degraded_host": degraded,
-            "plan_nodes": plan_fingerprint(fn(spark, SF_DIR)),
+            # fingerprint the LAST timed run's frame — re-invoking fn would
+            # execute component-internal eager work a whole extra time
+            # (r14 review: +33% probe wall clock for nothing)
+            "plan_nodes": plan_fingerprint(df),
         }
         if slot == "text_curation_pipeline":
             from e_commerce_data_warehouse_recommendation_system_spark.operators.curation import (
