@@ -157,6 +157,12 @@ def test_bench_load_floor_falls_back_to_pinned(tmp_path):
         )
     )
     assert bench._load_floor(str(p)) == {"single_sec": 0.15, "multi32_sec": 0.6}
+    # a zero/negative floor (truncated or badly merged sidecar) must fall
+    # back to the pinned constants, not divide-by-zero at sweep end
+    p.write_text(
+        json.dumps({"calibration": {"floor": {"single_sec": 0.15, "multi32_sec": 0}}})
+    )
+    assert bench._load_floor(str(p))["multi32_sec"] == bench.CALIB_REF_MULTI_SEC
 
 
 def _drifted_probe(_=None) -> int:
@@ -349,3 +355,56 @@ def test_stream_ivf_ingest_contract(spark):
     assert rows["terminal_equals_oneshot_ok"] == 1
     assert rows["census_additive_ok"] == 1
     assert rows["replay_noop_ok"] == 1
+
+
+# --------------------------------------------------------------------------
+# rebalance core: chained maintenance passes (the r14 review's latent path)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.slow  # two KMeans-backed maintenance passes
+def test_rebalance_chain_preserves_probe_fraction_and_ids(spark):
+    """Rebalancing an ALREADY-REBALANCED index (the chained maintenance a
+    long-lived deployment runs) must keep conservation and keep scaling
+    probes from the INPUT's probe count — the r14 review found the core
+    hardcoded IVF_PROBES, which would silently SHRINK the probed-mass
+    fraction on the second pass."""
+    from e_commerce_data_warehouse_recommendation_system_spark.operators.similarity import (
+        IVF_PROBES,
+        _ivf_index,
+        _rebalance_assignments,
+    )
+    from e_commerce_data_warehouse_recommendation_system_spark.sources.readers import (
+        prepare,
+    )
+
+    prepare(spark, SF0001)
+    idx = _ivf_index(spark, SF0001)
+    r1 = _rebalance_assignments(spark, idx["assigned"], idx["centroids"])
+    n_cells_1 = r1["n_cells_after"]
+    # pass 2 consumes pass 1's output AND its probe count
+    r2 = _rebalance_assignments(
+        spark, r1["rebalanced"], r1["centroids"], probes=r1["probes"]
+    )
+    # conservation survives the chain
+    ids0 = idx["assigned"].select("vec_id")
+    ids2 = r2["rebalanced"].select("vec_id")
+    assert ids0.exceptAll(ids2).count() == 0
+    assert ids2.exceptAll(ids0).count() == 0
+    # probed-mass fraction never decreases through the chain
+    frac0 = IVF_PROBES / idx["centroids"].count()
+    frac1 = r1["probes"] / n_cells_1
+    frac2 = r2["probes"] / r2["n_cells_after"]
+    assert frac1 >= frac0 - 1e-9
+    assert frac2 >= frac1 - 1e-9
+    # fresh cell ids from pass 2 sit above every pass-1 id
+    if r2["hot"]:
+        max1 = max(
+            int(r["cell"]) for r in r1["centroids"].select("cell").collect()
+        )
+        new2 = [
+            int(r["cell"])
+            for r in r2["centroids"].select("cell").collect()
+            if int(r["cell"]) > max1
+        ]
+        assert len(new2) == 2 * len(r2["hot"])
