@@ -64,6 +64,95 @@ CALIB_PROCS = 32
 #: it never manufactures them).
 
 
+#: Spark-shaped calibration probe (round 14). The CPU probes above
+#: demonstrably cannot see JVM/IO-era drift: COVERAGE round 14 recorded a
+#: host era where the CPU probe read FASTER than its floor (0.600 vs
+#: 0.71 s) while every Spark slot read ~1.35-1.5x slower — the drift was
+#: engine-side (JVM, shuffle machinery, page-cache/IO path), exactly the
+#: component a pure-numpy probe is blind to, and both r13/r14 watch items
+#: (dedup_shared_spans, etl_fact_sales) were adjudicated by hand for that
+#: reason. This probe is fixed Spark work — range -> project -> hash
+#: aggregate over 100k groups (a real Exchange + whole-stage codegen) ->
+#: one-row global checksum — timed min-of-N with warm runs off the clock
+#: (the JIT ramp on a cold session measured 10.9 -> 1.6 s, so the min
+#: over too few runs would time compilation, not the engine). Its floor
+#: self-maintains exactly like the CPU floor; NOTE its era coverage
+#: begins round 14 (the faster r11-r13 host is gone and cannot be
+#: re-measured, so the initial pin is this round's best observation —
+#: the first sweep on a fast-era host will lower it).
+CALIB_REF_JVM_SEC = 0.85
+_JVM_PROBE_ROWS = 2_000_000
+_JVM_PROBE_GROUPS = 100_000
+_JVM_PROBE_CHECKSUM = 4799870976549
+_JVM_WARM_RUNS = 2
+_JVM_TIMED_RUNS = 4
+
+
+def _jvm_probe_frame(spark):
+    """The fixed probe plan. Deterministic integer arithmetic end-to-end
+    (checksum pinned above) so the work can neither vary by input nor be
+    optimized away; 64 input partitions + a 100k-group hash aggregate give
+    it a genuine shuffle on every run."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, _JVM_PROBE_ROWS, 1, 64)
+        .select(
+            ((F.col("id") * 2654435761) % _JVM_PROBE_GROUPS).alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .select(F.sum(F.col("k") * F.col("s")).alias("chk"))
+    )
+
+
+def calibrate_jvm(spark) -> dict:
+    """min-of-N Spark-probe seconds. Warm runs off the clock (JIT ramp);
+    a checksum mismatch is FLAGGED, never asserted (the CPU-probe
+    convention — probe timing stays valid either way)."""
+    for _ in range(_JVM_WARM_RUNS):
+        _jvm_probe_frame(spark).collect()
+    runs = []
+    probe_value_ok = True
+    for _ in range(_JVM_TIMED_RUNS):
+        t0 = time.perf_counter()
+        v = _jvm_probe_frame(spark).collect()[0]["chk"]
+        runs.append(time.perf_counter() - t0)
+        probe_value_ok = (v == _JVM_PROBE_CHECKSUM) and probe_value_ok
+    return {
+        "jvm_sec": round(min(runs), 3),
+        "runs": [round(r, 3) for r in runs],
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "probe_value_ok": probe_value_ok,
+    }
+
+
+def _load_jvm_floor(sidecar_path: str) -> float:
+    """Previous sweep's persisted JVM-probe floor; pinned initial era on a
+    fresh checkout or a pre-r14 sidecar (same fallback ladder as
+    _load_floor, including the non-positive-floor guard)."""
+    try:
+        with open(sidecar_path) as f:
+            v = float(json.load(f)["calibration"]["jvm"]["floor_sec"])
+        if v <= 0:
+            raise ValueError("non-positive persisted jvm floor")
+        return v
+    except (OSError, KeyError, ValueError, TypeError):
+        return CALIB_REF_JVM_SEC
+
+
+def _jvm_floor_and_slowdown(floor_sec: float, start: dict, end: dict) -> tuple[float, float]:
+    """Same semantics as _floor_and_slowdown, for the Spark probe: floor
+    absorbs any faster observation (min), slowdown is the sweep's BEST
+    probe vs the floor, clamped >= 1 — normalization can only DISMISS."""
+    floor_sec = round(min(floor_sec, start["jvm_sec"], end["jvm_sec"]), 3)
+    slowdown = round(
+        max(1.0, min(start["jvm_sec"], end["jvm_sec"]) / floor_sec), 3
+    )
+    return floor_sec, slowdown
+
+
 def _load_floor(sidecar_path: str) -> dict:
     """Previous sweep's persisted probe floor, falling back to the pinned
     round-13 constants for a fresh checkout."""
@@ -227,6 +316,27 @@ def main() -> None:
         except Exception as exc:  # a broken warmup slot still gets its own error row below
             print(f"# warmup error: {type(exc).__name__}: {exc}"[:200], file=sys.stderr)
 
+    # Spark-shaped host probe, AFTER the session/page-cache warmups so it
+    # measures the engine era, not first-touch costs (see CALIB_REF_JVM_SEC).
+    # A probe failure must never zero the artifact (the per-slot fault-
+    # isolation rule): the fallback reads jvm_sec == the persisted floor,
+    # i.e. jvm_slowdown 1.0 — raw stands, the conservative direction.
+    def _safe_jvm_probe(label: str) -> dict:
+        try:
+            p = calibrate_jvm(spark)
+        except Exception as exc:  # noqa: BLE001 — evidence, not the workload
+            p = {
+                "jvm_sec": _load_jvm_floor(
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_stats.json")
+                ),
+                "probe_error": f"{type(exc).__name__}: {exc}"[:200],
+                "probe_value_ok": False,
+            }
+        print(f"# jvm probe ({label}): {p}", file=sys.stderr)
+        return p
+
+    jvm_start = _safe_jvm_probe("start")
+
     # Every slot is timed ITERS times and the minimum reported: the box
     # throttles under sustained all-core load (measured ±2x on identical
     # plans back-to-back), and min-of-N is the standard steady-state
@@ -319,6 +429,7 @@ def main() -> None:
     # carries ONLY the headline fields (~900 chars at 20 slots); the full
     # adjudication evidence (per-slot raw runs/spread + slot genealogy)
     # goes to the BENCH_stats.json sidecar + stderr.
+    jvm_end = _safe_jvm_probe("end")
     calib_end = calibrate()
     # Normalization: divide the raw total by the sweep's mean all-core
     # slowdown (the shape Spark slots run), measured against the
@@ -330,11 +441,22 @@ def main() -> None:
     # normalized total ~17 %).
     sidecar_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_stats.json")
     floor, slowdown = _floor_and_slowdown(_load_floor(sidecar_path), calib_start, calib_end)
+    jvm_floor, jvm_slowdown = _jvm_floor_and_slowdown(
+        _load_jvm_floor(sidecar_path), jvm_start, jvm_end
+    )
+    # the era-aware slowdown: a Spark slot's host excuse is bounded by the
+    # WORSE of the two demonstrated slowdowns (CPU contention vs engine
+    # era); still clamped >= 1 through both inputs, so the full-normalized
+    # value can never exceed raw either
+    slowdown_full = max(slowdown, jvm_slowdown)
     # per-slot calibration-normalized minima — the numbers the
     # adjudication rule actually compares round-over-round
     for name, t in timings.items():
         if name in stats:
             stats[name]["normalized"] = round(t / max(slowdown, 1e-9), 3)
+            # the number round-over-round adjudication should use from r15
+            # on: normalized by the era-aware slowdown (see sidecar note)
+            stats[name]["normalized_full"] = round(t / max(slowdown_full, 1e-9), 3)
     sidecar = {
         "query_stats": stats,
         "slot_history": SLOT_HISTORY,
@@ -357,19 +479,36 @@ def main() -> None:
                 "measured against THIS and clamped >= 1 (round 14)",
             },
             "sweep_multi32_slowdown": slowdown,
+            "jvm": {
+                "start": jvm_start,
+                "end": jvm_end,
+                "floor_sec": jvm_floor,
+                "reference_sec": CALIB_REF_JVM_SEC,
+                "sweep_jvm_slowdown": jvm_slowdown,
+                "note": "Spark-shaped fixed-work probe (range -> 100k-group "
+                "hash agg -> checksum); captures the JVM/IO-era drift the "
+                "CPU probe is blind to (COVERAGE r14: CPU probe beat its "
+                "floor while Spark slots ran 1.35-1.5x slower). Floor era "
+                "coverage begins round 14; self-maintains downward",
+            },
+            "sweep_slowdown_full": slowdown_full,
             "loadavg_gate": BENCH_LOADAVG_GATE,
             "degraded_host": degraded_host,
         },
         "adjudication": "slot deltas are judged on calibration-normalized "
-        "times (raw / sweep_multi32_slowdown, slowdown measured vs the "
-        "self-maintaining floor and clamped >= 1 so normalized <= raw "
-        "always); a riser is real only if its NORMALIZED delta holds with "
-        "spread < 1.1. Normalization DISMISSES risers, never claims "
-        "speedups: CPU-light slots inflate less than the all-core probe "
-        "under contention (measured round 13: 24-hog load -> probe 3.1x, "
-        "slots 1.2-2.3x), so a normalized FALL proves nothing while a "
-        "normalized rise survives any host excuse. See COVERAGE.md "
-        "rounds 13-14",
+        "times; from round 15 use 'normalized_full' (raw / "
+        "max(sweep_multi32_slowdown, sweep_jvm_slowdown) — the CPU probe "
+        "measures contention, the Spark probe measures engine-era drift, "
+        "and a slot's host excuse is bounded by the worse of the two; both "
+        "slowdowns are measured vs self-maintaining floors and clamped "
+        ">= 1 so normalized <= raw always). 'normalized' (CPU-only) is "
+        "kept for continuity with r13-r14 history. A riser is real only "
+        "if its NORMALIZED delta holds with spread < 1.1. Normalization "
+        "DISMISSES risers, never claims speedups: CPU-light slots inflate "
+        "less than the all-core probe under contention (measured round "
+        "13: 24-hog load -> probe 3.1x, slots 1.2-2.3x), so a normalized "
+        "FALL proves nothing while a normalized rise survives any host "
+        "excuse. See COVERAGE.md rounds 13-14",
     }
     try:
         with open(sidecar_path, "w") as f:
@@ -394,6 +533,10 @@ def main() -> None:
             # round-over-round comparable number
             "calib_slowdown": slowdown,
             "value_normalized": round(total / max(slowdown, 1e-9), 3),
+            # engine-era evidence (round 14): Spark-probe slowdown + the
+            # era-aware normalized total (raw / max of both slowdowns)
+            "calib_jvm_slowdown": jvm_slowdown,
+            "value_normalized_full": round(total / max(slowdown_full, 1e-9), 3),
             **({"degraded_host": True} if degraded_host else {}),
             # a partial total sums only the slots that ran — flag it
             # STRUCTURALLY so a round with a failed slot can never read
@@ -412,6 +555,8 @@ def main() -> None:
                 "loadavg_start": loadavg_start,
                 "calib_slowdown": slowdown,
                 "value_normalized": round(total / max(slowdown, 1e-9), 3),
+                "calib_jvm_slowdown": jvm_slowdown,
+                "value_normalized_full": round(total / max(slowdown_full, 1e-9), 3),
                 **({"degraded_host": True} if degraded_host else {}),
                 **({"partial": True} if errors else {}),
             }

@@ -1163,6 +1163,124 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_er_golden() -> str:
+    """Transitive closure over the fuzzy-match edges + survivorship — the
+    declarative mirror of connected_components + the canonical-pick
+    window, sharing the exact pair predicate with dedup_fuzzy_names."""
+    return f"""
+    WITH RECURSIVE
+    names AS (
+      SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n,
+             string_split(p_name, ' ')[-1] AS blk
+      FROM part GROUP BY p_name
+    ),
+    pairs AS (
+      SELECT a.name AS name_a, b.name AS name_b
+      FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) BETWEEN 1 AND {_FUZZY_MAX_DIST}
+    ),
+    sym AS (
+      SELECT name_a AS a, name_b AS b FROM pairs
+      UNION SELECT name_b, name_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT name, name FROM names
+      UNION
+      SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node AS name, MIN(label) AS root FROM reach GROUP BY node),
+    merged AS (
+      SELECT c.root, n.name, n.n FROM comp c JOIN names n ON c.name = n.name
+    ),
+    ranked AS (
+      SELECT root, name, n,
+             ROW_NUMBER() OVER (PARTITION BY root ORDER BY n DESC, name) AS rk
+      FROM merged
+    )
+    SELECT r.root AS entity_root,
+           k.name AS canonical_name,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(SUM(r.n) AS BIGINT) AS support
+    FROM ranked r JOIN ranked k ON k.root = r.root AND k.rk = 1
+    GROUP BY r.root, k.name
+    """
+
+
+@component(
+    "er_golden_record",
+    oracle=_sql_er_golden(),
+    cols=[
+        ("entity_root", "str"),
+        ("canonical_name", "str"),
+        ("n_variants", "num"),
+        ("support", "num"),
+    ],
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (the MDM "golden record" pipeline the
+    reference's warehouse would sit downstream of): blocked fuzzy matching
+    (dedup_fuzzy_names' exact pair predicate) -> connected components over
+    the match graph (match edges are pairwise; an entity is the TRANSITIVE
+    cluster: "cold anvil" ~ "old anvil" ~ "bold anvil" must resolve to ONE
+    entity even though the ends differ by 3 edits) -> survivorship: the
+    canonical record is the variant with the highest support count,
+    ties broken lexicographically. One row per resolved entity with its
+    canonical name, variant count, and total row support.
+
+    Scale: the entity graph's nodes are DISTINCT names (bounded domain —
+    does not grow with the 100 TB row count), edges come from the blocked
+    pair join (never all-pairs), and the CC loop is the O(log diameter)
+    propagate+compress iteration shared with dedup_clusters. Survivorship
+    is one window over the name domain. Reference parity: the reference
+    canonicalizes entity attributes row-wise in pandas
+    (dags/transform_dim_customers.py:13-16 — str/zfill/title/upper
+    normalization before the dim load) and resolves customers by a
+    pre-assigned customer_unique_id; this is the distributed
+    generalization for when no unique id exists and entities must be
+    RESOLVED, with transitive match semantics."""
+    prepare(spark, sf_dir)
+    names = (
+        spark.table("part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("blk", F.element_at(F.split("name", " "), -1))
+        .localCheckpoint(eager=True)  # tiny (distinct-name domain); feeds
+        # the pair join twice + the CC seed + survivorship — one scan each
+    )
+    a = names.select(F.col("name").alias("name_a"), F.col("blk"))
+    b = names.select(F.col("name").alias("name_b"), F.col("blk"))
+    dist = F.levenshtein("name_a", "name_b")
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist.between(1, _FUZZY_MAX_DIST))
+        .select(F.col("name_a").alias("a"), F.col("name_b").alias("b"))
+    )
+    comp = connected_components(
+        names.select("name"), pairs, node_col="name"
+    ).select(F.col("node").alias("name"), F.col("label").alias("root"))
+    merged = comp.join(names.select("name", "n"), "name")
+    w = Window.partitionBy("root").orderBy(F.col("n").desc(), F.col("name"))
+    ranked = merged.withColumn("rk", F.row_number().over(w))
+    canon = ranked.filter(F.col("rk") == 1).select(
+        F.col("root"), F.col("name").alias("canonical_name")
+    )
+    return (
+        ranked.groupBy("root")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.sum("n").cast("bigint").alias("support"),
+        )
+        .join(canon, "root")
+        .select(
+            F.col("root").alias("entity_root"),
+            "canonical_name",
+            "n_variants",
+            "support",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Incremental dedup: probe a NEW batch against the historical corpus index
 # --------------------------------------------------------------------------

@@ -157,6 +157,9 @@ SUITE_SPECS: dict[str, list[str]] = {
         "dedup_embedding_exact",
         # short-string entity resolution: blocked edit-distance join
         "dedup_fuzzy_names",
+        # ER end-to-end: match edges -> transitive clusters -> golden
+        # record survivorship (round 14)
+        "er_golden_record",
         # continuous-crawl posture: new batch probed against the
         # historical hash + band index, O(batch) not O(corpus)
         "text_incremental_dedup",

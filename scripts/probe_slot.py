@@ -74,6 +74,14 @@ def main() -> None:
     wls = registry.bench_workloads()
     comps = registry.components()
 
+    # era evidence (round 14): the Spark-shaped probe alongside the slot
+    # probes, so an isolated adjudication carries the same JVM/IO-era
+    # context the sweep artifact does (bench.calibrate_jvm)
+    import bench
+
+    jvm_probe = bench.calibrate_jvm(spark)
+    print(f"# jvm probe: {json.dumps(jvm_probe)}", file=sys.stderr)
+
     out: dict[str, dict] = {}
     for slot in slots:
         if slot in wls:
@@ -125,7 +133,11 @@ def main() -> None:
             rec["stage_total"] = total
         out[slot] = rec
         print(json.dumps({slot: rec}))
-    print(json.dumps({"sf_dir": SF_DIR, "iters": ITERS, "slots": out}))
+    print(
+        json.dumps(
+            {"sf_dir": SF_DIR, "iters": ITERS, "jvm_probe": jvm_probe, "slots": out}
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -131,3 +131,55 @@ def test_lsh_quality_reconciles_on_constructed_corpus(spark, dedup_dir):
     assert n_missed == 3 - n_lsh
     assert prec == 1000000
     assert rec == 1000000 * n_lsh // 3
+
+
+# --------------------------------------------------------------------------
+# ER golden record: transitive entity + survivorship on a constructed catalog
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def er_dir(spark, tmp_path_factory):
+    """Constructed part catalog with a HAND-DERIVED entity structure:
+    a 3-variant chain joined only through transitivity ("aaaa bolt" ~2~
+    "aabb bolt" ~2~ "bbbb bolt", but ends at distance 4 — no direct
+    edge), a support-count survivorship winner, a lexicographic
+    tie-break pair, and an isolated singleton."""
+    base = tmp_path_factory.mktemp("er_diff")
+    out = str(base / "fixture")
+    os.makedirs(out)
+    for t in (
+        "region nation customer supplier orders lineitem events "
+        "documents embeddings"
+    ).split():
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{out}/{t}.parquet")
+    names = (
+        ["aaaa bolt"]  # chain end (1 row)
+        + ["aabb bolt"]  # chain middle (1 row)
+        + ["bbbb bolt"] * 3  # chain end, highest support -> canonical
+        + ["cc gear"] * 2  # tie pair: equal support,
+        + ["cd gear"] * 2  # lexicographic tie-break -> "cc gear"
+        + ["zz widget"]  # isolated singleton
+    )
+    rows = [
+        (i + 1, n, f"B{i % 3}", "type", 1, 9.99) for i, n in enumerate(names)
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.parquet(f"{out}/part.parquet")
+    return out
+
+
+def test_er_golden_record_transitive_and_survivorship(spark, er_dir):
+    got = _differential(spark, er_dir, "er_golden_record")
+    by_root = {r[0]: r for r in got}
+    # the chain resolved into ONE entity despite the ends being 4 edits
+    # apart; root is the lexicographic min, canonical the support winner
+    assert by_root["aaaa bolt"] == ("aaaa bolt", "bbbb bolt", 3, 5)
+    # equal support -> lexicographic tie-break picks "cc gear"
+    assert by_root["cc gear"] == ("cc gear", "cc gear", 2, 4)
+    # the singleton survives as its own golden record
+    assert by_root["zz widget"] == ("zz widget", "zz widget", 1, 1)
+    assert len(got) == 3

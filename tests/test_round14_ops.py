@@ -408,3 +408,66 @@ def test_rebalance_chain_preserves_probe_fraction_and_ids(spark):
             if int(r["cell"]) > max1
         ]
         assert len(new2) == 2 * len(r2["hot"])
+
+
+# --------------------------------------------------------------------------
+# bench JVM-side probe: engine-era drift evidence (COVERAGE r14 limitation)
+# --------------------------------------------------------------------------
+
+
+def test_bench_jvm_floor_and_slowdown_semantics():
+    """The Spark probe's floor/slowdown must carry the exact semantics the
+    CPU probe's do: floor absorbs any faster observation, slowdown is the
+    sweep's BEST probe vs the floor clamped >= 1 (dismiss-only — the
+    era-aware normalized value can never exceed raw)."""
+    import bench
+
+    # faster-than-floor observation lowers the floor, slowdown clamps to 1
+    floor, slowdown = bench._jvm_floor_and_slowdown(
+        0.85, {"jvm_sec": 0.62}, {"jvm_sec": 0.70}
+    )
+    assert floor == 0.62
+    assert slowdown == 1.0
+    # a genuinely slower era normalizes down, floor never rises
+    floor2, slowdown2 = bench._jvm_floor_and_slowdown(
+        floor, {"jvm_sec": 1.24}, {"jvm_sec": 1.40}
+    )
+    assert floor2 == floor
+    assert slowdown2 == pytest.approx(1.24 / 0.62, rel=0.01)
+    # one anomalous probe cannot over-excuse the sweep (min semantics)
+    floor3, slowdown3 = bench._jvm_floor_and_slowdown(
+        floor, {"jvm_sec": 10.9}, {"jvm_sec": 0.62}
+    )
+    assert floor3 == floor
+    assert slowdown3 == 1.0
+
+
+def test_bench_load_jvm_floor_falls_back_to_pinned(tmp_path):
+    """Fresh checkout or pre-r14 sidecar (no jvm block) -> pinned initial
+    era; a persisted jvm floor wins; a non-positive floor falls back
+    instead of dividing by zero at sweep end."""
+    import json
+
+    import bench
+
+    assert bench._load_jvm_floor(str(tmp_path / "nope.json")) == bench.CALIB_REF_JVM_SEC
+    p = tmp_path / "BENCH_stats.json"
+    # a pre-r14 sidecar has a calibration block but no jvm key
+    p.write_text(json.dumps({"calibration": {"floor": {"multi32_sec": 0.6}}}))
+    assert bench._load_jvm_floor(str(p)) == bench.CALIB_REF_JVM_SEC
+    p.write_text(json.dumps({"calibration": {"jvm": {"floor_sec": 0.62}}}))
+    assert bench._load_jvm_floor(str(p)) == 0.62
+    p.write_text(json.dumps({"calibration": {"jvm": {"floor_sec": 0}}}))
+    assert bench._load_jvm_floor(str(p)) == bench.CALIB_REF_JVM_SEC
+
+
+def test_bench_jvm_probe_checksum_and_shuffle(spark):
+    """The probe's work is pinned: deterministic checksum (it can neither
+    vary by input nor be optimized away) and a genuine Exchange in the
+    executed plan (it probes the shuffle path, not just codegen)."""
+    import bench
+
+    df = bench._jvm_probe_frame(spark)
+    assert df.collect()[0]["chk"] == bench._JVM_PROBE_CHECKSUM
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
