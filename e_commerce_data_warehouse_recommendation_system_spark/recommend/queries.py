@@ -564,8 +564,31 @@ def mmr_diversify_frame(
         out["mmr_rank"] = pd.RangeIndex(1, len(selected) + 1)
         return out
 
-    return cand.groupBy("user_id").applyInPandas(
-        mmr, schema="user_id bigint, item_id bigint, relevance float, mmr_rank bigint"
+    # One Python invocation PER PARTITION, not per user: applyInPandas paid
+    # ~15k per-group calls (Arrow batch + pandas frame + schema coercion
+    # each) for ~30-row groups — measured 12.3 s of rec_pipeline_e2e's
+    # 22 s at sf0.1, pure grouped-UDF overhead (guide §4.5: amortize per-call
+    # setup over the whole partition). mapInPandas over a user-hash
+    # repartition keeps the identical per-user greedy body (same pandas
+    # group frame, same dtype path, same pick sequence — the round-11
+    # differential still pins it), so the output rows are bit-identical;
+    # only the task/call shape changes. The explicit repartition reproduces
+    # applyInPandas's own hashpartitioning(user_id) exchange — no extra
+    # shuffle, groups never straddle partitions.
+    def mmr_partition(batches):
+        import pandas as pd
+
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        outs = [mmr(g) for _, g in pdf.groupby("user_id", sort=False)]
+        yield pd.concat(outs, ignore_index=True)
+
+    return cand.repartition(F.col("user_id")).mapInPandas(
+        mmr_partition, schema="user_id bigint, item_id bigint, relevance float, mmr_rank bigint"
     )
 
 
