@@ -666,26 +666,42 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining = deg0.select("node")
     drops = None
     last_drop_count = -1
+    final_deg = None
     for i in range(1, KCORE_ROUNDS + 1):
-        ru = remaining.select(F.col("node").alias("u"))
-        rv = remaining.select(F.col("node").alias("v"))
-        live = edges.join(ru, "u", "left_semi").join(rv, "v", "left_semi")
-        deg_i = (
-            live.select(F.col("u").alias("node"))
-            .unionAll(live.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        survivors = (
-            remaining.join(deg_i, "node", "left")
-            .filter(F.coalesce(F.col("d"), F.lit(0)) >= k)
-            .select("node")
-            .localCheckpoint(eager=True)
-        )
-        dropped = remaining.join(survivors, "node", "left_anti").select(
+        if i == 1:
+            # round 1's "degree within remaining" IS deg0: remaining is
+            # still every node, so the semi-joins would be identity
+            # filters — skip the whole join+aggregate round (r14 opt:
+            # this was a full extra pass over the edge list for nothing)
+            joined = deg0.select("node", F.col("d").alias("dd"))
+        else:
+            ru = remaining.select(F.col("node").alias("u"))
+            rv = remaining.select(F.col("node").alias("v"))
+            live = edges.join(ru, "u", "left_semi").join(rv, "v", "left_semi")
+            # one endpoint explode instead of a two-branch unionAll: the
+            # union form executed the semi-join subtree TWICE per round
+            # (physical plans don't share non-exchange subtrees; only the
+            # shuffles were reused) — same multiset of endpoint rows,
+            # half the join work (r14 opt)
+            deg_i = (
+                live.select(
+                    F.explode(F.array(F.col("u"), F.col("v"))).alias("node")
+                )
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            joined = remaining.join(deg_i, "node", "left").select(
+                "node", F.coalesce(F.col("d"), F.lit(0)).alias("dd")
+            )
+            # ONE materialization per round (r14 opt: survivors and
+            # dropped used to be separately checkpointed, with dropped an
+            # anti-join recomputing the identical partition — they are
+            # opposite filters over this one checkpointed degree table)
+            joined = joined.localCheckpoint(eager=True)
+        survivors = joined.filter(F.col("dd") >= k).select("node")
+        dropped = joined.filter(F.col("dd") < k).select(
             "node", F.lit(i).cast("int").alias("peel_round")
         )
-        dropped = dropped.localCheckpoint(eager=True)
         # 1-row scalar on an already-materialized checkpoint (the repo's
         # documented bounded-collect class): a zero-drop round is the
         # FIXPOINT — degrees only change when nodes drop, so every later
@@ -697,22 +713,33 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_drop_count = dropped.count()
         drops = dropped if drops is None else drops.unionAll(dropped)
         remaining = survivors
+        final_deg = joined
         if last_drop_count == 0:
             break
-    ru = remaining.select(F.col("node").alias("u"))
-    rv = remaining.select(F.col("node").alias("v"))
-    live = edges.join(ru, "u", "left_semi").join(rv, "v", "left_semi")
-    core_deg = (
-        remaining.join(
-            live.select(F.col("u").alias("node"))
-            .unionAll(live.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).cast("long").alias("core_degree")),
-            "node",
-            "left",
+    if last_drop_count == 0:
+        # fixpoint exit: zero drops means this round's input set IS the
+        # final core, so its checkpointed degree table already holds every
+        # core node's within-core degree — reuse it instead of re-running
+        # the two semi-joins + aggregate over the edge list (r14 opt; the
+        # exhausted-bound branch below keeps the recompute, where degrees
+        # may have changed after the last drop)
+        core_deg = final_deg.select(
+            "node", F.col("dd").cast("long").alias("core_degree")
         )
-        .select("node", F.coalesce("core_degree", F.lit(0)).cast("long").alias("core_degree"))
-    )
+    else:
+        ru = remaining.select(F.col("node").alias("u"))
+        rv = remaining.select(F.col("node").alias("v"))
+        live = edges.join(ru, "u", "left_semi").join(rv, "v", "left_semi")
+        core_deg = (
+            remaining.join(
+                live.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("long").alias("core_degree")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("core_degree", F.lit(0)).cast("long").alias("core_degree"))
+        )
     converged = bool(last_drop_count == 0)
     return (
         deg0.select("node")
