@@ -858,19 +858,66 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = m.count()
 
     def sim_pairs(frame: DataFrame) -> DataFrame:
-        a = frame.select(
-            F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-            F.col("nrm").alias("na"), F.col("cell").alias("ca"),
+        # r14 opt (guide §4.2): the within-cell pair join used to
+        # MATERIALIZE every candidate pair row carrying both 64-dim arrays
+        # (~251k pair rows at sf0.1) and run the interpreted double-fold
+        # prefilter per pair — measured ~2.8 s per pass, twice per run.
+        # Candidate MINING now happens per cell in one vectorized numpy
+        # pass (each vector crosses the Python boundary once per cell, not
+        # once per pair; the cell matmul is BLAS), emitting only the
+        # (id_a, id_b) survivors of the SAME conservative prefilter
+        # (tau - 1e-6: a 64-dim float64 accumulation cannot drift more
+        # than that from the decimal value, the cosine_pairs bound). The
+        # decimal-exact cosine still decides the final, oracle-matching
+        # predicate on the survivors only, so the result set is identical.
+        tau_floor = SEMDEDUP_TAU - 1e-6
+
+        def mine(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = list(batches)
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            if len(pdf) == 0:
+                return
+            for _, g in pdf.groupby("cell", sort=False):
+                ids = g["vec_id"].to_numpy()
+                if len(ids) < 2:
+                    continue
+                mat = np.vstack(g["v"].to_numpy())
+                nrm = g["nrm"].to_numpy()
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (mat @ mat.T) / np.outer(nrm, nrm)
+                iu, ju = np.triu_indices(len(ids), k=1)
+                keep = cos[iu, ju] >= tau_floor  # NaN (zero norm) fails, as before
+                a, b = ids[iu[keep]], ids[ju[keep]]
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.minimum(a, b).astype("int64"),
+                        "id_b": np.maximum(a, b).astype("int64"),
+                    }
+                )
+
+        cand = (
+            frame.select("vec_id", "v", "nrm", "cell")
+            .repartition(F.col("cell"))
+            .mapInPandas(mine, schema="id_a bigint, id_b bigint")
         )
-        b = frame.select(
-            F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-            F.col("nrm").alias("nb"), F.col("cell").alias("cb"),
+        va = frame.select(
+            F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
         )
-        pairs = a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
-        cos_fast = _dot_fast(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-        survivors = pairs.filter(cos_fast >= SEMDEDUP_TAU - 1e-6)
+        vb = frame.select(
+            F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        )
         cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-        return survivors.filter(cos >= SEMDEDUP_TAU).select("id_a", "id_b")
+        return (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .filter(cos >= SEMDEDUP_TAU)
+            .select("id_a", "id_b")
+        )
 
     dropped = sim_pairs(m).select(F.col("id_b").alias("vec_id")).distinct().cache()
     n_dropped = dropped.count()
