@@ -184,8 +184,54 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
     pairs = F.broadcast(queries).join(corpus, F.col("query_id") != F.col("neighbor_id"))
+    # r14 opt — two-phase top-k (the cosine_pairs prefilter convention,
+    # applied to ranking): the decimal-exact fold used to run on EVERY
+    # query x corpus pair (~400k at sf0.1) when only ~TOPK pairs per query
+    # are ever reported. Phase 1 scores all pairs with the cheap double
+    # fold and keeps, per query, everything within 2e-6 of the k-th best
+    # double score (1e-6 drift bound per fold, twice: once for the
+    # candidate, once for the threshold pair — any true decimal top-k
+    # member provably survives). Phase 2 re-scores the survivors with the
+    # decimal-exact fold and ranks on THAT, so reported cosines, ordering
+    # and tie-breaks are bit-identical to the single-phase plan. NaN/short
+    # guards keep the equivalence unconditional: a NULL threshold (corpus
+    # < k) or NaN anywhere keeps the pair as a candidate.
+    cos_fast = _dot_fast(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    # narrow (ids + fast score) frame, materialized ONCE: both the
+    # per-query threshold and the candidate filter read it, and the decimal
+    # phase re-attaches vectors to the few survivors instead of carrying
+    # both 64-dim arrays through the whole fast pass twice (guide §8:
+    # decide with small rows, attach the payload once)
+    fast = (
+        pairs.select("query_id", "neighbor_id", cos_fast.alias("_cf"))
+        .localCheckpoint(eager=True)
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("_cf"), F.asc("neighbor_id"))
+    thr = (
+        fast.withColumn("_rf", F.row_number().over(w_f))
+        .filter(F.col("_rf") == TOPK)
+        .select("query_id", F.col("_cf").alias("_cf_k"))
+    )
+    cand = (
+        fast.join(F.broadcast(thr), "query_id", "left")
+        .filter(
+            F.col("_cf_k").isNull()
+            | F.isnan(F.col("_cf"))
+            | F.isnan(F.col("_cf_k"))
+            | (F.col("_cf") >= F.col("_cf_k") - F.lit(2e-6))
+        )
+        .select("query_id", "neighbor_id")
+    )
+    qside = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cside = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    scored = pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+    scored = cand.join(F.broadcast(qside), "query_id").join(cside, "neighbor_id").select(
+        "query_id", "neighbor_id", cos.alias("cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -462,7 +462,13 @@ SHUFFLE_BUDGET = {
     "etl_fact_double_fanout": 0,
     "etl_star_revenue_by_date": 1,
     "etl_scd2_customer_priority": 2,
-    "sim_cosine_topk": 1,
+    # r14 opt: two-phase top-k — the decimal-exact fold now runs on the
+    # ~k-per-query candidates the cheap double prefilter keeps, not on
+    # every query x corpus pair (1.9x at sf0.1, result bit-identical).
+    # The two extra exchanges are the per-query threshold window over the
+    # narrow (ids + fast score) checkpoint and the candidate re-attach —
+    # tiny frames; the pair-wide decimal pass they replace dominated.
+    "sim_cosine_topk": 3,
     "text_lang_id": 3,
     # two-phase tape layout (round 11): bucket-sum rollup (map-side
     # partial, bucket rows only) + tiny bucket-prefix window + the ONE
