@@ -373,9 +373,46 @@ def _ivf_query(
         "cell", F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
     pairs = probed.join(corpus, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    # r14 opt — the sim_cosine_topk two-phase, applied to the probed pair
+    # space: the decimal-exact fold used to run on every probed pair when
+    # only TOPK per query are reported. Phase 1: cheap double fold into a
+    # narrow (ids + score) checkpoint (duplicate cell hits collapse here —
+    # same pair, same score, so dedup before/after scoring is equivalent);
+    # keep per query everything within 2e-6 of the k-th best double score
+    # (the provably-lossless margin, see sim_cosine_topk). Phase 2:
+    # re-attach vectors to survivors, rank on the decimal-exact cosine —
+    # reported rows bit-identical.
+    cos_fast = _dot_fast(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    fast = (
+        pairs.select("query_id", "neighbor_id", cos_fast.alias("_cf"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .localCheckpoint(eager=True)
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("_cf"), F.asc("neighbor_id"))
+    thr = (
+        fast.withColumn("_rf", F.row_number().over(w_f))
+        .filter(F.col("_rf") == TOPK)
+        .select("query_id", F.col("_cf").alias("_cf_k"))
+    )
+    cand = (
+        fast.join(F.broadcast(thr), "query_id", "left")
+        .filter(
+            F.col("_cf_k").isNull()
+            | F.isnan(F.col("_cf"))
+            | F.isnan(F.col("_cf_k"))
+            | (F.col("_cf") >= F.col("_cf_k") - F.lit(2e-6))
+        )
+        .select("query_id", "neighbor_id")
+    )
+    qside = queries.select("query_id", "qv", "qn")
+    cside = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    scored = pairs.select("query_id", "neighbor_id", cos.alias("cosine")).dropDuplicates(
-        ["query_id", "neighbor_id"]
+    scored = (
+        cand.join(F.broadcast(qside), "query_id")
+        .join(cside, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
