@@ -243,7 +243,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join); cache it so the explode+distinct shuffle runs once. At 100 TB
     # this is "materialize the shingle table" — one pass over the corpus.
     sh = shingle_rows(spark).cache()
-    sigs = sh.groupBy("doc_id").agg(*_sig_cols())
+    # r14 opt: the per-doc shingle COUNT rides the signature aggregation
+    # (one more map-side partial in the same groupBy) instead of a second
+    # full aggregation pass over the shingle table, and the combined
+    # doc-grain result is materialized ONCE (localCheckpoint) for its two
+    # consumers (band explode + the size join) — before, the sizes path
+    # re-aggregated 260k cached shingle rows per run. Identical values:
+    # sh is distinct, so count(1) per doc is the old sizes frame verbatim.
+    sigs = (
+        sh.groupBy("doc_id")
+        .agg(*_sig_cols(), F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
+    )
     # one row per (doc, band) via a map-side explode — NOT a 4-way union,
     # which would re-run the signature aggregation once per band
     band_structs = F.array(
@@ -266,7 +277,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sigs.select("doc_id", F.col("_n").alias("n"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa_s"))
     # the b-side keeps a distinct column name so the post-join frame has
     # exactly one doc_b in scope (joining on an expression, unlike USING,
