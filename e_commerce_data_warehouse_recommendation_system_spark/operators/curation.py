@@ -418,28 +418,42 @@ def text_curation_pipeline(
         .agg(F.min("pa").alias("p0"), (F.count(F.lit(1)) + (k - 1)).alias("len"))
         .select(F.col("doc_a").alias("doc_id"), "p0", "len")
     )
-    tokpos3 = s2.select(
-        "doc_id", "lang", "source", F.posexplode("t").alias("pos0", "tok")
-    ).select("doc_id", "lang", "source", (F.col("pos0") + 1).alias("pos"), "tok")
-    dropped3 = (
-        tokpos3.join(drops3, "doc_id")
-        .filter(
-            (F.col("pos") >= F.col("p0"))
-            & (F.col("pos") <= F.col("p0") + F.col("len") - 1)
-        )
-        .select("doc_id", "pos")
-        .distinct()
+    # r14 opt: excision used to run at TOKEN grain — posexplode the whole
+    # surviving corpus, anti-join dropped positions, then rebuild every
+    # array with collect_list + array_sort (a corpus-tokens shuffle plus a
+    # per-doc regroup). The drop decisions are per-doc CONTIGUOUS ranges
+    # and there are few of them, so excision is really a map-side array
+    # filter: collect each doc's ranges into one small array column, join
+    # it to the doc-grain frame, and keep exactly the positions no range
+    # covers — token order preserved for free (no regroup, no token
+    # shuffle). Row-identical to the token-grain plan, including the
+    # edge case it encoded implicitly: a doc whose every token is excised
+    # had no surviving rows to regroup, so it vanished from the stage —
+    # the size(t) > 0 filter reproduces that.
+    drop_ranges3 = drops3.groupBy("doc_id").agg(
+        F.collect_list(F.struct(F.col("p0"), F.col("len"))).alias("_rng")
+    )
+    kept_tok3 = F.filter(
+        F.transform(
+            F.col("t"),
+            lambda x, i: F.struct(x.alias("tok"), (i + F.lit(1)).alias("pos")),
+        ),
+        lambda s: ~F.exists(
+            F.col("_rng"),
+            lambda r: (s["pos"] >= r["p0"]) & (s["pos"] <= r["p0"] + r["len"] - 1),
+        ),
     )
     s3 = (
-        tokpos3.join(dropped3, ["doc_id", "pos"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.first("lang").alias("lang"),
-            F.first("source").alias("source"),
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"
-            ).alias("t"),
+        s2.join(drop_ranges3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.when(F.col("_rng").isNull(), F.col("t"))
+            .otherwise(F.transform(kept_tok3, lambda s: s["tok"]))
+            .alias("t"),
         )
+        .filter(F.size("t") > 0)
     )
     s3 = _stage(s3, "s3_span_excision")
 
