@@ -1538,43 +1538,60 @@ def rec_itemcf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= ITEMCF_MIN_CO)
     )
-    sym = pairs.select(
-        F.col("item_a").alias("item_id"), F.col("item_b").alias("neighbor_id"), "co"
-    ).unionAll(
-        pairs.select(
-            F.col("item_b").alias("item_id"), F.col("item_a").alias("neighbor_id"), "co"
-        )
-    )
-    scored = (
-        sym.join(
-            F.broadcast(cnt.select(F.col("item_id"), F.col("n_users").alias("n_item"))),
-            "item_id",
+    # r14 opt: score each UNORDERED pair once, then mirror. cos2_micro and
+    # cosine depend on (co, n_a * n_b), both symmetric in the pair, so the
+    # two broadcast count joins and the score arithmetic used to run over
+    # the doubled symmetric union for nothing — the union is now a
+    # map-side projection of the scored pairs (identical values by
+    # construction; the pair self-join output feeds the joins ONCE).
+    scored_pairs = (
+        pairs.join(
+            F.broadcast(
+                cnt.select(F.col("item_id").alias("item_a"), F.col("n_users").alias("n_a"))
+            ),
+            "item_a",
         )
         .join(
             F.broadcast(
-                cnt.select(
-                    F.col("item_id").alias("neighbor_id"),
-                    F.col("n_users").alias("n_neighbor"),
-                )
+                cnt.select(F.col("item_id").alias("item_b"), F.col("n_users").alias("n_b"))
             ),
-            "neighbor_id",
+            "item_b",
         )
         .select(
-            "item_id",
-            "neighbor_id",
+            "item_a",
+            "item_b",
             "co",
             F.floor(
-                F.col("co") * F.col("co") * 1000000.0
-                / (F.col("n_item") * F.col("n_neighbor"))
+                F.col("co") * F.col("co") * 1000000.0 / (F.col("n_a") * F.col("n_b"))
             )
             .cast("bigint")
             .alias("cos2_micro"),
             (
                 F.col("co")
-                / F.sqrt((F.col("n_item") * F.col("n_neighbor")).cast("double"))
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
             ).alias("cosine"),
         )
     )
+    # both directions via one map-side explode (a two-branch unionAll
+    # would execute the pair self-join subtree twice — the graph_kcore
+    # lesson; the multiset of rows is identical)
+    scored = scored_pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("item_id"),
+                    F.col("item_b").alias("neighbor_id"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("item_id"),
+                    F.col("item_a").alias("neighbor_id"),
+                ),
+            )
+        ).alias("_d"),
+        "co",
+        "cos2_micro",
+        "cosine",
+    ).select("_d.item_id", "_d.neighbor_id", "co", "cos2_micro", "cosine")
     w = Window.partitionBy("item_id").orderBy(
         F.desc("cos2_micro"), F.desc("co"), F.asc("neighbor_id")
     )
