@@ -447,13 +447,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("common") > 0)
     )
-    corners = (
-        apexes.select(F.col("src").alias("node"), F.size("common").alias("c"))
-        .unionAll(apexes.select(F.col("dst").alias("node"), F.size("common").alias("c")))
-        .unionAll(
-            apexes.select(F.explode("common").alias("node"), F.lit(1).alias("c"))
-        )
+    # r14 opt: all three corner fan-outs in ONE map-side explode — the
+    # three-branch unionAll executed the apex join subtree three times
+    # (only its exchanges were reused); the multiset of (node, c) rows is
+    # identical by construction
+    corner_arr = F.concat(
+        F.array(
+            F.struct(F.col("src").alias("node"), F.size("common").alias("c")),
+            F.struct(F.col("dst").alias("node"), F.size("common").alias("c")),
+        ),
+        F.transform("common", lambda w: F.struct(w.alias("node"), F.lit(1).alias("c"))),
     )
+    corners = apexes.select(F.explode(corner_arr).alias("_k")).select("_k.node", "_k.c")
     per_node = corners.groupBy("node").agg(F.sum("c").cast("long").alias("n_triangles"))
     # degrees_all is already cached above for the orientation step — reuse it
     # here rather than paying a second identical union+groupBy shuffle
