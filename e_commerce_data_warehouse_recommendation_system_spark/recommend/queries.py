@@ -564,31 +564,107 @@ def mmr_diversify_frame(
         out["mmr_rank"] = pd.RangeIndex(1, len(selected) + 1)
         return out
 
-    # One Python invocation PER PARTITION, not per user: applyInPandas paid
-    # ~15k per-group calls (Arrow batch + pandas frame + schema coercion
-    # each) for ~30-row groups — measured 12.3 s of rec_pipeline_e2e's
-    # 22 s at sf0.1, pure grouped-UDF overhead (guide §4.5: amortize per-call
-    # setup over the whole partition). mapInPandas over a user-hash
-    # repartition keeps the identical per-user greedy body (same pandas
-    # group frame, same dtype path, same pick sequence — the round-11
-    # differential still pins it), so the output rows are bit-identical;
-    # only the task/call shape changes. The explicit repartition reproduces
-    # applyInPandas's own hashpartitioning(user_id) exchange — no extra
-    # shuffle, groups never straddle partitions.
-    def mmr_partition(batches):
+    # One Python invocation PER PARTITION, not per user (guide §4.5):
+    # applyInPandas paid ~15k per-group calls (Arrow batch + pandas frame +
+    # schema coercion each) for ~30-row groups — measured 12.3 s of
+    # rec_pipeline_e2e's 22 s at sf0.1, pure grouped-UDF overhead. And the
+    # first per-partition form still burned ~4 s in per-group PANDAS
+    # machinery (sort_values / vstack of object cells / DataFrame build
+    # per user), so the hot path is now mapInArrow: the feature matrix is
+    # a ZERO-COPY reshape of the Arrow list buffer, one vectorized lexsort
+    # replaces the per-user sorts (same (relevance desc, item_id asc)
+    # order — keys are unique per user, so stability can't matter), and
+    # the per-user greedy runs the IDENTICAL numpy body over array views
+    # (same float32 dtype path, same argmax tie behavior, bit-identical
+    # pick sequences — the round-11 differential still pins them). The
+    # explicit repartition reproduces applyInPandas's own
+    # hashpartitioning(user_id) exchange — no extra shuffle, groups never
+    # straddle partitions. Frames whose feature lists are ragged (never
+    # produced by the serving path; possible for hand-built test frames)
+    # fall back to the per-user pandas body unchanged.
+    def mmr_arrow(batches):
+        import numpy as np
         import pandas as pd
+        import pyarrow as pa
 
         parts = list(batches)
         if not parts:
             return
-        pdf = pd.concat(parts, ignore_index=True)
-        if len(pdf) == 0:
+        tbl = pa.Table.from_batches(parts).combine_chunks()
+        n_rows = tbl.num_rows
+        if n_rows == 0:
             return
-        outs = [mmr(g) for _, g in pdf.groupby("user_id", sort=False)]
-        yield pd.concat(outs, ignore_index=True)
+        feats = tbl.column("features").chunk(0)
+        # offsets are RELATIVE to the chunk's values buffer and need not
+        # start at 0 after slicing/combining — slice the flat buffer by
+        # the actual offset span before reshaping
+        offsets = feats.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        uniform = bool(len(widths) > 0 and (widths == widths[0]).all() and widths[0] > 0)
+        if not uniform or feats.values.null_count or feats.null_count:
+            # ragged/null features: keep the exact pandas group path
+            pdf = tbl.to_pandas()
+            outs = [mmr(g) for _, g in pdf.groupby("user_id", sort=False)]
+            out = pd.concat(outs, ignore_index=True)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["user_id"], type=pa.int64()),
+                    pa.array(out["item_id"], type=pa.int64()),
+                    pa.array(out["relevance"], type=pa.float32()),
+                    pa.array(out["mmr_rank"], type=pa.int64()),
+                ],
+                names=["user_id", "item_id", "relevance", "mmr_rank"],
+            )
+            return
+        d = int(widths[0])
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        iid = tbl.column("item_id").to_numpy(zero_copy_only=False)
+        rel = tbl.column("relevance").to_numpy(zero_copy_only=False)
+        flat = feats.values.to_numpy(zero_copy_only=False)
+        mat = flat[offsets[0] : offsets[-1]].reshape(n_rows, d)
+        # (user asc, relevance desc, item asc) — per-user blocks in the
+        # same order the per-user sort produced
+        order = np.lexsort((iid, -rel, uid))
+        uid, iid, rel, mat = uid[order], iid[order], rel[order], mat[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        bounds = np.r_[starts, n_rows]
+        out_u, out_i, out_r, out_k = [], [], [], []
+        for g in range(len(starts)):
+            lo, hi = bounds[g], bounds[g + 1]
+            gmat, grel = mat[lo:hi], rel[lo:hi]
+            norms = np.linalg.norm(gmat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = gmat / norms[:, None]
+            sim = unit @ unit.T
+            n = hi - lo
+            selected: list[int] = []
+            remaining = list(range(n))
+            while remaining and len(selected) < k:
+                if selected:
+                    max_sim = sim[np.ix_(remaining, selected)].max(axis=1)
+                else:
+                    max_sim = np.zeros(len(remaining))
+                mmr_score = lam * grel[remaining] - (1 - lam) * max_sim
+                best = remaining[int(np.argmax(mmr_score))]
+                selected.append(best)
+                remaining.remove(best)
+            sel = np.asarray(selected, dtype=np.int64) + lo
+            out_u.append(uid[sel])
+            out_i.append(iid[sel])
+            out_r.append(rel[sel])
+            out_k.append(np.arange(1, len(selected) + 1, dtype=np.int64))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate(out_u), type=pa.int64()),
+                pa.array(np.concatenate(out_i), type=pa.int64()),
+                pa.array(np.concatenate(out_r), type=pa.float32()),
+                pa.array(np.concatenate(out_k), type=pa.int64()),
+            ],
+            names=["user_id", "item_id", "relevance", "mmr_rank"],
+        )
 
-    return cand.repartition(F.col("user_id")).mapInPandas(
-        mmr_partition, schema="user_id bigint, item_id bigint, relevance float, mmr_rank bigint"
+    return cand.repartition(F.col("user_id")).mapInArrow(
+        mmr_arrow, schema="user_id bigint, item_id bigint, relevance float, mmr_rank bigint"
     )
 
 
@@ -2463,65 +2539,94 @@ def rec_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     already run at their recorded postures."""
     import shutil
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     prepare(spark, sf_dir)
     art = _artifacts(spark, sf_dir)
-    n_train = art["train"].count()
-    n_test = art["test"].count()
-    n_users = art["users"].count()
-    n_items = art["items"].count()
     model = art["model"]
-    n_uf = model.userFactors.count()
-    n_if = model.itemFactors.count()
-
-    # stage 5: serving contract from the real rec rows (memoized frame)
+    # build both memoized serving frames SERIALLY first (the memo dict is
+    # not a concurrency primitive), then fan the independent stage actions
+    # out over a small driver thread pool (guide §2.6: actions are only
+    # sequential because the driver calls them sequentially — each of
+    # these jobs underfills 32 cores at bench scale, and none depends on
+    # another's result except where the future graph below says so). Every
+    # emitted count/flag is computed from the same frames as the serial
+    # form, so the digest rows are bit-identical.
     recs = _topk_recs(spark, sf_dir, TOP_K)
-    per_user = recs.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("rnk").alias("min_rnk"),
-        F.max("rnk").alias("max_rnk"),
-    )
-    srv = per_user.agg(
-        F.sum("n").alias("n_rows"),
-        (
-            (F.min("n") == TOP_K)
-            & (F.max("n") == TOP_K)
-            & (F.min("min_rnk") == 1)
-            & (F.max("max_rnk") == TOP_K)
-        ).alias("contract_ok"),
-    ).collect()[0]
-
-    # stage 6: MMR diversification + picks-from-pool conservation
-    mmr = mmr_rerank(spark, sf_dir).localCheckpoint(eager=True)
-    n_mmr = mmr.count()
     pool = _topk_recs(spark, sf_dir, k=MMR_POOL)
-    off_pool = mmr.join(
-        pool.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti"
-    ).count()
 
-    # stage 7: held-out evaluation
-    m = rec_eval_metrics(spark, sf_dir).collect()[0]
-    metrics_ok = (
-        0.0 <= m.p_at_k <= 1.0 and 0.0 <= m.r_at_k <= 1.0 and 0.0 <= m.f1 <= 1.0
-    )
+    def stage_counts():
+        return (
+            art["train"].count(),
+            art["test"].count(),
+            art["users"].count(),
+            art["items"].count(),
+            model.userFactors.count(),
+            model.itemFactors.count(),
+        )
 
-    # stage 8: publish the diversified lists (the DAG's store step) and
-    # verify the read-back conserves rows + an order-insensitive checksum
-    want = mmr.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("user_id") + F.col("item_id") * F.col("mmr_rank")).alias("ck"),
-    ).collect()[0]
-    tmp = tempfile.mkdtemp(prefix="ecomdw_recs_")
-    try:
-        path = f"{tmp}/recommendations"
-        mmr.write.mode("overwrite").parquet(path)
-        back = spark.read.parquet(path)
-        got = back.agg(
+    def stage_srv():
+        # stage 5: serving contract from the real rec rows (memoized frame)
+        per_user = recs.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("rnk").alias("min_rnk"),
+            F.max("rnk").alias("max_rnk"),
+        )
+        return per_user.agg(
+            F.sum("n").alias("n_rows"),
+            (
+                (F.min("n") == TOP_K)
+                & (F.max("n") == TOP_K)
+                & (F.min("min_rnk") == 1)
+                & (F.max("max_rnk") == TOP_K)
+            ).alias("contract_ok"),
+        ).collect()[0]
+
+    def stage_eval():
+        # stage 7: held-out evaluation
+        return rec_eval_metrics(spark, sf_dir).collect()[0]
+
+    def stage_mmr_publish():
+        # stage 6: MMR diversification + picks-from-pool conservation,
+        # then stage 8: publish + read-back checksum (both consume the
+        # checkpointed MMR frame, so they live on one future)
+        mmr = mmr_rerank(spark, sf_dir).localCheckpoint(eager=True)
+        n_mmr = mmr.count()
+        off_pool = mmr.join(
+            pool.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti"
+        ).count()
+        want = mmr.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("user_id") + F.col("item_id") * F.col("mmr_rank")).alias("ck"),
         ).collect()[0]
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        tmp = tempfile.mkdtemp(prefix="ecomdw_recs_")
+        try:
+            path = f"{tmp}/recommendations"
+            mmr.write.mode("overwrite").parquet(path)
+            back = spark.read.parquet(path)
+            got = back.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.col("user_id") + F.col("item_id") * F.col("mmr_rank")
+                ).alias("ck"),
+            ).collect()[0]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return n_mmr, off_pool, want, got
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        f_counts = ex.submit(stage_counts)
+        f_srv = ex.submit(stage_srv)
+        f_eval = ex.submit(stage_eval)
+        f_mmr = ex.submit(stage_mmr_publish)
+        n_train, n_test, n_users, n_items, n_uf, n_if = f_counts.result()
+        srv = f_srv.result()
+        m = f_eval.result()
+        n_mmr, off_pool, want, got = f_mmr.result()
+
+    metrics_ok = (
+        0.0 <= m.p_at_k <= 1.0 and 0.0 <= m.r_at_k <= 1.0 and 0.0 <= m.f1 <= 1.0
+    )
     publish_ok = (got.n, got.ck) == (want.n, want.ck)
 
     rows = [
