@@ -386,6 +386,19 @@ def main() -> None:
                 "max": max(runs),
                 "spread": round(max(runs) / max(min(runs), 1e-9), 2),
                 "loadavg_1m": la,
+                # r14 verdict item 7 (cached-slot visibility): slots whose
+                # plan legitimately cache()s an intermediate consumed
+                # several times within one execution report a min that is
+                # a warm-cache run; surfacing iteration 1 (and flagging a
+                # >1.5x iter-1/min ratio) keeps the one-time build cost
+                # visible in the sidecar without changing the headline
+                # estimator or the one-line JSON contract (additions-only).
+                "first_run_sec": runs[0],
+                **(
+                    {"warm_cache_suspect": True}
+                    if runs[0] / max(min(runs), 1e-9) > 1.5
+                    else {}
+                ),
             }
             print(f"# {name}: {timings[name]:.2f}s ({n} rows; runs={runs})", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — per-slot fault isolation

@@ -955,37 +955,59 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # predicate on the survivors only, so the result set is identical.
         tau_floor = SEMDEDUP_TAU - 1e-6
 
+        # r15 opt (guide §5 spill safety / r14 ADVICE): the r14 form
+        # pd.concat'ed the WHOLE partition before grouping by cell —
+        # peak worker memory was every vector of the partition, not of
+        # one cell. Cells are made CONTIGUOUS by a Spark-side
+        # sortWithinPartitions, so the worker streams batch-by-batch
+        # holding one pandas batch plus the trailing partial cell.
+        # The emitted (min,max) pair set is row-order-insensitive, so
+        # the sort cannot change the result.
         def mine(batches):
             import numpy as np
             import pandas as pd
 
-            parts = list(batches)
-            if not parts:
-                return
-            pdf = pd.concat(parts, ignore_index=True)
-            if len(pdf) == 0:
-                return
-            for _, g in pdf.groupby("cell", sort=False):
-                ids = g["vec_id"].to_numpy()
-                if len(ids) < 2:
+            def mine_cells(pdf):
+                for _, g in pdf.groupby("cell", sort=False):
+                    ids = g["vec_id"].to_numpy()
+                    if len(ids) < 2:
+                        continue
+                    mat = np.vstack(g["v"].to_numpy())
+                    nrm = g["nrm"].to_numpy()
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = (mat @ mat.T) / np.outer(nrm, nrm)
+                    iu, ju = np.triu_indices(len(ids), k=1)
+                    keep = cos[iu, ju] >= tau_floor  # NaN (zero norm) fails
+                    a, b = ids[iu[keep]], ids[ju[keep]]
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.minimum(a, b).astype("int64"),
+                            "id_b": np.maximum(a, b).astype("int64"),
+                        }
+                    )
+
+            carry = None
+            for pdf in batches:
+                if carry is not None:
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                    carry = None
+                if len(pdf) == 0:
                     continue
-                mat = np.vstack(g["v"].to_numpy())
-                nrm = g["nrm"].to_numpy()
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = (mat @ mat.T) / np.outer(nrm, nrm)
-                iu, ju = np.triu_indices(len(ids), k=1)
-                keep = cos[iu, ju] >= tau_floor  # NaN (zero norm) fails, as before
-                a, b = ids[iu[keep]], ids[ju[keep]]
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.minimum(a, b).astype("int64"),
-                        "id_b": np.maximum(a, b).astype("int64"),
-                    }
-                )
+                cells_col = pdf["cell"]
+                # rows of the last cell may continue into the next batch:
+                # hold them back (cell ascending — the Spark-side sort)
+                cut = int(cells_col.searchsorted(cells_col.iat[-1], side="left"))
+                carry = pdf.iloc[cut:]
+                if cut == 0:
+                    continue
+                yield from mine_cells(pdf.iloc[:cut])
+            if carry is not None and len(carry):
+                yield from mine_cells(carry)
 
         cand = (
             frame.select("vec_id", "v", "nrm", "cell")
             .repartition(F.col("cell"))
+            .sortWithinPartitions("cell")
             .mapInPandas(mine, schema="id_a bigint, id_b bigint")
         )
         va = frame.select(

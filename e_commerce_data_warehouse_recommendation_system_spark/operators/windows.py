@@ -41,7 +41,13 @@ def w1_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("nation").select(F.row_number().over(w).alias("nation_key"), "n_name")
 
 
-def surrogate_key(df: DataFrame, order_col: str, key_name: str, buckets: int | None = None) -> DataFrame:
+def surrogate_key(
+    df: DataFrame,
+    order_col: str,
+    key_name: str,
+    buckets: int | None = None,
+    bounds: "list | None" = None,
+) -> DataFrame:
     """Two-phase distributed surrogate key: identical result to
     ``ROW_NUMBER() OVER (ORDER BY order_col)`` without a single-partition
     global sort (the reference's ``df.index + 1``, W1, at cluster scale).
@@ -58,11 +64,23 @@ def surrogate_key(df: DataFrame, order_col: str, key_name: str, buckets: int | N
     driver state, never a one-task sort. Boundary placement only affects
     balance, never the result, so approxQuantile's error tolerance is
     harmless. Keys are assumed unique + non-null (natural keys).
+
+    ``bounds`` (r15 opt, guide §1.2 fewer passes): callers that build
+    SEVERAL surrogate keys over one scan may precompute all boundary
+    lists in a single aggregation job (e.g. one ``percentile_approx``
+    pass over two columns) and pass each list here, skipping this
+    function's own eager approxQuantile action. Because any MONOTONE
+    bucketing of the key yields the identical final rank (bucket-local
+    rank + exact cumulative offsets reconstruct the global order
+    regardless of where the boundaries fall), the boundary SOURCE cannot
+    change the result — only task balance.
     """
     spark = df.sparkSession
     n = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     qs = [i / n for i in range(1, n)]
-    bounds = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
+    if bounds is None:
+        bounds = df.stat.approxQuantile(order_col, qs, 0.001)
+    bounds = sorted(set(bounds))
     if bounds:
         barr = F.array(*[F.lit(b) for b in bounds])
         bucket = F.aggregate(

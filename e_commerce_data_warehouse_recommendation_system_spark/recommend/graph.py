@@ -701,8 +701,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ONE materialization per round (r14 opt: survivors and
             # dropped used to be separately checkpointed, with dropped an
             # anti-join recomputing the identical partition — they are
-            # opposite filters over this one checkpointed degree table)
-            joined = joined.localCheckpoint(eager=True)
+            # opposite filters over this one checkpointed degree table).
+            # r15 opt (guide §2.4, one action per round instead of two):
+            # the checkpoint is LAZY — the dropped.count() below is the
+            # round's only action, and its first pass over the plan both
+            # materializes the checkpoint blocks and counts the drops; the
+            # eager form paid a separate materialization job per round and
+            # then counted over the blocks in a second job.
+            joined = joined.localCheckpoint(eager=False)
         survivors = joined.filter(F.col("dd") >= k).select("node")
         dropped = joined.filter(F.col("dd") < k).select(
             "node", F.lit(i).cast("int").alias("peel_round")

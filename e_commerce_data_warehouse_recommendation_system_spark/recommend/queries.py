@@ -107,7 +107,9 @@ def interactions(spark: SparkSession) -> DataFrame:
     )
 
 
-def _encode(df: DataFrame, id_col: str, idx_col: str) -> DataFrame:
+def _encode(
+    df: DataFrame, id_col: str, idx_col: str, bounds: "list | None" = None
+) -> DataFrame:
     """M1: LabelEncoder analog — 0-based dense codes in sorted-key order
     (sklearn LabelEncoder numbers sorted classes,
     reference: mf_knn_recommender.py:73-80).
@@ -117,10 +119,39 @@ def _encode(df: DataFrame, id_col: str, idx_col: str) -> DataFrame:
     ranked per quantile bucket + broadcast offsets — never a single-partition
     global sort, so the encoding scales with the id space (at 100× the user
     dictionary is exactly what grows). The dense_rank SQL oracle is
-    unchanged (rec_label_encode digests prove equivalence)."""
+    unchanged (rec_label_encode digests prove equivalence).
+
+    ``bounds``: optional precomputed bucket boundaries (see
+    :func:`_encode_bounds_pair`) — skips surrogate_key's own eager
+    approxQuantile job; provably result-identical (any monotone bucketing
+    reconstructs the same global rank)."""
     distinct_ids = df.select(id_col).distinct()
-    keyed = surrogate_key(distinct_ids, id_col, "_sk")
+    keyed = surrogate_key(distinct_ids, id_col, "_sk", bounds=bounds)
     return keyed.select(F.col(id_col), (F.col("_sk") - 1).cast("int").alias(idx_col))
+
+
+def _encode_bounds_pair(df: DataFrame, user_c: str, item_c: str) -> tuple[list, list]:
+    """ONE aggregation job computing bucket boundaries for BOTH encoding
+    dictionaries (r15 opt, guide §1.2 / VERDICT r14 item 4): the two
+    ``_encode`` calls each ran an eager approxQuantile over a distinct()
+    of the interaction frame — two actions, each with its own
+    distinct-shuffle, for boundary lists whose PLACEMENT only affects
+    bucket balance, never the surrogate-key result. A single
+    ``percentile_approx`` pass over both raw columns (no distinct —
+    multiplicity skews placement only) replaces both. Sketches merge
+    map-side, so this is one shuffle-free scan of the (cached)
+    interaction frame."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    qs = [i / n for i in range(1, n)]
+    if not qs:
+        return [], []
+    qarr = F.array(*[F.lit(q) for q in qs])
+    row = df.agg(
+        F.percentile_approx(user_c, qarr, F.lit(10000)).alias("ub"),
+        F.percentile_approx(item_c, qarr, F.lit(10000)).alias("ib"),
+    ).first()
+    return list(row["ub"] or []), list(row["ib"] or [])
 
 
 def _split_bucket(user_c: str, item_c: str) -> F.Column:
@@ -156,8 +187,10 @@ def _artifacts(spark: SparkSession, sf_dir: str) -> dict:
     # the encoded train/test materialization — without it orders ⋈ lineitem
     # re-executes per consumer
     inter = interactions(spark).cache()
-    users = _encode(inter, "user_id", "user_idx")
-    items = _encode(inter, "item_id", "item_idx")
+    # one quantile pass for both dictionaries (r15 opt; see _encode_bounds_pair)
+    ub, ib = _encode_bounds_pair(inter, "user_id", "item_id")
+    users = _encode(inter, "user_id", "user_idx", bounds=ub)
+    items = _encode(inter, "item_id", "item_idx", bounds=ib)
     encoded = (
         inter.join(users, "user_id")
         .join(items, "item_id")
@@ -207,11 +240,170 @@ def _decode_recs(recs: DataFrame, art: dict) -> DataFrame:
     )
 
 
+def _topk_from_factors(model, k: int, subset: DataFrame | None = None) -> DataFrame:
+    """Batch top-k serving DIRECTLY from the factor frames — a bit-faithful,
+    already-exploded replacement for ``recommendForAllUsers(k)`` /
+    ``recommendForUserSubset(subset, k)`` (r15 opt, guide §8 "decide with
+    small rows" + §4.2 native code per batch; VERDICT r14 item 1). Returns
+    ``(user_idx int, rnk0 int, item_idx int, rating float)`` with rnk0 the
+    0-based position MLlib's recommendations array would carry.
+
+    Why it is faster: MLlib's ``recommendForAll`` cross-joins blockified
+    factor frames and pushes every (user, item) score through a per-user
+    JVM priority queue, then shuffles partial queues through an aggregator.
+    Here the catalog-sized item-factor matrix is COLLECTED ONCE (bounded by
+    the catalog — the same asymmetry MLlib's blocked cross product
+    exploits; rank x n_items floats, ~1-12 MB at sf0.1) and broadcast; each
+    user-factor partition scores all items in one vectorized numpy pass and
+    selects top-k with argpartition — no cross-join, no shuffle, no
+    per-candidate queue work. The only exchange left is the round-robin
+    repartition that spreads ALS's ~10 user blocks across every core.
+
+    BIT-FAITHFULNESS (the correctness contract, verified empirically —
+    plans/r15/als_factor_serve_parity.txt):
+    - scores: MLlib computes each score with dev.ludovic.netlib JavaBLAS
+      ``sgemv`` — a SEQUENTIAL float32 multiply-add over the rank (plain
+      Java, no FMA). The accumulation below reproduces it exactly: one
+      float32 elementwise multiply + one float32 add per rank step, in the
+      same r = 0..rank-1 order. Measured 0 bit mismatches over every
+      (user, item) pair MLlib reports at sf0.001/0.01/0.1 for rank 16 and
+      for the rank-150 backtest twin.
+    - top-k SET: unique when no two float32 scores tie at the k-th
+      boundary — measured zero boundary ties at every SF for every served
+      (model, k) pair; sets verified identical by EXCEPT ALL both ways.
+    - ORDER: MLlib sorts its array by score descending; with distinct
+      scores inside the top-k the order is unique and this path matches it
+      row-for-row. Where two picks tie EXACTLY (2 of 15k users at sf0.1),
+      this path breaks the tie by item_idx ascending while MLlib's queue
+      order is arbitrary — the swapped rows carry EQUAL scores, and every
+      hashed consumer is invariant to permuting equal-score picks
+      (contract flags use min/max rnk; eval hits are set joins; MMR and
+      the backtest pool re-rank by (score, item) themselves; the parity
+      row compares per-rank SCORES, equal under the swap). Verified by the
+      full oracle differential at all three SFs.
+
+    Scale posture: the user side partitions freely (mapInArrow, one batch
+    in memory per worker, items blocked so the score buffer stays ~16 MB);
+    the item side is the bounded catalog, shipped once per executor. The
+    driver collect is catalog-bounded (the repo's documented bounded-
+    collect class — same justification as every F.broadcast(items))."""
+    import numpy as np
+
+    spark = model.itemFactors.sparkSession
+    itp = model.itemFactors.select("id", "features").toPandas()
+    order = np.argsort(itp["id"].to_numpy(), kind="stable")
+    iids = itp["id"].to_numpy()[order].astype(np.int32)
+    vmat = np.stack(itp["features"].to_numpy()[order]).astype(np.float32)
+    bc = spark.sparkContext.broadcast((iids, vmat))
+    n_items = int(vmat.shape[0])
+    k_eff = min(int(k), n_items)
+
+    uf = model.userFactors.select("id", "features")
+    if subset is not None:
+        uf = uf.join(
+            subset.select(F.col("user_idx").alias("id")), "id", "left_semi"
+        )
+
+    def score_partition(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        ids, V = bc.value  # once per task (guide §4.5)
+        n = V.shape[0]
+        rank = V.shape[1]
+        # per-chunk score buffer ~16 MB however large the user side grows
+        rows_per_chunk = max(1, (4 << 20) // max(n, 1))
+        rnk0_tmpl = np.arange(k_eff, dtype=np.int32)
+
+        def topk_chunk(uid_c, U):
+            m = U.shape[0]
+            S = np.zeros((m, n), dtype=np.float32)
+            tmp = np.empty_like(S)
+            # EXACT float32 sequential accumulation (see docstring): each
+            # rank step is one f32 product + one f32 add, like the JVM's
+            for r in range(rank):
+                np.multiply(U[:, r][:, None], V[None, :, r], out=tmp)
+                S += tmp
+            if k_eff < n:
+                part = np.argpartition(-S, k_eff - 1, axis=1)[:, :k_eff]
+            else:
+                part = np.broadcast_to(np.arange(n), (m, n)).copy()
+            psc = np.take_along_axis(S, part, axis=1)
+            # deterministic order: item position asc first, then a STABLE
+            # sort by score desc — ties end up item_idx-ascending
+            o1 = np.argsort(part, axis=1, kind="stable")
+            part = np.take_along_axis(part, o1, axis=1)
+            psc = np.take_along_axis(psc, o1, axis=1)
+            o2 = np.argsort(-psc, axis=1, kind="stable")
+            part = np.take_along_axis(part, o2, axis=1)
+            psc = np.take_along_axis(psc, o2, axis=1)
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(uid_c, k_eff), type=pa.int32()),
+                    pa.array(np.tile(rnk0_tmpl, m), type=pa.int32()),
+                    pa.array(ids[part].ravel(), type=pa.int32()),
+                    pa.array(psc.ravel(), type=pa.float32()),
+                ],
+                names=["user_idx", "rnk0", "item_idx", "rating"],
+            )
+
+        for rb in batches:
+            m_rows = rb.num_rows
+            if m_rows == 0:
+                continue
+            uid = rb.column("user_idx" if "user_idx" in rb.schema.names else "id")
+            uid = uid.to_numpy(zero_copy_only=False)
+            feats = rb.column("features")
+            offsets = feats.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offsets)
+            if (
+                len(widths)
+                and (widths == widths[0]).all()
+                and widths[0] == V.shape[1]
+                and not feats.values.null_count
+                and not feats.null_count
+            ):
+                flat = feats.values.to_numpy(zero_copy_only=False)
+                U = flat[offsets[0] : offsets[-1]].reshape(m_rows, V.shape[1])
+            else:  # defensive: factor frames are uniform by construction
+                U = np.stack(feats.to_pandas().to_numpy()).astype(np.float32)
+            for lo in range(0, m_rows, rows_per_chunk):
+                hi = min(lo + rows_per_chunk, m_rows)
+                yield topk_chunk(uid[lo:hi], U[lo:hi])
+
+    # spread ALS's ~numUserBlocks output partitions across the cluster —
+    # scale-adaptive: never fewer than the session's parallelism, never
+    # repartitioning a big frame DOWN (tiny rows, round-robin is cheap)
+    return uf.repartition(spark.sparkContext.defaultParallelism).mapInArrow(
+        score_partition,
+        schema="user_idx int, rnk0 int, item_idx int, rating float",
+    )
+
+
+def _decode_flat(flat: DataFrame, art: dict) -> DataFrame:
+    """Decode an already-exploded serving frame (``_topk_from_factors``
+    output) to natural ids with 1-based ranks — the flat twin of
+    :func:`_decode_recs` (which stays for the single-user MLlib path)."""
+    exploded = flat.select(
+        "user_idx",
+        (F.col("rnk0") + 1).cast("int").alias("rnk"),
+        "item_idx",
+        F.col("rating").alias("score"),
+    )
+    return (
+        exploded.join(F.broadcast(art["users"]), "user_idx")
+        .join(F.broadcast(art["items"]), "item_idx")
+        .select("user_id", "item_id", "rnk", "score")
+    )
+
+
 def _serve_all(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """M4/M5 serving plan, built fresh (no memoization): batch top-k for
-    every trained user, decoded back to natural ids."""
+    every trained user, decoded back to natural ids. Served from the
+    factor frames (r15 opt — see :func:`_topk_from_factors`; rows
+    bit-identical to the former ``recommendForAllUsers`` plan)."""
     art = _artifacts(spark, sf_dir)
-    return _decode_recs(art["model"].recommendForAllUsers(k), art)
+    return _decode_flat(_topk_from_factors(art["model"], k), art)
 
 
 def _topk_recs(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
@@ -252,8 +444,10 @@ def rec_als_fit_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.recommendation import ALS
 
     inter = interactions(spark).cache()
-    users = _encode(inter, "user_id", "user_idx")
-    items = _encode(inter, "item_id", "item_idx")
+    # one quantile pass for both dictionaries (r15 opt; see _encode_bounds_pair)
+    ub, ib = _encode_bounds_pair(inter, "user_id", "item_id")
+    users = _encode(inter, "user_id", "user_idx", bounds=ub)
+    items = _encode(inter, "item_id", "item_idx", bounds=ib)
     train = (
         inter.join(users, "user_id")
         .join(items, "item_id")
@@ -319,10 +513,12 @@ def rec_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over this join — uncached, the orders ⋈ lineitem distinct re-executes
     # per consumer (same reasoning as _artifacts)
     inter = interactions(spark).cache()
-    u = _encode(inter, "user_id", "idx").select(
+    # one quantile pass for both dictionaries (r15 opt; see _encode_bounds_pair)
+    ub, ib = _encode_bounds_pair(inter, "user_id", "item_id")
+    u = _encode(inter, "user_id", "idx", bounds=ub).select(
         F.lit("user").alias("entity"), F.col("user_id").alias("original_id"), "idx"
     )
-    i = _encode(inter, "item_id", "idx").select(
+    i = _encode(inter, "item_id", "idx", bounds=ib).select(
         F.lit("item").alias("entity"), F.col("item_id").alias("original_id"), "idx"
     )
     return u.unionByName(i)
@@ -570,101 +766,139 @@ def mmr_diversify_frame(
     # rec_pipeline_e2e's 22 s at sf0.1, pure grouped-UDF overhead. And the
     # first per-partition form still burned ~4 s in per-group PANDAS
     # machinery (sort_values / vstack of object cells / DataFrame build
-    # per user), so the hot path is now mapInArrow: the feature matrix is
-    # a ZERO-COPY reshape of the Arrow list buffer, one vectorized lexsort
-    # replaces the per-user sorts (same (relevance desc, item_id asc)
-    # order — keys are unique per user, so stability can't matter), and
-    # the per-user greedy runs the IDENTICAL numpy body over array views
-    # (same float32 dtype path, same argmax tie behavior, bit-identical
-    # pick sequences — the round-11 differential still pins them). The
-    # explicit repartition reproduces applyInPandas's own
-    # hashpartitioning(user_id) exchange — no extra shuffle, groups never
-    # straddle partitions. Frames whose feature lists are ragged (never
-    # produced by the serving path; possible for hand-built test frames)
-    # fall back to the per-user pandas body unchanged.
+    # per user), so the hot path is mapInArrow: the feature matrix is
+    # a ZERO-COPY reshape of the Arrow list buffer, and the per-user
+    # greedy runs the IDENTICAL numpy body over array views (same float32
+    # dtype path, same argmax tie behavior, bit-identical pick sequences —
+    # the round-11 differential still pins them). The explicit repartition
+    # reproduces applyInPandas's own hashpartitioning(user_id) exchange —
+    # no extra shuffle, groups never straddle partitions.
+    #
+    # r15 opt (guide §5 spill safety / VERDICT r14 item 3 + "What's wrong"
+    # #1): the r14 form did list(batches) + combine_chunks() — the WHOLE
+    # partition pinned in one Python worker (fine at sf0.1, a fat
+    # partition at 100 TB is an OOM) — and assumed combine_chunks yields
+    # one chunk (a >2 GiB list payload chunks; chunk(0) would then crash).
+    # The partition-wide Python lexsort is now a Spark-side
+    # sortWithinPartitions (same total order: user asc, relevance desc,
+    # item asc — NaN-free relevance by construction, so the engines'
+    # NaN-ordering difference cannot fire), which makes user groups
+    # CONTIGUOUS in arrival order, so the worker streams batch-by-batch
+    # holding only one Arrow batch plus the trailing partial group
+    # (bounded by the per-user pool width). Multi-chunk/ragged/null
+    # feature chunks fall back to the per-user pandas body, per chunk.
     def mmr_arrow(batches):
         import numpy as np
         import pandas as pd
         import pyarrow as pa
 
-        parts = list(batches)
-        if not parts:
-            return
-        tbl = pa.Table.from_batches(parts).combine_chunks()
-        n_rows = tbl.num_rows
-        if n_rows == 0:
-            return
-        feats = tbl.column("features").chunk(0)
-        # offsets are RELATIVE to the chunk's values buffer and need not
-        # start at 0 after slicing/combining — slice the flat buffer by
-        # the actual offset span before reshaping
-        offsets = feats.offsets.to_numpy(zero_copy_only=False)
-        widths = np.diff(offsets)
-        uniform = bool(len(widths) > 0 and (widths == widths[0]).all() and widths[0] > 0)
-        if not uniform or feats.values.null_count or feats.null_count:
-            # ragged/null features: keep the exact pandas group path
-            pdf = tbl.to_pandas()
-            outs = [mmr(g) for _, g in pdf.groupby("user_id", sort=False)]
-            out = pd.concat(outs, ignore_index=True)
-            yield pa.RecordBatch.from_arrays(
+        def emit(tbl):
+            # tbl: one or more COMPLETE user groups, rows already in
+            # (user asc, relevance desc, item asc) order
+            tbl = tbl.combine_chunks()
+            n_rows = tbl.num_rows
+            if n_rows == 0:
+                return None
+            feats_col = tbl.column("features")
+            uniform = feats_col.num_chunks == 1
+            if uniform:
+                feats = feats_col.chunk(0)
+                # offsets are RELATIVE to the chunk's values buffer and
+                # need not start at 0 after slicing — slice the flat
+                # buffer by the actual offset span before reshaping
+                offsets = feats.offsets.to_numpy(zero_copy_only=False)
+                widths = np.diff(offsets)
+                uniform = bool(
+                    len(widths) > 0 and (widths == widths[0]).all() and widths[0] > 0
+                )
+                uniform = uniform and not feats.values.null_count and not feats.null_count
+            if not uniform:
+                # ragged/null/multi-chunk features: exact pandas group path
+                pdf = tbl.to_pandas()
+                outs = [mmr(g) for _, g in pdf.groupby("user_id", sort=False)]
+                out = pd.concat(outs, ignore_index=True)
+                return pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out["user_id"], type=pa.int64()),
+                        pa.array(out["item_id"], type=pa.int64()),
+                        pa.array(out["relevance"], type=pa.float32()),
+                        pa.array(out["mmr_rank"], type=pa.int64()),
+                    ],
+                    names=["user_id", "item_id", "relevance", "mmr_rank"],
+                )
+            d = int(widths[0])
+            uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+            iid = tbl.column("item_id").to_numpy(zero_copy_only=False)
+            rel = tbl.column("relevance").to_numpy(zero_copy_only=False)
+            flat = feats.values.to_numpy(zero_copy_only=False)
+            mat = flat[offsets[0] : offsets[-1]].reshape(n_rows, d)
+            starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+            bounds = np.r_[starts, n_rows]
+            out_u, out_i, out_r, out_k = [], [], [], []
+            for g in range(len(starts)):
+                lo, hi = bounds[g], bounds[g + 1]
+                gmat, grel = mat[lo:hi], rel[lo:hi]
+                norms = np.linalg.norm(gmat, axis=1)
+                norms[norms == 0] = 1.0
+                unit = gmat / norms[:, None]
+                sim = unit @ unit.T
+                n = hi - lo
+                selected: list[int] = []
+                remaining = list(range(n))
+                while remaining and len(selected) < k:
+                    if selected:
+                        max_sim = sim[np.ix_(remaining, selected)].max(axis=1)
+                    else:
+                        max_sim = np.zeros(len(remaining))
+                    mmr_score = lam * grel[remaining] - (1 - lam) * max_sim
+                    best = remaining[int(np.argmax(mmr_score))]
+                    selected.append(best)
+                    remaining.remove(best)
+                sel = np.asarray(selected, dtype=np.int64) + lo
+                out_u.append(uid[sel])
+                out_i.append(iid[sel])
+                out_r.append(rel[sel])
+                out_k.append(np.arange(1, len(selected) + 1, dtype=np.int64))
+            return pa.RecordBatch.from_arrays(
                 [
-                    pa.array(out["user_id"], type=pa.int64()),
-                    pa.array(out["item_id"], type=pa.int64()),
-                    pa.array(out["relevance"], type=pa.float32()),
-                    pa.array(out["mmr_rank"], type=pa.int64()),
+                    pa.array(np.concatenate(out_u), type=pa.int64()),
+                    pa.array(np.concatenate(out_i), type=pa.int64()),
+                    pa.array(np.concatenate(out_r), type=pa.float32()),
+                    pa.array(np.concatenate(out_k), type=pa.int64()),
                 ],
                 names=["user_id", "item_id", "relevance", "mmr_rank"],
             )
-            return
-        d = int(widths[0])
-        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
-        iid = tbl.column("item_id").to_numpy(zero_copy_only=False)
-        rel = tbl.column("relevance").to_numpy(zero_copy_only=False)
-        flat = feats.values.to_numpy(zero_copy_only=False)
-        mat = flat[offsets[0] : offsets[-1]].reshape(n_rows, d)
-        # (user asc, relevance desc, item asc) — per-user blocks in the
-        # same order the per-user sort produced
-        order = np.lexsort((iid, -rel, uid))
-        uid, iid, rel, mat = uid[order], iid[order], rel[order], mat[order]
-        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
-        bounds = np.r_[starts, n_rows]
-        out_u, out_i, out_r, out_k = [], [], [], []
-        for g in range(len(starts)):
-            lo, hi = bounds[g], bounds[g + 1]
-            gmat, grel = mat[lo:hi], rel[lo:hi]
-            norms = np.linalg.norm(gmat, axis=1)
-            norms[norms == 0] = 1.0
-            unit = gmat / norms[:, None]
-            sim = unit @ unit.T
-            n = hi - lo
-            selected: list[int] = []
-            remaining = list(range(n))
-            while remaining and len(selected) < k:
-                if selected:
-                    max_sim = sim[np.ix_(remaining, selected)].max(axis=1)
-                else:
-                    max_sim = np.zeros(len(remaining))
-                mmr_score = lam * grel[remaining] - (1 - lam) * max_sim
-                best = remaining[int(np.argmax(mmr_score))]
-                selected.append(best)
-                remaining.remove(best)
-            sel = np.asarray(selected, dtype=np.int64) + lo
-            out_u.append(uid[sel])
-            out_i.append(iid[sel])
-            out_r.append(rel[sel])
-            out_k.append(np.arange(1, len(selected) + 1, dtype=np.int64))
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(np.concatenate(out_u), type=pa.int64()),
-                pa.array(np.concatenate(out_i), type=pa.int64()),
-                pa.array(np.concatenate(out_r), type=pa.float32()),
-                pa.array(np.concatenate(out_k), type=pa.int64()),
-            ],
-            names=["user_id", "item_id", "relevance", "mmr_rank"],
-        )
 
-    return cand.repartition(F.col("user_id")).mapInArrow(
-        mmr_arrow, schema="user_id bigint, item_id bigint, relevance float, mmr_rank bigint"
+        pending = None  # trailing (possibly incomplete) user group
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if pending is not None:
+                tbl = pa.concat_tables([pending, tbl])
+                pending = None
+            if tbl.num_rows == 0:
+                continue
+            uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+            # rows of the last uid may continue into the next batch: hold
+            # them back (uid is ascending — the Spark-side sort)
+            cut = int(np.searchsorted(uid, uid[-1], side="left"))
+            pending = tbl.slice(cut)
+            if cut == 0:
+                continue
+            out = emit(tbl.slice(0, cut))
+            if out is not None:
+                yield out
+        if pending is not None and pending.num_rows:
+            out = emit(pending)
+            if out is not None:
+                yield out
+
+    return (
+        cand.repartition(F.col("user_id"))
+        .sortWithinPartitions("user_id", F.desc("relevance"), "item_id")
+        .mapInArrow(
+            mmr_arrow,
+            schema="user_id bigint, item_id bigint, relevance float, mmr_rank bigint",
+        )
     )
 
 
@@ -1169,7 +1403,7 @@ def rec_fold_in_user_factors(
         interactions_df.select("user_idx", "item_idx")
         .dropDuplicates(["user_idx", "item_idx"])
         .join(F.broadcast(itf), "item_idx")
-        .select("user_idx", "ifeat")
+        .select("user_idx", "item_idx", "ifeat")
     )
 
     def solve_one(uid, pdf):
@@ -1188,20 +1422,45 @@ def rec_fold_in_user_factors(
     # slot). One mapInPandas invocation per partition loops the identical
     # per-user rank x rank solve; the explicit repartition reproduces the
     # grouping exchange, so no extra shuffle and groups never straddle
-    # partitions. Within-group row order (never contractual — the old
-    # grouped exchange didn't define one either) can differ, so folded
-    # factors may drift at float-accumulation level (~1e-16 relative);
-    # every consumer reads them through tolerance-gated parity flags and
-    # rank contracts, re-verified driver-mode after this change.
+    # partitions.
+    #
+    # r15 opt (guide §5 spill safety / r14 ADVICE): the r14 form
+    # pd.concat'ed the WHOLE partition before grouping (a fat partition at
+    # 100 TB held in one Python worker) and depended on nondeterministic
+    # Arrow batch arrival order for each user's yo.T@yo accumulation
+    # (folded factors drifted at float level run-to-run). The Spark-side
+    # sortWithinPartitions (user_idx, item_idx) fixes both: user groups
+    # arrive CONTIGUOUS and in a STABLE row order, so the worker streams
+    # batch-by-batch holding only one pandas batch plus the trailing
+    # partial group, and the fold-in is bit-reproducible run-to-run.
+    # Consumers still read folded factors through tolerance-gated parity
+    # flags (the accumulation ORDER differs from the r14 arbitrary order
+    # at ~1e-16 relative — inside every gate, re-verified driver-mode).
     def solve_partition(batches):
-        parts = list(batches)
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        if len(pdf) == 0:
-            return
-        outs = [solve_one(uid, g) for uid, g in pdf.groupby("user_idx", sort=False)]
-        yield pd.concat(outs, ignore_index=True)
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            uidx = pdf["user_idx"]
+            # rows of the last user may continue into the next batch: hold
+            # them back (user_idx ascending — the Spark-side sort)
+            cut = int(uidx.searchsorted(uidx.iat[-1], side="left"))
+            carry = pdf.iloc[cut:]
+            if cut == 0:
+                continue
+            head = pdf.iloc[:cut]
+            yield pd.concat(
+                [solve_one(uid, g) for uid, g in head.groupby("user_idx", sort=False)],
+                ignore_index=True,
+            )
+        if carry is not None and len(carry):
+            yield pd.concat(
+                [solve_one(uid, g) for uid, g in carry.groupby("user_idx", sort=False)],
+                ignore_index=True,
+            )
 
     schema = T.StructType(
         [
@@ -1209,7 +1468,11 @@ def rec_fold_in_user_factors(
             T.StructField("features", T.ArrayType(T.FloatType())),
         ]
     )
-    return obs.repartition(F.col("user_idx")).mapInPandas(solve_partition, schema)
+    return (
+        obs.repartition(F.col("user_idx"))
+        .sortWithinPartitions("user_idx", "item_idx")
+        .mapInPandas(solve_partition, schema)
+    )
 
 
 #: size of the popularity shelf served to cold-start users
@@ -3130,8 +3393,10 @@ def _backtest_als_artifacts(spark: SparkSession, sf_dir: str) -> dict:
 
     pre, post = _backtest_pre_post(spark)
     pre = pre.cache()  # feeds encode x2, train, novelty anti-join, sizing
-    users = _encode(pre, "u", "user_idx")
-    items = _encode(pre, "i", "item_idx")
+    # one quantile pass for both dictionaries (r15 opt; see _encode_bounds_pair)
+    ub, ib = _encode_bounds_pair(pre, "u", "i")
+    users = _encode(pre, "u", "user_idx", bounds=ub)
+    items = _encode(pre, "i", "item_idx", bounds=ib)
     train = (
         pre.join(users, "u").join(items, "i").withColumn("rating", F.lit(1.0))
     )
